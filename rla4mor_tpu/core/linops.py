@@ -1,0 +1,303 @@
+"""Linear operators.
+
+Minimal JAX-native substitute for the pyMOR ``Operator`` algebra the
+reference extends (reference layer L1, see e.g. utilities/factorization.py,
+utilities/other_operators.py). Vectors are columns: a batch of ``b`` vectors
+of dimension ``n`` is an ``(n, b)`` array (or ``(n,)`` for a single vector).
+
+Two worlds coexist:
+
+* **device ops** (``DenseOp``, ``DiagonalOp``, chains thereof) hold jnp
+  arrays and are jit-compatible;
+* **host ops** (``HostSparseOp``, ``HostLUInverse``, ...) wrap scipy sparse
+  matrices / factorizations and run on CPU in the *offline* phase only —
+  the TPU-side analog of the reference's SuperLU/UMFPACK/CHOLMOD wrappers
+  (reference utilities/factorization.py:84,142,249). Everything downstream
+  of sketching is small and dense, hence device-resident.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+import scipy.sparse.linalg as spla
+
+
+def _as_2d(U):
+    U = jnp.asarray(U) if not isinstance(U, np.ndarray) else U
+    return (U.reshape(-1, 1), True) if U.ndim == 1 else (U, False)
+
+
+class LinOp:
+    """Abstract linear operator: y = A x with x (source_dim, b)."""
+
+    source_dim: int
+    range_dim: int
+
+    def apply(self, U, mu=None):
+        raise NotImplementedError
+
+    def apply_adjoint(self, V, mu=None):
+        raise NotImplementedError
+
+    @property
+    def H(self) -> "LinOp":
+        return AdjointOp(self)
+
+    def matrix(self):
+        """Dense matrix of the operator (small ops only)."""
+        eye = jnp.eye(self.source_dim)
+        return jnp.asarray(self.apply(eye))
+
+    def __matmul__(self, other: "LinOp") -> "LinOp":
+        return ChainOp((self, other))
+
+    @property
+    def linear(self):
+        return True
+
+
+class IdentityOp(LinOp):
+    def __init__(self, dim: int):
+        self.source_dim = self.range_dim = dim
+
+    def apply(self, U, mu=None):
+        return U
+
+    def apply_adjoint(self, V, mu=None):
+        return V
+
+    @property
+    def H(self):
+        return self
+
+    def matrix(self):
+        return jnp.eye(self.source_dim)
+
+
+class DenseOp(LinOp):
+    """Dense (device) matrix operator."""
+
+    def __init__(self, A):
+        self.A = jnp.asarray(A)
+        assert self.A.ndim == 2
+        self.range_dim, self.source_dim = self.A.shape
+
+    def apply(self, U, mu=None):
+        return self.A @ jnp.asarray(U)
+
+    def apply_adjoint(self, V, mu=None):
+        return self.A.conj().T @ jnp.asarray(V)
+
+    @property
+    def H(self):
+        return DenseOp(self.A.conj().T)
+
+    def matrix(self):
+        return self.A
+
+
+class DiagonalOp(LinOp):
+    def __init__(self, d):
+        self.d = jnp.asarray(d)
+        self.source_dim = self.range_dim = self.d.shape[0]
+
+    def apply(self, U, mu=None):
+        U, single = _as_2d(U)
+        out = self.d[:, None] * U
+        return out[:, 0] if single else out
+
+    def apply_adjoint(self, V, mu=None):
+        V, single = _as_2d(V)
+        out = self.d.conj()[:, None] * V
+        return out[:, 0] if single else out
+
+    def matrix(self):
+        return jnp.diag(self.d)
+
+
+class AdjointOp(LinOp):
+    def __init__(self, op: LinOp):
+        self.op = op
+        self.source_dim = op.range_dim
+        self.range_dim = op.source_dim
+
+    def apply(self, U, mu=None):
+        return self.op.apply_adjoint(U, mu)
+
+    def apply_adjoint(self, V, mu=None):
+        return self.op.apply(V, mu)
+
+    @property
+    def H(self):
+        return self.op
+
+    def matrix(self):
+        return jnp.asarray(self.op.matrix()).conj().T
+
+
+class ChainOp(LinOp):
+    """Composition ``ops[0] @ ops[1] @ ... @ ops[-1]`` (applied right-first).
+
+    Replaces pyMOR ``ConcatenationOperator`` chains like
+    ``embedding @ inverse_product @ fom.operator`` (reference
+    mor/sketched_reductor.py:69). Kept lazy: applying to a basis evaluates
+    right-to-left, which is exactly the "corrected" projection rule the
+    reference monkey-patches into pyMOR (utilities/__init__.py:17-42).
+    """
+
+    def __init__(self, ops: Sequence[LinOp]):
+        flat = []
+        for op in ops:
+            if isinstance(op, ChainOp):
+                flat.extend(op.ops)
+            else:
+                flat.append(op)
+        self.ops = tuple(flat)
+        for a, b in zip(self.ops[:-1], self.ops[1:]):
+            assert a.source_dim == b.range_dim, (a.source_dim, b.range_dim)
+        self.source_dim = self.ops[-1].source_dim
+        self.range_dim = self.ops[0].range_dim
+
+    def apply(self, U, mu=None):
+        for op in reversed(self.ops):
+            U = op.apply(U, mu)
+        return U
+
+    def apply_adjoint(self, V, mu=None):
+        for op in self.ops:
+            V = op.apply_adjoint(V, mu)
+        return V
+
+    @property
+    def H(self):
+        return ChainOp(tuple(op.H for op in reversed(self.ops)))
+
+
+class ScaledOp(LinOp):
+    def __init__(self, op: LinOp, alpha: float):
+        self.op, self.alpha = op, alpha
+        self.source_dim, self.range_dim = op.source_dim, op.range_dim
+
+    def apply(self, U, mu=None):
+        return self.alpha * self.op.apply(U, mu)
+
+    def apply_adjoint(self, V, mu=None):
+        return np.conj(self.alpha) * self.op.apply_adjoint(V, mu)
+
+    def matrix(self):
+        return self.alpha * self.op.matrix()
+
+
+class ZeroOp(LinOp):
+    def __init__(self, range_dim: int, source_dim: int):
+        self.range_dim, self.source_dim = range_dim, source_dim
+
+    def apply(self, U, mu=None):
+        U, single = _as_2d(U)
+        out = jnp.zeros((self.range_dim, U.shape[1]), dtype=jnp.asarray(U).dtype)
+        return out[:, 0] if single else out
+
+    def apply_adjoint(self, V, mu=None):
+        V, single = _as_2d(V)
+        out = jnp.zeros((self.source_dim, V.shape[1]), dtype=jnp.asarray(V).dtype)
+        return out[:, 0] if single else out
+
+    def matrix(self):
+        return jnp.zeros((self.range_dim, self.source_dim))
+
+
+# ---------------------------------------------------------------------------
+# Host (CPU / scipy) operators — offline FOM-side only
+# ---------------------------------------------------------------------------
+
+
+class HostSparseOp(LinOp):
+    """scipy sparse matrix as a LinOp (host execution, f64)."""
+
+    def __init__(self, S):
+        self.S = sps.csr_matrix(S)
+        self.range_dim, self.source_dim = self.S.shape
+
+    def apply(self, U, mu=None):
+        U = np.asarray(U)
+        return jnp.asarray(self.S @ U)
+
+    def apply_adjoint(self, V, mu=None):
+        V = np.asarray(V)
+        return jnp.asarray(self.S.conj().T @ V)
+
+    def matrix(self):
+        return jnp.asarray(self.S.toarray())
+
+
+class HostLUInverse(LinOp):
+    """Implicit inverse of a sparse matrix via SuperLU factorization.
+
+    TPU-native rebuild of the reference's ``InverseLuOperator``
+    (utilities/factorization.py:84-138): ``apply`` solves, ``apply_inverse``
+    multiplies by the original matrix. Factorization happens once on host;
+    these operators appear only in offline sketches (the results are small
+    and move to device).
+    """
+
+    def __init__(self, S, symmetric: bool = False, **splu_kwargs):
+        S = sps.csc_matrix(S)
+        if symmetric:
+            self.factorization = spla.splu(
+                S,
+                permc_spec="MMD_AT_PLUS_A",
+                diag_pivot_thresh=0,
+                options={"SymmetricMode": True},
+            )
+        else:
+            self.factorization = spla.splu(S, **splu_kwargs)
+        self.operator = HostSparseOp(S)
+        self.source_dim = self.range_dim = S.shape[0]
+
+    def apply(self, U, mu=None):
+        U = np.asarray(U)
+        return jnp.asarray(self.factorization.solve(U))
+
+    def apply_adjoint(self, V, mu=None):
+        V = np.asarray(V)
+        return jnp.asarray(self.factorization.solve(V, trans="H"))
+
+    def apply_inverse(self, U, mu=None):
+        return self.operator.apply(U)
+
+
+def sparse_cholesky(S) -> sps.csc_matrix:
+    """Sparse Cholesky-like factor Q with ``Q^H Q = S`` for SPD sparse S.
+
+    Same LU->Cholesky construction as the reference (utilities/
+    factorization.py:24-52): symmetric-mode SuperLU gives ``S = P^T L U``
+    with ``U = D L^T P`` up to scaling, so ``Q = (P^T L D^{1/2})^H``.
+    """
+    S = sps.csc_matrix(S)
+    factor = spla.splu(
+        S,
+        permc_spec="MMD_AT_PLUS_A",
+        diag_pivot_thresh=0,
+        options={"SymmetricMode": True},
+    )
+    n = S.shape[0]
+    P = sps.csc_matrix(
+        (np.ones(n), (factor.perm_r, np.arange(n))), shape=(n, n)
+    )
+    D = sps.diags(np.sqrt(factor.U.diagonal()))
+    Q = (P.T @ factor.L @ D).conj().T
+    return sps.csc_matrix(Q)
+
+
+def to_matrix(op, dtype=None):
+    """Dense jnp matrix of an op / array."""
+    if isinstance(op, LinOp):
+        m = op.matrix()
+    else:
+        m = jnp.asarray(op)
+    return m.astype(dtype) if dtype is not None else m

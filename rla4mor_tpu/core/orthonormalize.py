@@ -1,0 +1,99 @@
+"""Gram-Schmidt orthonormalization and POD.
+
+Replaces the pyMOR ``gram_schmidt`` / ``pod`` calls the reference relies on
+(mor/sketched_reductor.py:94, inverse_problems/example.py:64). In the
+sketched workflow GS runs on k x r *sketch-space* matrices (small), so a
+dense modified GS with one reorthogonalization pass is both accurate and
+cheap; POD uses the method of snapshots (an r x r eigendecomposition),
+keeping the n-dimensional work to two matmuls — MXU-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from rla4mor_tpu.core.products import Product
+
+
+def gram_schmidt(
+    U,
+    product: Optional[Product] = None,
+    offset: int = 0,
+    return_R: bool = False,
+    reiterate: bool = True,
+    atol: float = 0.0,
+):
+    """Modified Gram-Schmidt on columns of U (n, r), w.r.t. ``product``.
+
+    Columns ``[:offset]`` are assumed orthonormal already (incremental mode,
+    matching pyMOR's ``offset`` semantics used at reference
+    mor/sketched_reductor.py:94). Near-dependent columns are kept (zeroed
+    direction -> zero column) so R stays (r, r); the caller handles rank
+    deficiency via pinv (reference uses ``np.linalg.pinv(R)``,
+    sketched_reductor.py:95).
+    """
+    U = jnp.asarray(U)
+    n, r = U.shape
+    inner = (lambda X, y: X.conj().T @ y) if product is None else (
+        lambda X, y: X.conj().T @ jnp.asarray(product.op.apply(y))
+    )
+    norm = (lambda y: jnp.linalg.norm(y)) if product is None else (
+        lambda y: product.norm(y)
+    )
+
+    Q = np.array(U, copy=True)
+    R = np.zeros((r, r), dtype=Q.dtype)
+    for j in range(offset):
+        R[j, j] = 1.0
+    for j in range(offset, r):
+        v = jnp.asarray(Q[:, j])
+        passes = 2 if reiterate else 1
+        for _ in range(passes):
+            if j > 0:
+                c = np.asarray(inner(jnp.asarray(Q[:, :j]), v)).reshape(-1)
+                R[:j, j] += c
+                v = v - jnp.asarray(Q[:, :j]) @ c
+        nv = float(norm(v))
+        if nv <= atol or not np.isfinite(nv):
+            Q[:, j] = 0.0
+            R[j, j] = 0.0
+        else:
+            Q[:, j] = np.asarray(v / nv)
+            R[j, j] = nv
+    Q = jnp.asarray(Q)
+    if return_R:
+        return Q, jnp.asarray(R)
+    return Q
+
+
+def pod(
+    U,
+    product: Optional[Product] = None,
+    modes: Optional[int] = None,
+    rtol: float = 1e-12,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """POD via the method of snapshots.
+
+    Returns (modes (n, m), singular values (m,)). Gram matrix G = U^H R U is
+    (r, r); its eigendecomposition gives the R-orthonormal modes
+    U @ (V / sqrt(lambda)). Equivalent to pyMOR ``pod`` as used at reference
+    inverse_problems/example.py:64.
+    """
+    U = jnp.asarray(U)
+    G = U.conj().T @ (U if product is None else jnp.asarray(product.op.apply(U)))
+    G = 0.5 * (G + G.conj().T)
+    lam, V = jnp.linalg.eigh(G)
+    # descending order
+    lam = lam[::-1]
+    V = V[:, ::-1]
+    svals = jnp.sqrt(jnp.maximum(lam, 0.0))
+    keep = int(jnp.sum(svals > rtol * (svals[0] if svals.shape[0] else 1.0)))
+    if modes is not None:
+        keep = min(keep, modes)
+    V = V[:, :keep]
+    svals_k = svals[:keep]
+    modes_mat = U @ (V / svals_k[None, :])
+    return modes_mat, svals_k

@@ -1,0 +1,20 @@
+from rla4mor_tpu.ops.fwht import fwht, srht, srht_rows, hadamard_matrix
+from rla4mor_tpu.ops.dims import gaussian_dim, srht_dim, resolve_dim
+from rla4mor_tpu.ops.embeddings import (
+    Embedding,
+    GaussianEmbedding,
+    RademacherEmbedding,
+    SparseSignEmbedding,
+    SrhtEmbedding,
+    IdentityEmbedding,
+    BlockGaussianEmbedding,
+    VectorizedEmbedding,
+)
+
+__all__ = [
+    "fwht", "srht", "srht_rows", "hadamard_matrix",
+    "gaussian_dim", "srht_dim", "resolve_dim",
+    "Embedding", "GaussianEmbedding", "RademacherEmbedding",
+    "SparseSignEmbedding", "SrhtEmbedding", "IdentityEmbedding",
+    "BlockGaussianEmbedding", "VectorizedEmbedding",
+]

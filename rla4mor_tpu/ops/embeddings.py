@@ -1,0 +1,364 @@
+"""Random embedding zoo (oblivious l2->l2 and U->l2 subspace embeddings).
+
+Rebuild of the reference's embedding operators (rla/embeddings.py):
+``RandomEmbedding`` ABC :22, ``SrhtEmbedding`` :126, ``GaussianEmbedding``
+:214, ``IdentityEmbedding`` :274, ``EmbeddingVectorized`` :318,
+``BlockGaussianEmbedding`` :373 — plus Rademacher and sparse-sign
+embeddings (TPU-cheap additions).
+
+Contract (reference rla/embeddings.py:22-122): an embedding Theta wraps an
+optional ``sqrt_product`` Q with Q^H Q = R; ``apply(U) = Omega (Q U)`` where
+Omega is the l2->l2 random matrix; ``matrix()`` is the (k, n) U->l2 map
+Omega Q. Every embedding is a *pure function of its seed*: ``with_seed``
+returns an operator drawing fresh randomness (used to redraw online sketches,
+reference mor/sketched_reductor.py:128,135-136), and block/shard randomness
+derives via ``jax.random.fold_in`` so sharded and unsharded sketches agree.
+
+Embeddings are LinOps, so they compose with the affine calculus
+(``compose(embedding, affine_op)``) without any rewrite rules — the
+reference needs to patch embeddings into pyMOR's rewriter as atomic leaves
+(rla/__init__.py:15-21).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from functools import cached_property
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rla4mor_tpu.core.linops import LinOp
+from rla4mor_tpu.ops import dims as _dims
+from rla4mor_tpu.ops.fwht import srht, srht_rows
+from rla4mor_tpu.utils.config import default_dtype
+
+
+@dataclass(frozen=True)
+class Embedding(LinOp):
+    """Base class. ``range_dim`` = k, ``source_dim`` = n (U-space)."""
+
+    range_dim: int
+    source_dim: int
+    seed: int = 0
+    sqrt_product: Optional[LinOp] = None  # Q with Q^H Q = R
+
+    def __post_init__(self):
+        if self.sqrt_product is not None:
+            assert self.sqrt_product.source_dim == self.source_dim
+
+    # --- seed discipline -----------------------------------------------------
+    @property
+    def key(self) -> jax.Array:
+        return jax.random.key(self.seed)
+
+    def with_seed(self, seed: Optional[int]) -> "Embedding":
+        if seed is None:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        return dataclasses.replace(self, seed=seed)
+
+    # --- dims ------------------------------------------------------------------
+    @property
+    def l2_dim(self) -> int:
+        """Dimension of the intermediate l2 space (= Q's range)."""
+        return (
+            self.sqrt_product.range_dim
+            if self.sqrt_product is not None
+            else self.source_dim
+        )
+
+    # --- core maps ---------------------------------------------------------------
+    def _apply_q(self, U):
+        return U if self.sqrt_product is None else self.sqrt_product.apply(U)
+
+    def apply_random(self, X):
+        """l2 -> l2 sketch: Omega @ X, X (l2_dim, b). Subclasses override."""
+        return self.random_matrix_cached() @ jnp.asarray(X)
+
+    def apply(self, U, mu=None):
+        return self.apply_random(self._apply_q(jnp.asarray(U)))
+
+    def apply_adjoint(self, V, mu=None):
+        """Theta^H V = Q^H (Omega^H V)."""
+        W = self.random_matrix_cached().conj().T @ jnp.asarray(V)
+        if self.sqrt_product is None:
+            return W
+        return self.sqrt_product.apply_adjoint(W)
+
+    # --- explicit matrices ------------------------------------------------------
+    def random_matrix(self) -> jax.Array:
+        """The (k, l2_dim) l2->l2 matrix Omega (pure function of seed)."""
+        raise NotImplementedError
+
+    def random_matrix_cached(self) -> jax.Array:
+        m = self.__dict__.get("_rm_cache")
+        if m is None:
+            m = self.random_matrix()
+            self.__dict__["_rm_cache"] = m
+        return m
+
+    def matrix(self) -> jax.Array:
+        """The (k, n) U->l2 matrix Theta = Omega Q (reference get_matrix,
+        rla/embeddings.py:69-84)."""
+        m = self.__dict__.get("_m_cache")
+        if m is not None:
+            return m
+        rm = self.random_matrix_cached()
+        if self.sqrt_product is None:
+            out = rm
+        else:
+            # Theta = (Q^H Omega^H)^H
+            out = jnp.asarray(
+                self.sqrt_product.apply_adjoint(rm.conj().T)
+            ).conj().T
+        self.__dict__["_m_cache"] = out
+        return out
+
+    def source_array(self) -> jax.Array:
+        """Columns Theta^H (n, k) — the rows of Theta as U-space vectors
+        (reference ``as_source_array``, rla/embeddings.py:120-122)."""
+        return self.matrix().conj().T
+
+    def range_array(self) -> jax.Array:
+        return self.matrix().T
+
+
+def _resolve(kind, source_dim, range_dim, epsilon, delta, oblivious_dim,
+             complex_dtype):
+    return _dims.resolve_dim(
+        kind, source_dim, range_dim, epsilon, delta, oblivious_dim, complex_dtype
+    )
+
+
+@dataclass(frozen=True)
+class GaussianEmbedding(Embedding):
+    """Omega with iid N(0, 1/k) entries (reference rla/embeddings.py:214-270)."""
+
+    @classmethod
+    def make(cls, source_dim, sqrt_product=None, range_dim=None, epsilon=None,
+             delta=None, oblivious_dim=None, seed=0, complex_dtype=False):
+        k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
+                     oblivious_dim, complex_dtype)
+        return cls(k, source_dim, seed, sqrt_product)
+
+    def random_matrix(self):
+        k = self.range_dim
+        return jax.random.normal(
+            self.key, (k, self.l2_dim), dtype=default_dtype()
+        ) / math.sqrt(k)
+
+
+@dataclass(frozen=True)
+class RademacherEmbedding(Embedding):
+    """Omega with iid +-1/sqrt(k) entries — same moments as Gaussian, but
+    the matrix is one random-bits op (cheap to regenerate in kernels)."""
+
+    @classmethod
+    def make(cls, source_dim, sqrt_product=None, range_dim=None, epsilon=None,
+             delta=None, oblivious_dim=None, seed=0, complex_dtype=False):
+        k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
+                     oblivious_dim, complex_dtype)
+        return cls(k, source_dim, seed, sqrt_product)
+
+    def random_matrix(self):
+        k = self.range_dim
+        r = jax.random.rademacher(self.key, (k, self.l2_dim), dtype=jnp.int8)
+        return r.astype(default_dtype()) / math.sqrt(k)
+
+
+@dataclass(frozen=True)
+class SparseSignEmbedding(Embedding):
+    """s-sparse sign embedding (Clarkson-Woodruff / OSNAP): each source
+    column has s entries +-1/sqrt(s) at uniform rows. O(s n b) apply via
+    scatter-add — no reference analog ("sparse" in the north-star list)."""
+
+    s: int = 8
+
+    @classmethod
+    def make(cls, source_dim, sqrt_product=None, range_dim=None, epsilon=None,
+             delta=None, oblivious_dim=None, seed=0, s=8, complex_dtype=False):
+        k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
+                     oblivious_dim, complex_dtype)
+        return cls(k, source_dim, seed, sqrt_product, s)
+
+    def _plan(self):
+        kr = jax.random.fold_in(self.key, 0)
+        ks = jax.random.fold_in(self.key, 1)
+        rows = jax.random.randint(kr, (self.l2_dim, self.s), 0, self.range_dim)
+        signs = jax.random.rademacher(ks, (self.l2_dim, self.s), dtype=jnp.int8)
+        return rows, signs
+
+    def apply_random(self, X):
+        X = jnp.asarray(X)
+        single = X.ndim == 1
+        Xm = X[:, None] if single else X
+        rows, signs = self._plan()
+        vals = (signs.astype(Xm.dtype) / math.sqrt(self.s))[..., None] * Xm[:, None, :]
+        out = jnp.zeros((self.range_dim, Xm.shape[1]), dtype=Xm.dtype)
+        out = out.at[rows.reshape(-1)].add(vals.reshape(-1, Xm.shape[1]))
+        return out[:, 0] if single else out
+
+    def random_matrix(self):
+        rows, signs = self._plan()
+        out = jnp.zeros((self.range_dim, self.l2_dim), dtype=default_dtype())
+        cols = jnp.broadcast_to(
+            jnp.arange(self.l2_dim)[:, None], rows.shape
+        ).reshape(-1)
+        return out.at[rows.reshape(-1), cols].add(
+            signs.reshape(-1).astype(default_dtype()) / math.sqrt(self.s)
+        )
+
+
+@dataclass(frozen=True)
+class SrhtEmbedding(Embedding):
+    """Subsampled randomized Hadamard transform, O(n log n) matrix-free apply
+    (reference rla/embeddings.py:126-209; kernel semantics in ops/fwht.py)."""
+
+    @classmethod
+    def make(cls, source_dim, sqrt_product=None, range_dim=None, epsilon=None,
+             delta=None, oblivious_dim=None, seed=0, complex_dtype=False):
+        k = _resolve("srht", source_dim, range_dim, epsilon, delta,
+                     oblivious_dim, complex_dtype)
+        return cls(k, source_dim, seed, sqrt_product)
+
+    def apply_random(self, X):
+        X = jnp.asarray(X)
+        single = X.ndim == 1
+        Xm = X[:, None] if single else X
+        out = srht(Xm.T, self.range_dim, self.key).T
+        return out[:, 0] if single else out
+
+    def random_matrix(self):
+        return srht_rows(
+            self.key, self.l2_dim, self.range_dim, dtype=default_dtype()
+        )
+
+
+@dataclass(frozen=True)
+class IdentityEmbedding(Embedding):
+    """Theta = Q: maps U to l2 w.r.t. the product, no randomness (reference
+    rla/embeddings.py:274-315)."""
+
+    def __init__(self, source_dim, sqrt_product=None, seed=0):
+        l2 = sqrt_product.range_dim if sqrt_product is not None else source_dim
+        object.__setattr__(self, "range_dim", l2)
+        object.__setattr__(self, "source_dim", source_dim)
+        object.__setattr__(self, "seed", seed)
+        object.__setattr__(self, "sqrt_product", sqrt_product)
+
+    def apply_random(self, X):
+        return jnp.asarray(X)
+
+    def random_matrix(self):
+        return jnp.eye(self.l2_dim, dtype=default_dtype())
+
+    def apply(self, U, mu=None):
+        return self._apply_q(jnp.asarray(U))
+
+
+@dataclass(frozen=True)
+class BlockGaussianEmbedding(Embedding):
+    """Gaussian embedding generated (and applied) in seeded row blocks.
+
+    The reference stores only per-block seeds and regenerates k x n Gaussian
+    blocks on demand to bound RAM (rla/embeddings.py:373-467, block seeds
+    :402-407). Here block b draws from ``fold_in(key, b)`` — deterministic,
+    collision-free, and the exact mechanism reused for per-shard generation
+    in parallel/ (same sketch whether sharded or not).
+    """
+
+    max_block_size: int = 128
+
+    @classmethod
+    def make(cls, source_dim, sqrt_product=None, range_dim=None, epsilon=None,
+             delta=None, oblivious_dim=None, seed=0, max_block_size=128,
+             complex_dtype=False):
+        k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
+                     oblivious_dim, complex_dtype)
+        return cls(k, source_dim, seed, sqrt_product, max_block_size)
+
+    @property
+    def block_sizes(self):
+        m, r = divmod(self.range_dim, self.max_block_size)
+        return tuple([self.max_block_size] * m + ([r] if r else []))
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.block_sizes)
+
+    def random_block(self, b: int) -> jax.Array:
+        """(block_size, l2_dim) rows of Omega for block b."""
+        size = self.block_sizes[b]
+        return jax.random.normal(
+            jax.random.fold_in(self.key, b), (size, self.l2_dim),
+            dtype=default_dtype(),
+        ) / math.sqrt(self.range_dim)
+
+    def block_source_array(self, b: int) -> jax.Array:
+        """(n, block_size) columns = (Omega_b Q)^H — reference ``get_block``
+        (rla/embeddings.py:463-467) as U-space vectors."""
+        rb = self.random_block(b)
+        if self.sqrt_product is None:
+            return rb.conj().T
+        return jnp.asarray(self.sqrt_product.apply_adjoint(rb.conj().T))
+
+    def apply_random(self, X):
+        X = jnp.asarray(X)
+        parts = [self.random_block(b) @ X for b in range(self.n_blocks)]
+        return jnp.concatenate(parts, axis=0)
+
+    def random_matrix(self):
+        return jnp.concatenate(
+            [self.random_block(b) for b in range(self.n_blocks)], axis=0
+        )
+
+
+@dataclass(frozen=True)
+class VectorizedEmbedding(LinOp):
+    """Sketch a whole (rows x cols) matrix by flattening then embedding.
+
+    Reference ``EmbeddingVectorized`` (rla/embeddings.py:318-369): input is
+    a (rows, cols) matrix (or its C-order flattening, index = i_row * cols +
+    i_col, matching the reference's ``to_numpy().T.flatten()``); output is
+    the inner embedding's sketch of the vectorization.
+    """
+
+    embedding: Embedding = None
+    rows: int = 0
+    cols: int = 0
+
+    def __post_init__(self):
+        assert self.embedding.source_dim == self.rows * self.cols
+
+    @property
+    def range_dim(self):
+        return self.embedding.range_dim
+
+    @property
+    def source_dim(self):
+        return self.rows * self.cols
+
+    @property
+    def seed(self):
+        return self.embedding.seed
+
+    def with_seed(self, seed):
+        return dataclasses.replace(self, embedding=self.embedding.with_seed(seed))
+
+    def apply_matrix(self, M) -> jax.Array:
+        M = jnp.asarray(M)
+        assert M.shape == (self.rows, self.cols), (M.shape, self.rows, self.cols)
+        return self.embedding.apply(M.reshape(-1))
+
+    def apply(self, U, mu=None):
+        return self.embedding.apply(U)
+
+    def apply_adjoint(self, V, mu=None):
+        return self.embedding.apply_adjoint(V)
+
+    def matrix(self):
+        return self.embedding.matrix()
