@@ -73,14 +73,16 @@ def pod(
     U,
     product: Optional[Product] = None,
     modes: Optional[int] = None,
-    rtol: float = 1e-12,
+    rtol: float = 1e-7,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """POD via the method of snapshots.
 
     Returns (modes (n, m), singular values (m,)). Gram matrix G = U^H R U is
     (r, r); its eigendecomposition gives the R-orthonormal modes
     U @ (V / sqrt(lambda)). Equivalent to pyMOR ``pod`` as used at reference
-    inverse_problems/example.py:64.
+    inverse_problems/example.py:64. ``rtol`` is relative on singular values;
+    the method-of-snapshots noise floor is ~sqrt(eps), hence the 1e-7
+    default.
     """
     U = jnp.asarray(U)
     G = U.conj().T @ (U if product is None else jnp.asarray(product.op.apply(U)))

@@ -1,0 +1,227 @@
+"""Sketched reduced-basis reductor.
+
+Rebuild of the reference ``SketchedReductor`` (mor/sketched_reductor.py:22)
+on the JAX affine calculus. Semantics preserved (SURVEY §2.3):
+
+* state = sketched basis ``srb = Theta_primal @ U`` (k x r), optional full
+  basis ``rb``, affine sketched residual ``Theta R^-1 A U`` (terms, k x r)
+  and rhs ``Theta R^-1 b``, projected output functional;
+* ``extend_basis`` appends snapshots and concatenates affine terms
+  column-wise (reference :49-88);
+* orthonormalization happens **in sketch space**: Gram-Schmidt on ``srb``,
+  T = pinv(R) applied to rb, residual source and output (reference :90-118);
+* ``reduce`` draws a fresh online embedding Phi (seeded ``with_seed``) and
+  emits a Galerkin or minimal-residual :class:`StationaryROM` whose error
+  estimator is the Phi-sketched residual norm (reference :121-208).
+
+TPU-first differences: everything after the FOM-side applies is dense
+term-stacked arrays, so the emitted ROM is a pytree whose online solve +
+error estimate jit and vmap over parameter batches.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rla4mor_tpu.core.affine import (
+    AffineDense,
+    compose,
+    concat_affine,
+    materialize,
+    project,
+)
+from rla4mor_tpu.core.linops import ChainOp, IdentityOp, LinOp
+from rla4mor_tpu.core.orthonormalize import gram_schmidt
+from rla4mor_tpu.core.products import Product
+from rla4mor_tpu.models.stationary import (
+    ResidualErrorEstimator,
+    StationaryFOM,
+    StationaryROM,
+)
+from rla4mor_tpu.ops.embeddings import Embedding, IdentityEmbedding
+from rla4mor_tpu.utils.logger import get_logger
+
+
+class SketchedReductor:
+    """Online-efficient sketched RB with Galerkin / minres projection."""
+
+    def __init__(
+        self,
+        fom: StationaryFOM,
+        embedding_primal: Optional[Embedding] = None,
+        embedding_online: Optional[Embedding] = None,
+        product: Optional[Product] = None,
+        save_rb: bool = True,
+        orthonormalize: bool = True,
+        projection: str = "galerkin",
+        log_level: int = 20,
+    ):
+        assert projection in ("galerkin", "minres")
+        self.fom = fom
+        n = fom.solution_dim
+        self.product = product if product is not None else Product.identity(n)
+        self.embedding_primal = (
+            embedding_primal
+            if embedding_primal is not None
+            else IdentityEmbedding(n)
+        )
+        self.embedding_online = (
+            embedding_online
+            if embedding_online is not None
+            else IdentityEmbedding(self.embedding_primal.range_dim)
+        )
+        self.save_rb = save_rb
+        self.orthonormalize = orthonormalize
+        self.projection = projection
+        self.logger = get_logger("mor.sketched_reductor", log_level)
+
+        k = self.embedding_primal.range_dim
+        self.mu_basis: list = []
+        self.srb = jnp.zeros((k, 0))
+        self.rb = jnp.zeros((n, 0))
+        self.residual_lhs: Optional[AffineDense] = None  # (T, k, r)
+        self.residual_rhs: Optional[AffineDense] = None  # (Tb, k, 1)
+        self.output_functional: Optional[AffineDense] = None  # (To, q, r)
+        # Theta o R^-1 chain reused for every sketch
+        self._sketch_map: LinOp = ChainOp(
+            (self.embedding_primal, self.product.inv)
+        )
+
+    # ------------------------------------------------------------------ state
+    @property
+    def basis_size(self) -> int:
+        return self.srb.shape[1]
+
+    def extend_basis(self, U, mu=None) -> None:
+        """Append snapshot columns U (n, m) to the sketched state."""
+        U = jnp.asarray(U)
+        if U.ndim == 1:
+            U = U[:, None]
+        if mu is not None:
+            self.mu_basis.extend([mu] * U.shape[1])
+
+        if self.save_rb:
+            self.rb = jnp.concatenate([self.rb.astype(U.dtype), U], axis=1)
+
+        self.logger.info("project the output functional")
+        if self.fom.output_functional is not None:
+            out_proj = project(self.fom.output_functional, None, U)
+            if self.output_functional is not None:
+                out_proj = concat_affine(
+                    (self.output_functional, out_proj), axis=1
+                )
+            self.output_functional = out_proj
+
+        self.logger.info("sketch the basis")
+        su = jnp.asarray(self.embedding_primal.apply(U))
+        self.srb = jnp.concatenate([self.srb.astype(su.dtype), su], axis=1)
+
+        self.logger.info("sketch the residual")
+        sop = project(compose(self._sketch_map, self.fom.operator), None, U)
+        if self.residual_lhs is None:
+            self.residual_lhs = sop
+            self.residual_rhs = materialize(
+                compose(self._sketch_map, self.fom.rhs)
+            )
+        else:
+            self.residual_lhs = concat_affine((self.residual_lhs, sop), axis=1)
+
+        if self.orthonormalize:
+            self.orthonormalize_basis(offset=self.basis_size - U.shape[1])
+
+    def orthonormalize_basis(
+        self, offset: int = 0, T=None, return_T: bool = False
+    ):
+        """Orthonormalize ``srb`` (l2, sketch space) and push the change of
+        basis T = pinv(R) through rb, residual and output (reference
+        mor/sketched_reductor.py:90-118)."""
+        if T is None:
+            Q, R = gram_schmidt(self.srb, offset=offset, return_R=True)
+            T = jnp.linalg.pinv(R)
+        else:
+            Q = self.srb @ T
+        self.srb = Q
+        if self.save_rb and self.rb.shape[1]:
+            self.rb = self.rb @ T
+        if self.residual_lhs is not None:
+            self.residual_lhs = self.residual_lhs.rmul(T)
+        if self.output_functional is not None:
+            self.output_functional = self.output_functional.rmul(T)
+        return T if return_T else None
+
+    # ------------------------------------------------------------------ reduce
+    def _sketch_residual(
+        self, embedding: Embedding
+    ) -> Tuple[AffineDense, AffineDense]:
+        lhs = compose(embedding, self.residual_lhs)
+        rhs = compose(embedding, self.residual_rhs)
+        return lhs, rhs
+
+    def reduce(
+        self,
+        embedding: Optional[Embedding] = None,
+        seed=None,
+        ls_rcond: float = 1e-13,
+    ) -> StationaryROM:
+        """Emit the online ROM, drawing a fresh online sketch.
+
+        Galerkin (reference :154-168) or minres with two independent online
+        sketches — one for the system, one for the estimator (reference
+        :170-187)."""
+        if self.basis_size == 0:
+            return self._reduce_empty()
+
+        if self.projection == "galerkin":
+            if embedding is None:
+                embedding = self.embedding_online.with_seed(seed)
+            return self._reduce_galerkin(embedding)
+
+        if not isinstance(seed, (tuple, list)):
+            seed = (seed, None if seed is None else seed + 1)
+        if embedding is None:
+            embedding = (
+                self.embedding_online.with_seed(seed[0]),
+                self.embedding_online.with_seed(seed[1]),
+            )
+        return self._reduce_minres(embedding)
+
+    def _reduce_galerkin(self, embedding: Embedding) -> StationaryROM:
+        est_lhs, est_rhs = self._sketch_residual(embedding)
+        estimator = ResidualErrorEstimator(est_lhs, est_rhs)
+        reduced_lhs = self.residual_lhs.lmul(self.srb.conj().T)
+        reduced_rhs = self.residual_rhs.lmul(self.srb.conj().T)
+        return StationaryROM(
+            reduced_lhs,
+            reduced_rhs,
+            output_functional=self.output_functional,
+            error_estimator=estimator,
+            ls=False,
+        )
+
+    def _reduce_minres(self, embeddings) -> StationaryROM:
+        sys_lhs, sys_rhs = self._sketch_residual(embeddings[0])
+        est_lhs, est_rhs = self._sketch_residual(embeddings[1])
+        estimator = ResidualErrorEstimator(est_lhs, est_rhs)
+        return StationaryROM(
+            sys_lhs,
+            sys_rhs,
+            output_functional=self.output_functional,
+            error_estimator=estimator,
+            ls=True,
+        )
+
+    def _reduce_empty(self) -> StationaryROM:
+        raise ValueError(
+            "reduce() with empty basis: extend_basis at least once first "
+            "(classical unsketched reduction of an empty basis is degenerate)"
+        )
+
+    # ------------------------------------------------------------------ recon
+    def reconstruct(self, u_reduced) -> jax.Array:
+        """Lift reduced coefficients to the full space (needs save_rb)."""
+        assert self.save_rb, "reconstruct requires save_rb=True"
+        return self.rb @ jnp.asarray(u_reduced)

@@ -259,6 +259,11 @@ class IdentityEmbedding(Embedding):
     def apply(self, U, mu=None):
         return self._apply_q(jnp.asarray(U))
 
+    def with_seed(self, seed):
+        # deterministic operator: redrawing is a no-op (reference
+        # rla/embeddings.py:301-302, ``update`` is pass)
+        return self
+
 
 @dataclass(frozen=True)
 class BlockGaussianEmbedding(Embedding):

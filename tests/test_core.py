@@ -1,0 +1,244 @@
+"""Core algebra tests: affine calculus, products, GS/POD, solvers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+
+from rla4mor_tpu.core import (
+    AffineDense,
+    AffineOp,
+    ChainOp,
+    ConstantCoefficient,
+    DenseOp,
+    HostLUInverse,
+    HostSparseOp,
+    ParameterSpace,
+    Product,
+    ProjectionCoefficient,
+    apply2,
+    bounded_lstsq,
+    cg,
+    compose,
+    concat_affine,
+    gram_schmidt,
+    materialize,
+    pod,
+    project,
+    project_block,
+    sparse_cholesky,
+)
+
+
+def _affine(rng, T=3, k=8, m=6):
+    stack = jnp.asarray(rng.normal(size=(T, k, m)))
+    coeffs = tuple(ProjectionCoefficient("p", i) for i in range(T))
+    return AffineDense(stack, coeffs)
+
+
+def _mu(rng, T=3):
+    return {"p": jnp.asarray(rng.uniform(size=T))}
+
+
+def test_affine_dense_assemble_apply(rng):
+    op = _affine(rng)
+    mu = _mu(rng)
+    th = np.asarray(mu["p"])
+    want = np.einsum("t,tkm->km", th, np.asarray(op.stack))
+    assert np.allclose(np.asarray(op.assemble(mu)), want)
+    x = rng.normal(size=(6,))
+    assert np.allclose(np.asarray(op.apply(jnp.asarray(x), mu)), want @ x)
+    v = rng.normal(size=(8, 2))
+    assert np.allclose(
+        np.asarray(op.apply_adjoint(jnp.asarray(v), mu)), want.T @ v
+    )
+
+
+def test_affine_dense_jit_vmap(rng):
+    op = _affine(rng)
+    mus = {"p": jnp.asarray(rng.uniform(size=(10, 3)))}
+    f = jax.jit(jax.vmap(op.assemble))
+    out = np.asarray(f(mus))
+    for i in range(10):
+        want = np.einsum("t,tkm->km", np.asarray(mus["p"][i]), np.asarray(op.stack))
+        assert np.allclose(out[i], want)
+
+
+def test_project_and_compose(rng):
+    op = _affine(rng)
+    mu = _mu(rng)
+    V = jnp.asarray(rng.normal(size=(8, 4)))
+    W = jnp.asarray(rng.normal(size=(6, 3)))
+    proj = project(op, V, W)
+    want = np.asarray(V).T @ np.asarray(op.assemble(mu)) @ np.asarray(W)
+    assert np.allclose(np.asarray(proj.assemble(mu)), want)
+    assert np.allclose(np.asarray(apply2(op, V, W, mu)), want)
+    # compose with a LinOp
+    L = DenseOp(jnp.asarray(rng.normal(size=(5, 8))))
+    comp = compose(L, op)
+    assert np.allclose(
+        np.asarray(comp.assemble(mu)), np.asarray(L.A) @ np.asarray(op.assemble(mu))
+    )
+
+
+def test_project_affine_op_with_host_terms(rng):
+    """project on AffineOp with sparse terms == dense oracle, incl. the
+    adjoint-based W=None path (reference rule patch utilities/__init__.py:17)."""
+    n = 20
+    mats = [sps.random(n, n, 0.3, random_state=i) + sps.eye(n) for i in range(2)]
+    coeffs = tuple(ProjectionCoefficient("p", i) for i in range(2))
+    op = AffineOp(tuple(HostSparseOp(m) for m in mats), coeffs)
+    mu = {"p": jnp.asarray([0.3, 1.7])}
+    dense = 0.3 * mats[0].toarray() + 1.7 * mats[1].toarray()
+    V = rng.normal(size=(n, 4))
+    W = rng.normal(size=(n, 3))
+    assert np.allclose(
+        np.asarray(project(op, jnp.asarray(V), jnp.asarray(W)).assemble(mu)),
+        V.T @ dense @ W,
+    )
+    assert np.allclose(
+        np.asarray(project(op, jnp.asarray(V), None).assemble(mu)), V.T @ dense
+    )
+    assert np.allclose(
+        np.asarray(project(op, None, jnp.asarray(W)).assemble(mu)), dense @ W
+    )
+
+
+def test_concat_affine(rng):
+    a, b = _affine(rng, m=4), _affine(rng, m=3)
+    b = AffineDense(b.stack, a.coefficients)
+    mu = _mu(rng)
+    cat = concat_affine((a, b), axis=1)
+    assert cat.source_dim == 7
+    want = np.concatenate(
+        [np.asarray(a.assemble(mu)), np.asarray(b.assemble(mu))], axis=1
+    )
+    assert np.allclose(np.asarray(cat.assemble(mu)), want)
+
+
+def test_project_block_matches_project(rng):
+    op = _affine(rng, k=10, m=9)
+    V = jnp.asarray(rng.normal(size=(10, 4)))
+    W = jnp.asarray(rng.normal(size=(9, 7)))
+    mu = _mu(rng)
+    full = project(op, V, W)
+    blk = project_block(op, V, W, max_block_size=3)
+    assert np.allclose(np.asarray(full.assemble(mu)), np.asarray(blk.assemble(mu)))
+
+
+def test_chain_adjoint(rng):
+    A = DenseOp(jnp.asarray(rng.normal(size=(5, 7))))
+    B = DenseOp(jnp.asarray(rng.normal(size=(7, 6))))
+    C = ChainOp((A, B))
+    M = np.asarray(A.A) @ np.asarray(B.A)
+    x = rng.normal(size=(6, 2))
+    v = rng.normal(size=(5, 2))
+    assert np.allclose(np.asarray(C.apply(jnp.asarray(x))), M @ x)
+    assert np.allclose(np.asarray(C.apply_adjoint(jnp.asarray(v))), M.T @ v)
+    assert np.allclose(np.asarray(C.H.apply(jnp.asarray(v))), M.T @ v)
+
+
+def test_sparse_cholesky_and_lu_inverse(rng):
+    n = 30
+    A = sps.random(n, n, 0.2, random_state=1)
+    S = (A @ A.T + 10 * sps.eye(n)).tocsc()
+    Q = sparse_cholesky(S)
+    assert np.allclose((Q.conj().T @ Q).toarray(), S.toarray(), atol=1e-10)
+    inv = HostLUInverse(S, symmetric=True)
+    x = rng.normal(size=(n, 2))
+    assert np.allclose(np.asarray(inv.apply(S @ x)), x, atol=1e-10)
+    assert np.allclose(np.asarray(inv.apply_adjoint(S.T @ x)), x, atol=1e-10)
+
+
+def test_product_from_dense(rng):
+    n = 12
+    M = rng.normal(size=(n, n))
+    R = M @ M.T + n * np.eye(n)
+    p = Product.from_dense(jnp.asarray(R))
+    x = rng.normal(size=(n, 3))
+    qx = np.asarray(p.sqrt.apply(jnp.asarray(x)))
+    assert np.allclose(qx.T @ qx, x.T @ R @ x, atol=1e-9)
+    assert np.allclose(np.asarray(p.inv.apply(jnp.asarray(R @ x))), x, atol=1e-8)
+    assert np.allclose(
+        np.asarray(p.norm(jnp.asarray(x))),
+        np.sqrt(np.diag(x.T @ R @ x)),
+    )
+
+
+def test_gram_schmidt(rng):
+    n, r = 40, 8
+    U = jnp.asarray(rng.normal(size=(n, r)))
+    Q, R = gram_schmidt(U, return_R=True)
+    assert np.allclose(np.asarray(Q).T @ np.asarray(Q), np.eye(r), atol=1e-10)
+    assert np.allclose(np.asarray(Q) @ np.asarray(R), np.asarray(U), atol=1e-10)
+    # offset mode keeps the already-orthonormal prefix fixed
+    Q2, R2 = gram_schmidt(
+        jnp.concatenate([Q[:, :3], U[:, 3:]], axis=1), offset=3, return_R=True
+    )
+    assert np.allclose(np.asarray(Q2[:, :3]), np.asarray(Q[:, :3]))
+    assert np.allclose(
+        np.asarray(Q2).T @ np.asarray(Q2), np.eye(r), atol=1e-10
+    )
+
+
+def test_gram_schmidt_with_product(rng):
+    n, r = 25, 5
+    M = rng.normal(size=(n, n))
+    prod = Product.from_dense(jnp.asarray(M @ M.T + n * np.eye(n)))
+    U = jnp.asarray(rng.normal(size=(n, r)))
+    Q = gram_schmidt(U, product=prod)
+    G = np.asarray(prod.inner(Q, Q))
+    assert np.allclose(G, np.eye(r), atol=1e-9)
+
+
+def test_pod(rng):
+    n = 50
+    base = rng.normal(size=(n, 3))
+    U = jnp.asarray(base @ rng.normal(size=(3, 20)) )
+    modes, svals = pod(U, modes=10)
+    assert modes.shape[1] == 3  # numerical rank
+    assert np.allclose(
+        np.asarray(modes).T @ np.asarray(modes), np.eye(3), atol=1e-8
+    )
+    # projection error of snapshots onto modes is ~0
+    P = np.asarray(modes) @ np.asarray(modes).T
+    assert np.linalg.norm(P @ np.asarray(U) - np.asarray(U)) < 1e-8
+
+
+def test_cg(rng):
+    n = 50
+    M = rng.normal(size=(n, n))
+    A = jnp.asarray(M @ M.T + n * np.eye(n))
+    b = jnp.asarray(rng.normal(size=n))
+    res = cg(lambda x: A @ x, b, tol=1e-12, maxiter=500)
+    assert np.allclose(np.asarray(A @ res.x), np.asarray(b), atol=1e-8)
+
+
+def test_bounded_lstsq(rng):
+    from scipy.optimize import lsq_linear
+
+    G = rng.normal(size=(20, 4))
+    g = rng.normal(size=20)
+    lb, ub = np.zeros(4), np.ones(4)
+    ref = lsq_linear(G, g, bounds=(lb, ub))
+    x = np.asarray(
+        bounded_lstsq(jnp.asarray(G), jnp.asarray(g), jnp.asarray(lb), jnp.asarray(ub),
+                      iters=500)
+    )
+    assert np.linalg.norm(G @ x - g) <= np.linalg.norm(ref.fun) * (1 + 1e-6) + 1e-9
+
+
+def test_parameter_space(rng):
+    space = ParameterSpace.make({"diffusion": 4})
+    mus = space.sample_randomly(5, key=0)
+    assert len(mus) == 5
+    assert mus[0]["diffusion"].shape == (4,)
+    # determinism
+    mus2 = space.sample_randomly(5, key=0)
+    assert np.array_equal(
+        np.asarray(mus[3]["diffusion"]), np.asarray(mus2[3]["diffusion"])
+    )
+    ext = space.extend("precond", 3)
+    assert dict(ext.shapes)["precond"] == 3
+    mu = space.parse(np.arange(4.0))
+    assert np.array_equal(np.asarray(mu["diffusion"]), np.arange(4.0))

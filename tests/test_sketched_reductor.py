@@ -1,0 +1,241 @@
+"""Oracle tests of the sketched RB reductor (BASELINE configs 1-2).
+
+Pattern mirrors the reference test strategy (preconditioners/tests.py):
+the machinery under test is recomputed by direct dense composition and must
+agree to tight tolerance (the BASELINE demands <=1e-10 vs reference ROM
+outputs; here vs our own dense oracles, seeded and deterministic).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rla4mor_tpu.mor import SketchedReductor, rb_greedy
+from rla4mor_tpu.ops import GaussianEmbedding, IdentityEmbedding, SrhtEmbedding
+
+
+def _setup(fom, emb_cls, k=150, seed=1, orthonormalize=False, projection="galerkin",
+           k_online=60):
+    Ru = fom.h1_0_product
+    theta = emb_cls.make(
+        fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=k, seed=seed
+    )
+    phi = GaussianEmbedding.make(k, range_dim=k_online, seed=seed + 100)
+    red = SketchedReductor(
+        fom,
+        embedding_primal=theta,
+        embedding_online=phi,
+        product=Ru,
+        orthonormalize=orthonormalize,
+        projection=projection,
+    )
+    return red, theta
+
+
+def _snapshots(fom, count=8, key=0):
+    mus = fom.parameter_space.sample_randomly(count, key=key)
+    U = fom.solve_many(mus)
+    return mus, U
+
+
+@pytest.mark.parametrize("emb_cls", [GaussianEmbedding, SrhtEmbedding])
+def test_sketched_galerkin_system_oracle(thermal_fom, emb_cls):
+    """Reductor's reduced system == hand-composed (Theta V)^H Theta R^-1 A(mu) V."""
+    fom = thermal_fom
+    red, theta = _setup(fom, emb_cls, orthonormalize=False)
+    mus, U = _snapshots(fom)
+    red.extend_basis(U)
+    rom = red.reduce(seed=5)
+
+    mu = fom.parameter_space.sample_randomly(1, key=99)[0]
+    T = np.asarray(theta.matrix())  # (k, n)
+    Rinv = fom.h1_0_product.inv
+    A = np.asarray(fom.assemble_sparse(mu).toarray())
+    b = np.asarray(fom.assemble_rhs(mu))
+    Un = np.asarray(U)
+    SV = T @ Un
+    S_res = T @ np.asarray(Rinv.apply(jnp.asarray(A @ Un)))
+    s_rhs = T @ np.asarray(Rinv.apply(jnp.asarray(b)))
+
+    lhs_oracle = SV.conj().T @ S_res
+    rhs_oracle = SV.conj().T @ s_rhs
+    assert np.allclose(np.asarray(rom.lhs.assemble(mu)), lhs_oracle, atol=1e-10)
+    assert np.allclose(np.asarray(rom.rhs.assemble_vec(mu)), rhs_oracle, atol=1e-10)
+
+    # error estimator == || Phi Theta R^-1 (A V y - b) ||
+    y = np.asarray(rom.solve(mu))
+    Phi = np.asarray(red.embedding_online.with_seed(5).matrix())
+    est_oracle = np.linalg.norm(Phi @ (S_res @ y - s_rhs))
+    est = float(rom.estimate_error(mu))
+    assert abs(est - est_oracle) < 1e-10 * max(1.0, est_oracle)
+
+
+def test_identity_embedding_equals_classical_galerkin(thermal_fom):
+    """With Theta = Q (IdentityEmbedding) the sketched Galerkin ROM equals
+    the classical R-Galerkin ROM and the estimator is the exact Riesz
+    residual norm."""
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    theta = IdentityEmbedding(fom.solution_dim, Ru.sqrt)
+    red = SketchedReductor(
+        fom, embedding_primal=theta, product=Ru, orthonormalize=False
+    )
+    mus, U = _snapshots(fom, count=6)
+    red.extend_basis(U)
+    rom = red.reduce()
+
+    mu = fom.parameter_space.sample_randomly(1, key=7)[0]
+    A = np.asarray(fom.assemble_sparse(mu).toarray())
+    b = np.asarray(fom.assemble_rhs(mu))
+    Un = np.asarray(U)
+    # classical Galerkin: (V^H A V) y = V^H b
+    y_classic = np.linalg.solve(Un.T @ A @ Un, Un.T @ b)
+    y = np.asarray(rom.solve(mu))
+    assert np.allclose(y, y_classic, atol=1e-9)
+
+    # estimator == || A V y - b ||_{R^-1}
+    r = A @ Un @ y - b
+    Rinv_r = np.asarray(Ru.inv.apply(jnp.asarray(r)))
+    want = np.sqrt(r @ Rinv_r)
+    est = float(rom.estimate_error(mu))
+    assert abs(est - want) < 1e-9 * max(1.0, want)
+
+
+def test_orthonormalization_invariance(thermal_fom):
+    """Orthonormalizing in sketch space must not change the ROM solution in
+    the full space (change of basis only), and srb must be orthonormal."""
+    fom = thermal_fom
+    mus, U = _snapshots(fom, count=6)
+    mu = fom.parameter_space.sample_randomly(1, key=42)[0]
+
+    red_plain, _ = _setup(fom, GaussianEmbedding, orthonormalize=False)
+    red_orth, _ = _setup(fom, GaussianEmbedding, orthonormalize=True)
+    red_plain.extend_basis(U)
+    red_orth.extend_basis(U)
+
+    srb = np.asarray(red_orth.srb)
+    assert np.allclose(srb.T @ srb, np.eye(srb.shape[1]), atol=1e-9)
+
+    rom_p = red_plain.reduce(seed=3)
+    rom_o = red_orth.reduce(seed=3)
+    up = np.asarray(red_plain.rb) @ np.asarray(rom_p.solve(mu))
+    uo = np.asarray(red_orth.rb) @ np.asarray(rom_o.solve(mu))
+    assert np.allclose(up, uo, atol=1e-8)
+    # estimators agree too (same residual operator in different basis)
+    assert np.isclose(
+        float(rom_p.estimate_error(mu)), float(rom_o.estimate_error(mu)),
+        rtol=1e-8,
+    )
+
+
+def test_minres_oracle(thermal_fom):
+    """minres ROM: y = argmin || Phi1 Theta R^-1 (A V y - b) ||, estimator
+    uses the independent Phi2 sketch (reference _reduce_minres,
+    mor/sketched_reductor.py:170-187)."""
+    fom = thermal_fom
+    red, theta = _setup(fom, GaussianEmbedding, orthonormalize=False,
+                        projection="minres", k_online=80)
+    mus, U = _snapshots(fom, count=6)
+    red.extend_basis(U)
+    rom = red.reduce(seed=(11, 12))
+    assert rom.ls
+
+    mu = fom.parameter_space.sample_randomly(1, key=13)[0]
+    T = np.asarray(theta.matrix())
+    Rinv = fom.h1_0_product.inv
+    A = np.asarray(fom.assemble_sparse(mu).toarray())
+    b = np.asarray(fom.assemble_rhs(mu))
+    Un = np.asarray(U)
+    S_res = T @ np.asarray(Rinv.apply(jnp.asarray(A @ Un)))
+    s_rhs = T @ np.asarray(Rinv.apply(jnp.asarray(b)))
+    P1 = np.asarray(red.embedding_online.with_seed(11).matrix())
+    y_oracle, *_ = np.linalg.lstsq(P1 @ S_res, P1 @ s_rhs, rcond=None)
+    y = np.asarray(rom.solve(mu))
+    assert np.allclose(y, y_oracle, atol=1e-8)
+
+    P2 = np.asarray(red.embedding_online.with_seed(12).matrix())
+    est_oracle = np.linalg.norm(P2 @ (S_res @ y - s_rhs))
+    assert abs(float(rom.estimate_error(mu)) - est_oracle) < 1e-10
+
+
+def test_incremental_extension_matches_batch(thermal_fom):
+    """Extending one snapshot at a time == extending all at once."""
+    fom = thermal_fom
+    mus, U = _snapshots(fom, count=5)
+    mu = fom.parameter_space.sample_randomly(1, key=21)[0]
+
+    red_b, _ = _setup(fom, GaussianEmbedding, orthonormalize=True)
+    red_b.extend_basis(U)
+    red_i, _ = _setup(fom, GaussianEmbedding, orthonormalize=True)
+    for j in range(U.shape[1]):
+        red_i.extend_basis(U[:, j])
+
+    rom_b = red_b.reduce(seed=2)
+    rom_i = red_i.reduce(seed=2)
+    ub = np.asarray(red_b.rb) @ np.asarray(rom_b.solve(mu))
+    ui = np.asarray(red_i.rb) @ np.asarray(rom_i.solve(mu))
+    assert np.allclose(ub, ui, atol=1e-8)
+
+
+def test_rom_accuracy_and_estimator_effectivity(thermal_fom):
+    """ROM error decays and the sketched estimator tracks the true Riesz
+    residual norm within the embedding distortion."""
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    red, _ = _setup(fom, GaussianEmbedding, k=200, orthonormalize=True)
+    mus, U = _snapshots(fom, count=10, key=3)
+    red.extend_basis(U)
+    rom = red.reduce(seed=4)
+
+    test_mus = fom.parameter_space.sample_randomly(5, key=77)
+    for mu in test_mus:
+        u_fom = np.asarray(fom.solve(mu))
+        y = np.asarray(rom.solve(mu))
+        u_rom = np.asarray(red.rb) @ y
+        err = float(Ru.norm(jnp.asarray(u_fom - u_rom)))
+        unorm = float(Ru.norm(jnp.asarray(u_fom)))
+        assert err < 1e-2 * unorm  # 10 snapshots on a 4-param problem
+        # estimator vs true residual norm (Riesz): within 50% distortion
+        A = fom.assemble_sparse(mu)
+        b = np.asarray(fom.assemble_rhs(mu))
+        r = A @ u_rom - b
+        true_res = float(
+            np.sqrt(r @ np.asarray(Ru.inv.apply(jnp.asarray(r))))
+        )
+        est = float(rom.estimate_error(mu))
+        if true_res > 1e-12:
+            assert 0.4 * true_res < est < 2.5 * true_res
+
+
+def test_greedy(thermal_fom):
+    fom = thermal_fom
+    red, _ = _setup(fom, GaussianEmbedding, k=200, orthonormalize=True)
+    training = fom.parameter_space.sample_randomly(30, key=5)
+    result = rb_greedy(fom, red, training, max_extensions=8)
+    assert red.basis_size == 8
+    # greedy estimates decrease overall
+    assert result.max_estimates[-1] < result.max_estimates[0]
+    # resulting ROM is accurate on the training set
+    mu = training[3]
+    u_fom = np.asarray(fom.solve(mu))
+    u_rom = np.asarray(red.rb) @ np.asarray(result.rom.solve(mu))
+    Ru = fom.h1_0_product
+    rel = float(Ru.norm(jnp.asarray(u_fom - u_rom))) / float(
+        Ru.norm(jnp.asarray(u_fom))
+    )
+    assert rel < 5e-2
+
+
+def test_output_functional_projection(thermal_fom):
+    fom = thermal_fom
+    red, _ = _setup(fom, GaussianEmbedding, orthonormalize=True)
+    mus, U = _snapshots(fom, count=6)
+    red.extend_basis(U)
+    rom = red.reduce(seed=9)
+    mu = fom.parameter_space.sample_randomly(1, key=31)[0]
+    y = rom.solve(mu)
+    s_rom = float(np.asarray(rom.output(y, mu)))
+    u = red.rb @ jnp.asarray(y)
+    s_direct = float(np.asarray(fom.output_functional.apply(u, mu)))
+    assert abs(s_rom - s_direct) < 1e-10
