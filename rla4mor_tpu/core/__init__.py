@@ -38,6 +38,7 @@ from rla4mor_tpu.core.affine import (
 )
 from rla4mor_tpu.core.products import Product
 from rla4mor_tpu.core.orthonormalize import gram_schmidt, pod
+from rla4mor_tpu.core.image import estimate_image
 from rla4mor_tpu.core.solvers import cg, solve_dense, lstsq_dense, bounded_lstsq
 
 __all__ = [
@@ -49,6 +50,6 @@ __all__ = [
     "to_matrix",
     "AffineOp", "AffineDense", "as_affine", "compose", "project",
     "project_block", "apply2", "materialize", "concat_affine",
-    "Product", "gram_schmidt", "pod",
+    "Product", "gram_schmidt", "pod", "estimate_image",
     "cg", "solve_dense", "lstsq_dense", "bounded_lstsq",
 ]

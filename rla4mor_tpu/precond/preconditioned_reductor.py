@@ -1,0 +1,231 @@
+"""Sketched-HS-norm parametric preconditioner selection.
+
+Rebuild of reference ``PreconditionedReductor`` (preconditioners/
+preconditioned_reductor.py:25-480). For a family of directions P_i
+(typically A(mu_i)^-1), the online preconditioner P(mu) = sum_i y_i P_i is
+chosen by minimizing a *sketched Hilbert-Schmidt norm* of (P A(mu) - I)
+measured between configurable (source, range) space pairs ("keys"). Each
+key contributes a small least-squares system  min_y || W(mu) y - h ||.
+
+Key semantics (matching reference tests, preconditioners/tests.py:247-342):
+the sketched HS error matrix for key (Vs, Vr) is
+
+    M(mu) = RangeMap( (P A(mu) - I) SourceCols ),     vec-sketched by Gamma,
+
+with:
+  * Vs is None : SourceCols = R^-1 Sigma^H            (n, k_sigma)
+    Vs given   : SourceCols = Vs Sigma_mat^T          ("sketched source")
+  * Vr is None : RangeMap(X) = Omega_emb(X)           (U -> l2 embedding)
+    Vr given   : RangeMap(X) = Omega (Vr^H R X)       (sketched range basis)
+
+W(mu)[:, i] = Gamma vec(RangeMap(P_i A(mu) SourceCols)) is affine in mu with
+the FOM's coefficients — assembled from precomputed per-direction stacks by
+one einsum (jit-friendly); h = Gamma vec(RangeMap(SourceCols)).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rla4mor_tpu.core.linops import LinOp
+from rla4mor_tpu.core.parameters import Mu, eval_coefficients
+from rla4mor_tpu.core.products import Product
+from rla4mor_tpu.models.stationary import StationaryFOM
+from rla4mor_tpu.ops.embeddings import (
+    Embedding,
+    IdentityEmbedding,
+    VectorizedEmbedding,
+)
+from rla4mor_tpu.precond.preconditioned_rom import PreconditionedRom
+from rla4mor_tpu.utils.logger import get_logger, log_block
+
+KeySpec = Union[str, Sequence[Tuple[str, float]]]
+
+
+class PreconditionedReductor:
+    """Sketched preconditioner selector + preconditioned Galerkin ROM."""
+
+    def __init__(
+        self,
+        fom: StationaryFOM,
+        reduced_basis,
+        source_bases: Dict[str, Optional[jax.Array]],
+        range_bases: Dict[str, Optional[jax.Array]],
+        source_embeddings: Dict[str, Embedding],
+        range_embeddings: Dict[str, Embedding],
+        vec_embeddings: Dict[str, VectorizedEmbedding],
+        residual_embedding: Embedding,
+        intermediate_bases: Optional[dict] = None,
+        product: Optional[Product] = None,
+        stable_galerkin: bool = True,
+        log_level: int = 20,
+    ):
+        assert source_bases.keys() == range_bases.keys()
+        self.fom = fom
+        self.reduced_basis = jnp.asarray(reduced_basis)
+        self.product = (
+            product if product is not None else Product.identity(fom.solution_dim)
+        )
+        self.vec_embeddings = vec_embeddings
+        self.logger = get_logger("precond.reductor", log_level)
+        self.mu_added: list = []
+
+        self.prom = PreconditionedRom(
+            fom,
+            self.reduced_basis,
+            residual_embedding,
+            intermediate_bases=intermediate_bases,
+            product=self.product,
+            stable_galerkin=stable_galerkin,
+            log_level=log_level,
+        )
+
+        # per-key offline data ------------------------------------------------
+        self._source_cols: Dict[str, jax.Array] = {}
+        self._range_cols: Dict[str, Optional[jax.Array]] = {}
+        self._range_emb: Dict[str, Embedding] = {}
+        self.hs_estimators_lhs: Dict[str, list] = {k: [] for k in source_bases}
+        self.hs_estimators_rhs: Dict[str, jax.Array] = {}
+
+        R = self.product.op
+        Rinv = self.product.inv
+        for key in source_bases:
+            Vs = source_bases[key]
+            S = source_embeddings[key]
+            if Vs is None:
+                # R^-1 Sigma^H  (reference: S = sigma o Rinv,
+                # preconditioned_reductor.py:177-178)
+                self._source_cols[key] = jnp.asarray(
+                    Rinv.apply(S.source_array())
+                )
+            else:
+                Vs = jnp.asarray(Vs)
+                if isinstance(S, IdentityEmbedding):
+                    self._source_cols[key] = Vs
+                else:
+                    self._source_cols[key] = Vs @ jnp.asarray(S.matrix()).T
+
+            Vr = range_bases[key]
+            Om = range_embeddings[key]
+            self._range_emb[key] = Om
+            if Vr is None:
+                self._range_cols[key] = None
+            else:
+                Vr = jnp.asarray(Vr)
+                if isinstance(Om, IdentityEmbedding):
+                    rc = Vr
+                else:
+                    rc = Vr @ jnp.asarray(Om.matrix()).conj().T
+                # store R-weighted columns: RangeMap(X) = rc^H R X
+                self._range_cols[key] = jnp.asarray(R.apply(rc))
+
+            # h = Gamma vec(RangeMap(SourceCols))  (sketch of the identity,
+            # reference sketch_identity :202-230)
+            ident = self._range_map(key, self._source_cols[key])
+            self.hs_estimators_rhs[key] = jnp.asarray(
+                vec_embeddings[key].apply_matrix(ident)
+            )
+
+    # ------------------------------------------------------------------ maps
+    def _range_map(self, key: str, X) -> jax.Array:
+        rc = self._range_cols[key]
+        if rc is None:
+            return jnp.asarray(self._range_emb[key].apply(X))
+        return rc.conj().T @ jnp.asarray(X)
+
+    def sketch_preconditioner(self, P: LinOp, key: str) -> jax.Array:
+        """(T, k_Gamma) stack: row j = Gamma vec(RangeMap(P A_j SourceCols))
+        (reference sketch_preconditioner, preconditioned_reductor.py:169-200).
+        """
+        cols = self._source_cols[key]
+        out = []
+        for term in self.fom.operator.terms:
+            X = jnp.asarray(term.apply(cols))
+            Y = jnp.asarray(P.apply(X))
+            Z = self._range_map(key, Y)
+            out.append(jnp.asarray(self.vec_embeddings[key].apply_matrix(Z)))
+        return jnp.stack(out)
+
+    # ------------------------------------------------------------------ add
+    def add_preconditioner(self, P: LinOp, mu: Optional[Mu] = None) -> None:
+        """Add direction P to every HS estimator and to the Galerkin ROM
+        (reference preconditioned_reductor.py:444-479)."""
+        with log_block(self.logger, f"adding preconditioner at {mu}"):
+            for key in self.hs_estimators_lhs:
+                self.hs_estimators_lhs[key].append(
+                    self.sketch_preconditioner(P, key)
+                )
+            self.prom.add_preconditioner(P, mu)
+            self.mu_added.append(mu)
+
+    @property
+    def n_directions(self) -> int:
+        return len(self.mu_added)
+
+    # ------------------------------------------------------------------ HS LS
+    def assemble_hs_estimator(self, mu: Mu, key: KeySpec):
+        """(W (k, p), h (k,)): min_y ||W y - h|| selects the preconditioner
+        (reference :319-359). ``key`` may be a list of (key, weight) pairs —
+        weighted stacking (reference :343-351)."""
+        if not isinstance(key, str):
+            Ws, hs = [], []
+            for k, weight in key:
+                Wk, hk = self.assemble_hs_estimator(mu, k)
+                Ws.append(weight * Wk)
+                hs.append(weight * hk)
+            return jnp.concatenate(Ws, axis=0), jnp.concatenate(hs)
+        lst = self.hs_estimators_lhs[key]
+        assert lst, "no preconditioner directions added yet"
+        G = jnp.stack(lst)  # (p, T, k)
+        theta = eval_coefficients(self.fom.operator.coefficients, mu).astype(
+            G.dtype
+        )
+        W = jnp.einsum("ptk,t->kp", G, theta)
+        return W, self.hs_estimators_rhs[key]
+
+    def minimize_hs_estimator(self, mu: Mu, key: KeySpec):
+        """Optimal y and residual norm (reference :361-391)."""
+        W, h = self.assemble_hs_estimator(mu, key)
+        y, res2, _, _ = jnp.linalg.lstsq(W, h, rcond=None)
+        mu_p = dict(mu)
+        mu_p["precond"] = y
+        rnorm = jnp.linalg.norm(W @ y - h)
+        return mu_p, rnorm
+
+    def _estimate_hs(self, mu_p: Mu, key: KeySpec) -> jax.Array:
+        """Sketched HS norm of (P(y) A(mu) - I) at mu_p (reference :313-317)."""
+        W, h = self.assemble_hs_estimator(mu_p, key)
+        return jnp.linalg.norm(W @ jnp.asarray(mu_p["precond"]) - h)
+
+    # ------------------------------------------------------------------ rom
+    def assemble_rom_system(self, mu_p: Mu):
+        """(r, r) lhs and (r,) rhs of the preconditioned Galerkin system
+        (reference :393-415)."""
+        rom = self.prom.rom
+        if hasattr(rom, "assemble"):
+            return rom.assemble(mu_p)
+        return rom.lhs.assemble(mu_p), rom.rhs.assemble_vec(mu_p)
+
+    def estimate_quasi_optimality(self, mu_p: Mu):
+        """1 + Delta_2 / (1 - Delta_3) with Delta_2 the u_ur HS estimate and
+        Delta_3 = sigma_max(A_rom - I) (reference :295-310; 0 if not
+        defined)."""
+        delta_2 = self._estimate_hs(mu_p, "u_ur")
+        A, _ = self.assemble_rom_system(mu_p)
+        s = jnp.linalg.svd(A - jnp.eye(A.shape[0], dtype=A.dtype),
+                           compute_uv=False)
+        delta_3 = s.max()
+        if float(delta_3) >= 1.0:
+            self.logger.warning("quasi-optimality bound not defined")
+            return jnp.asarray(0.0)
+        return 1.0 + delta_2 / (1.0 - delta_3)
+
+    def solve(self, mu: Mu, key: KeySpec):
+        """Select P(y) by HS minimization, then solve the preconditioned
+        Galerkin ROM (reference :418-441)."""
+        mu_p, _ = self.minimize_hs_estimator(mu, key)
+        return self.prom.rom.solve(mu_p), mu_p
