@@ -1,0 +1,281 @@
+"""LARS / LASSO-LARS regularization paths.
+
+Rebuild of the reference's LARS layer (inverse_problems/lars.py), which
+wraps sklearn's Cython ``lars_path`` and the C++ ``spams.lasso`` (noted to
+leak memory, reference lars.py:144-145). Here the homotopy algorithm is
+implemented from scratch twice:
+
+* :func:`lars_lasso_path_np` — numpy host implementation returning the full
+  variable-length path (offline / oracle use; validated against sklearn in
+  the tests);
+* :func:`lars_lasso_jax` — fixed-shape ``lax.while_loop`` implementation
+  with masked active sets (SURVEY §7 hard part 4): jittable and vmappable
+  over many observation vectors on device.
+
+Both solve  min_beta 0.5 ||x - D beta||^2 + alpha ||beta||_1  and produce
+the piecewise-linear path with LASSO sign-drop handling. ``alphas`` are
+reported as max_j |d_j^T r| at the breakpoints (the unscaled convention;
+sklearn's are divided by n_samples — accounted for in the tests).
+
+:func:`lars_weighted_path` reproduces the reference's weighted / rescaled
+wrapper with optional per-step OLS debiasing (reference lars.py:160-214).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# numpy host path (variable length, exact breakpoints)
+# ---------------------------------------------------------------------------
+
+
+def lars_lasso_path_np(
+    D: np.ndarray,
+    x: np.ndarray,
+    alpha_min: float = 0.0,
+    max_steps: Optional[int] = None,
+    tol: float = 1e-12,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """LASSO-LARS homotopy. Returns (coefs (K, P), alphas (P,)) with
+    coefs[:, 0] = 0 at alpha = max|D^T x| and subsequent breakpoints."""
+    D = np.asarray(D, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    m, K = D.shape
+    if max_steps is None:
+        max_steps = 8 * min(m, K)
+
+    beta = np.zeros(K)
+    active: list[int] = []
+    signs = np.zeros(K)
+    coefs = [beta.copy()]
+    c = D.T @ x
+    lam = np.abs(c).max()
+    alphas = [lam]
+
+    just_dropped = False
+    for _ in range(max_steps):
+        if lam <= alpha_min + tol:
+            break
+        c = D.T @ (x - D @ beta)
+        inactive = [j for j in range(K) if j not in active]
+        # a variable enters when its correlation reaches lambda — except on
+        # the step right after a drop (Efron et al. lasso modification)
+        if not just_dropped and inactive:
+            j_new = inactive[int(np.argmax(np.abs(c[inactive])))]
+            if np.abs(c[j_new]) >= lam - 1e-9 * max(lam, 1):
+                active.append(j_new)
+                signs[j_new] = np.sign(c[j_new])
+        just_dropped = False
+        if not active:
+            break
+
+        A = np.array(active)
+        G = D[:, A].T @ D[:, A]
+        try:
+            w = np.linalg.solve(G, signs[A])
+        except np.linalg.LinAlgError:
+            w = np.linalg.lstsq(G, signs[A], rcond=None)[0]
+        u = D[:, A] @ w  # equiangular-ish direction; d_a^T u = s_a
+
+        # max step until lambda target
+        gamma_max = lam - alpha_min
+
+        # step to the next entering variable
+        a = D.T @ u
+        gamma_in = gamma_max
+        for j in range(K):
+            if j in active:
+                continue
+            for num, den in ((lam - c[j], 1 - a[j]), (lam + c[j], 1 + a[j])):
+                if den > tol:
+                    g = num / den
+                    if tol < g < gamma_in:
+                        gamma_in = g
+
+        # step to the next sign change (drop)
+        gamma_drop = np.inf
+        drop_idx = -1
+        for idx, jj in enumerate(active):
+            if abs(w[idx]) > tol:
+                g = -beta[jj] / w[idx]
+                if tol < g < gamma_drop:
+                    gamma_drop = g
+                    drop_idx = idx
+
+        gamma = min(gamma_in, gamma_drop, gamma_max)
+        beta = beta.copy()
+        beta[A] += gamma * w
+        lam -= gamma
+
+        if gamma == gamma_drop and drop_idx >= 0:
+            jj = active.pop(drop_idx)
+            beta[jj] = 0.0
+            signs[jj] = 0.0
+            just_dropped = True
+
+        coefs.append(beta.copy())
+        alphas.append(lam)
+        if len(active) >= min(m, K) and gamma == gamma_in:
+            # cannot add more variables; finish at alpha_min by extrapolating
+            pass
+    return np.stack(coefs, axis=1), np.asarray(alphas)
+
+
+# ---------------------------------------------------------------------------
+# JAX device path (fixed shapes, masked active set)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def lars_lasso_jax(
+    D: jax.Array,
+    x: jax.Array,
+    alpha_min: float = 0.0,
+    max_steps: int = 32,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fixed-shape LASSO-LARS: returns (path (max_steps+1, K), alphas
+    (max_steps+1,), n_steps). Steps beyond convergence repeat the last
+    point, so downstream vmap/scan consumers keep static shapes."""
+    D = jnp.asarray(D)
+    x = jnp.asarray(x)
+    m, K = D.shape
+    dt = D.dtype
+    Gfull = D.T @ D
+    tol = jnp.asarray(1e-12, dt)
+    INF = jnp.asarray(jnp.finfo(dt).max / 4, dt)
+
+    def solve_masked(mask, rhs):
+        # solve G[mask, mask] w = rhs[mask]; identity rows elsewhere -> w=0
+        maskf = mask.astype(dt)
+        Gm = Gfull * (maskf[:, None] * maskf[None, :]) + jnp.diag(1.0 - maskf)
+        return jnp.linalg.solve(Gm, rhs * maskf)
+
+    def body(state):
+        beta, signs, mask, lam, step, just_dropped, path, alphas = state
+        c = D.T @ (x - D @ beta)
+        # add the most correlated inactive variable — unless a variable was
+        # just dropped (lasso modification)
+        c_in = jnp.where(mask, -INF, jnp.abs(c))
+        j_new = jnp.argmax(c_in)
+        do_add = (
+            c_in[j_new] >= lam - 1e-9 * jnp.maximum(lam, 1.0)
+        ) & ~just_dropped
+        mask = mask.at[j_new].set(mask[j_new] | do_add)
+        signs = signs.at[j_new].set(
+            jnp.where(do_add, jnp.sign(c[j_new]), signs[j_new])
+        )
+
+        w = solve_masked(mask, signs)
+        u = D @ w
+        a = D.T @ u
+
+        gamma_max = lam - alpha_min
+        # entering steps
+        g1 = jnp.where((1 - a) > tol, (lam - c) / (1 - a), INF)
+        g2 = jnp.where((1 + a) > tol, (lam + c) / (1 + a), INF)
+        g_in = jnp.where(mask, INF, jnp.minimum(
+            jnp.where(g1 > tol, g1, INF), jnp.where(g2 > tol, g2, INF)
+        ))
+        gamma_in = jnp.min(g_in)
+        # drop steps
+        g_d = jnp.where(mask & (jnp.abs(w) > tol), -beta / w, INF)
+        g_d = jnp.where(g_d > tol, g_d, INF)
+        gamma_drop = jnp.min(g_d)
+        j_drop = jnp.argmin(g_d)
+
+        gamma = jnp.minimum(jnp.minimum(gamma_in, gamma_drop), gamma_max)
+        beta = beta + gamma * w
+        lam = lam - gamma
+
+        dropped = (gamma == gamma_drop) & (gamma < gamma_max)
+        beta = beta.at[j_drop].set(jnp.where(dropped, 0.0, beta[j_drop]))
+        mask = mask.at[j_drop].set(jnp.where(dropped, False, mask[j_drop]))
+        signs = signs.at[j_drop].set(jnp.where(dropped, 0.0, signs[j_drop]))
+
+        step = step + 1
+        path = path.at[step].set(beta)
+        alphas = alphas.at[step].set(lam)
+        return beta, signs, mask, lam, step, dropped, path, alphas
+
+    def cond(state):
+        beta, signs, mask, lam, step, just_dropped, path, alphas = state
+        return (lam > alpha_min + tol) & (step < max_steps)
+
+    c0 = D.T @ x
+    lam0 = jnp.abs(c0).max()
+    path0 = jnp.zeros((max_steps + 1, K), dt)
+    alphas0 = jnp.full((max_steps + 1,), lam0, dt)
+    state = (
+        jnp.zeros(K, dt), jnp.zeros(K, dt), jnp.zeros(K, dtype=bool),
+        lam0, jnp.asarray(0), jnp.asarray(False), path0, alphas0,
+    )
+    beta, signs, mask, lam, step, _, path, alphas = lax.while_loop(
+        cond, body, state
+    )
+    # pad the tail with the last point
+    idx = jnp.minimum(jnp.arange(max_steps + 1), step)
+    return path[idx], alphas[idx], step
+
+
+# ---------------------------------------------------------------------------
+# weighted / rescaled wrapper (reference semantics)
+# ---------------------------------------------------------------------------
+
+
+def _ols_debias(D, x, path, rcond=1e-10):
+    """OLS re-fit on each path point's support (reference lars.py:101-108)."""
+    out = np.zeros_like(path)
+    for i in range(path.shape[1]):
+        ind = np.nonzero(path[:, i])[0]
+        if ind.size:
+            sol, *_ = np.linalg.lstsq(D[:, ind], x, rcond=rcond)
+            out[ind, i] = sol
+    return out
+
+
+def lars_weighted_path(
+    D,
+    x,
+    alpha: float = 0.0,
+    weights: Optional[np.ndarray] = None,
+    scale: float = 1e3,
+    ols: bool = True,
+    return_path: bool = True,
+    max_steps: Optional[int] = None,
+):
+    """Weighted/rescaled LASSO-LARS path (reference lars_weighted_path,
+    inverse_problems/lars.py:160-214).
+
+    The dictionary columns are divided by ``weights``, the data multiplied
+    by ``scale`` (larger scale => longer path), alpha scaled accordingly;
+    the returned path is de-scaled. With ``return_path`` the initial
+    all-zero point is dropped (reference :212)."""
+    D = np.asarray(D, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    K = D.shape[1]
+    w = np.ones(K) if weights is None else np.asarray(weights, dtype=np.float64)
+    D_ = D / w
+    x_ = x * scale
+    alpha_ = alpha * scale / K
+
+    path_, alphas_ = lars_lasso_path_np(D_, x_, alpha_min=alpha_,
+                                        max_steps=max_steps)
+    if ols:
+        path_ = _ols_debias(D_, x_, path_)
+    path = path_ / w.reshape(-1, 1) / scale
+    alphas = alphas_ / scale
+    if return_path:
+        path = path[:, 1:]
+        alphas = alphas[1:]
+    else:
+        path = path[:, -1:]
+        alphas = alphas[-1:]
+    return path, alphas

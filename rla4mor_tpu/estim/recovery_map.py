@@ -1,0 +1,190 @@
+"""State estimation / inverse problems: recovery maps.
+
+Rebuild of reference ``RecoveryMap`` / ``PbdwRecoveryMap`` /
+``DicRecoveryMap`` (inverse_problems/recovery_map.py:38,114,160): recover a
+full state u from m linear observations w = W^H R u.
+
+* PBDW: solve the (m+n) saddle system
+  [[G, CG], [CG^H, 0]] [eta; v] = [w; 0]  (reference :139-144), then
+  u = V v + W eta.  Batched over snapshots (one jitted solve).
+* Dictionary recovery: LASSO-LARS path over the cross-gramian dictionary,
+  per-path-point observation-space corrections, and selection of the path
+  point with minimal distance to the solution manifold (reference
+  :170-307). The manifold distances for *all* path points evaluate in one
+  vmapped call.
+
+Conventions: bases are column matrices V (n, nv), W (n, m); gramian
+G = W^H R W (m, m); cross-gramian CG = W^H R V (m, nv).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rla4mor_tpu.core.products import Product
+from rla4mor_tpu.estim.lars import lars_weighted_path
+from rla4mor_tpu.estim.manifold_distance import ManifoldDistance
+from rla4mor_tpu.utils.logger import get_logger, log_block
+
+
+class RecoveryMap:
+    def __init__(
+        self,
+        V,
+        W,
+        gramian=None,
+        cross_gramian=None,
+        product: Optional[Product] = None,
+        manifold_distance: Optional[ManifoldDistance] = None,
+        log_level: int = 20,
+    ):
+        self.V = jnp.asarray(V)
+        self.W = jnp.asarray(W)
+        n = self.V.shape[0]
+        self.product = product if product is not None else Product.identity(n)
+        if gramian is None:
+            gramian = self.product.inner(self.W, self.W)
+        if cross_gramian is None:
+            cross_gramian = self.product.inner(self.W, self.V)
+        self.gramian = jnp.asarray(gramian)
+        self.cross_gramian = jnp.asarray(cross_gramian)
+        self.manifold_distance = manifold_distance
+        self.logger = get_logger("estim.recovery", log_level)
+
+    # -- core ------------------------------------------------------------------
+    def compute_state(self, w, **kwargs):
+        raise NotImplementedError
+
+    def compute_correction(self, w, v):
+        """eta = G^-1 (w - CG v)  (reference :101-103)."""
+        w = jnp.asarray(w)
+        v = jnp.asarray(v)
+        return jnp.linalg.solve(self.gramian, w - self.cross_gramian @ v)
+
+    def solve(self, w, correct: bool = True, **kwargs):
+        """Recover states: u = V v (+ W eta). w is (m,) or (m, k)."""
+        w = jnp.asarray(w)
+        single = w.ndim == 1
+        wm = w[:, None] if single else w
+        v = self.compute_state(wm, **kwargs)
+        u = self.V @ v
+        if correct:
+            eta = self.compute_correction(wm, v)
+            u = u + self.W @ eta
+        return u[:, 0] if single else u
+
+    # -- restrictions (convergence studies) -----------------------------------
+    def _replace(self, **kw):
+        out = object.__new__(type(self))
+        out.__dict__.update(self.__dict__)
+        out.__dict__.update(kw)
+        return out
+
+    def project_background(self, indices):
+        """Restrict the background basis V (reference :148-151, :320-326)."""
+        indices = jnp.asarray(indices)
+        kw = dict(
+            V=self.V[:, indices], cross_gramian=self.cross_gramian[:, indices]
+        )
+        if self.manifold_distance is not None:
+            nv, m = self.V.shape[1], self.W.shape[1]
+            ind = jnp.concatenate([indices, nv + jnp.arange(m)])
+            kw["manifold_distance"] = self.manifold_distance.project(ind)
+        return self._replace(**kw)
+
+    def project_observation(self, indices):
+        """Restrict the observation basis W (reference :153-157, :328-335)."""
+        indices = jnp.asarray(indices)
+        kw = dict(
+            W=self.W[:, indices],
+            gramian=self.gramian[jnp.ix_(indices, indices)],
+            cross_gramian=self.cross_gramian[indices, :],
+        )
+        if self.manifold_distance is not None:
+            nv = self.V.shape[1]
+            ind = jnp.concatenate([jnp.arange(nv), nv + indices])
+            kw["manifold_distance"] = self.manifold_distance.project(ind)
+        return self._replace(**kw)
+
+
+class PbdwRecoveryMap(RecoveryMap):
+    """Parametrized-background data-weak recovery (saddle-point solve)."""
+
+    def compute_state(self, w, **kwargs):
+        w = jnp.asarray(w)
+        m = self.W.shape[1]
+        nv = self.V.shape[1]
+        A = jnp.block(
+            [
+                [self.gramian, self.cross_gramian],
+                [
+                    self.cross_gramian.conj().T,
+                    jnp.zeros((nv, nv), dtype=self.gramian.dtype),
+                ],
+            ]
+        )
+        b = jnp.concatenate(
+            [w, jnp.zeros((nv, w.shape[1]), dtype=w.dtype)], axis=0
+        )
+        return jnp.linalg.solve(A, b)[m:, :]
+
+
+class DicRecoveryMap(RecoveryMap):
+    """Dictionary-based multi-space recovery with LARS sparse selection."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # requires an orthonormal observation basis (reference :166)
+        assert np.allclose(
+            np.asarray(self.gramian), np.eye(self.W.shape[1]), atol=1e-8
+        ), "DicRecoveryMap requires an R-orthonormal observation basis W"
+        if self.manifold_distance is not None:
+            assert (
+                self.V.shape[1] + self.W.shape[1]
+                == self.manifold_distance.lhs.source_dim
+            )
+
+    # -- path machinery ---------------------------------------------------------
+    def compute_state_path(self, w, alpha=0.0, weights=None, scale=1e3,
+                           ols=True, return_path=True, **kwargs):
+        """LARS path of dictionary coefficients (reference :170-206)."""
+        v, alphas = lars_weighted_path(
+            np.asarray(self.cross_gramian), np.asarray(w), alpha, weights,
+            scale, ols, return_path, **kwargs
+        )
+        return jnp.asarray(v), jnp.asarray(alphas)
+
+    def compute_correction_path(self, w, v):
+        """Corrections for every path point (reference :208-229)."""
+        w = jnp.asarray(w).reshape(-1, 1)
+        return self.compute_correction(
+            jnp.broadcast_to(w, (w.shape[0], v.shape[1])), v
+        )
+
+    def _state_single(self, w, **kwargs):
+        v, _ = self.compute_state_path(w, **kwargs)
+        eta = self.compute_correction_path(w, v)
+        coefs = jnp.concatenate([v, eta], axis=0)
+        distances, _ = self.manifold_distance.evaluate(coefs)
+        return v[:, int(np.argmin(distances))]
+
+    def compute_state(self, w, **kwargs):
+        w = jnp.asarray(w)
+        cols = [self._state_single(w[:, i], **kwargs) for i in range(w.shape[1])]
+        return jnp.stack(cols, axis=1)
+
+    def solve_path(self, w, **kwargs):
+        """All recoveries along the path + their manifold distances
+        (reference :309-318)."""
+        w = jnp.asarray(w)
+        assert w.ndim == 1
+        v, _ = self.compute_state_path(w, **kwargs)
+        eta = self.compute_correction_path(w, v)
+        u = self.V @ v + self.W @ eta
+        coefs = jnp.concatenate([v, eta], axis=0)
+        distances, _ = self.manifold_distance.evaluate(coefs)
+        return u, distances

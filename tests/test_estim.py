@@ -1,0 +1,254 @@
+"""Inverse-problems tests (BASELINE config 4): LARS vs sklearn, manifold
+distances vs scipy, PBDW and dictionary recovery end-to-end on the 3x3
+thermal block (mirrors reference inverse_problems/example.py as a test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rla4mor_tpu.core import ChainOp, compose, materialize, project, gram_schmidt, pod
+from rla4mor_tpu.estim import (
+    DicRecoveryMap,
+    PbdwRecoveryMap,
+    ResidualDistanceAffine,
+    ResidualDistanceDiscrete,
+    lars_lasso_jax,
+    lars_lasso_path_np,
+    lars_weighted_path,
+)
+from rla4mor_tpu.ops import GaussianEmbedding
+
+
+# ---------------------------------------------------------------------- LARS
+def test_lars_path_matches_sklearn(rng):
+    from sklearn.linear_model import lars_path
+
+    for trial in range(10):
+        m, K = rng.randint(10, 40), rng.randint(5, 30)
+        D = rng.normal(size=(m, K))
+        x = rng.normal(size=m)
+        coefs, alphas = lars_lasso_path_np(D, x)
+        al_sk, _, co_sk = lars_path(D, x, method="lasso", alpha_min=0.0)
+        al_sk = al_sk * m  # sklearn scales the lasso by 1/n_samples
+        assert coefs.shape == co_sk.shape
+        assert np.allclose(coefs, co_sk, atol=1e-7)
+        assert np.allclose(alphas, al_sk, atol=1e-7)
+
+
+def test_lars_jax_matches_np(rng):
+    for trial in range(5):
+        m, K = 15 + trial, 8 + trial
+        D = rng.normal(size=(m, K))
+        x = rng.normal(size=m)
+        cn, an = lars_lasso_path_np(D, x)
+        pj, aj, steps = lars_lasso_jax(D, x, max_steps=60)
+        assert int(steps) + 1 == cn.shape[1]
+        assert np.allclose(np.asarray(pj[: cn.shape[1]]).T, cn, atol=1e-8)
+        assert np.allclose(np.asarray(aj[: len(an)]), an, atol=1e-8)
+
+
+def test_lars_weighted_path_semantics(rng):
+    D = rng.normal(size=(20, 10))
+    x = rng.normal(size=20)
+    # OLS debias: each path point is the least-squares fit on its support
+    path, _ = lars_weighted_path(D, x, ols=True)
+    for i in range(path.shape[1]):
+        ind = np.nonzero(path[:, i])[0]
+        if ind.size:
+            sol, *_ = np.linalg.lstsq(D[:, ind], x, rcond=None)
+            assert np.allclose(path[ind, i], sol, atol=1e-8)
+    # weights: solution of the weighted problem maps back consistently —
+    # final (OLS, full-support) point is weight-invariant
+    w = rng.uniform(0.5, 2.0, size=10)
+    p1, _ = lars_weighted_path(D, x, weights=None, ols=True)
+    p2, _ = lars_weighted_path(D, x, weights=w, ols=True)
+    assert np.allclose(p1[:, -1], p2[:, -1], atol=1e-8)
+    # return_path=False returns only the last point
+    p3, _ = lars_weighted_path(D, x, ols=True, return_path=False)
+    assert p3.shape[1] == 1
+
+
+# -------------------------------------------------------- manifold distances
+def _sketched_system(fom, X, k=64, seed=0):
+    """lhs/rhs of the sketched residual projected on columns X (the setup of
+    reference example.py:90-96)."""
+    Ru = fom.h1_0_product
+    S = GaussianEmbedding.make(
+        fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=k, seed=seed
+    )
+    chain = ChainOp((S, Ru.inv))
+    lhs = project(compose(chain, fom.operator), None, jnp.asarray(X))
+    rhs = materialize(compose(chain, fom.rhs))
+    return lhs, rhs
+
+
+def test_residual_distance_discrete(thermal_fom):
+    fom = thermal_fom
+    mus = fom.parameter_space.sample_randomly(12, key=2)
+    U = fom.solve_many(mus)
+    lhs, rhs = _sketched_system(fom, U)
+    mdist = ResidualDistanceDiscrete(lhs, rhs, mus)
+    # a manifold point (solution at mus[3], coefficients e_3) has ~0 distance
+    e = np.zeros(U.shape[1])
+    e[3] = 1.0
+    d, mu_min = mdist.evaluate(jnp.asarray(e))
+    assert d[0] < 1e-10
+    assert np.allclose(
+        np.asarray(mu_min[0]["diffusion"]), np.asarray(mus[3]["diffusion"])
+    )
+    # a random combination is farther from the manifold
+    v = np.asarray(jax.random.normal(jax.random.key(0), (U.shape[1],)))
+    d2, _ = mdist.evaluate(jnp.asarray(v))
+    assert d2[0] > d[0]
+
+
+def test_residual_distance_affine_vs_scipy(thermal_fom):
+    from scipy.optimize import lsq_linear
+
+    fom = thermal_fom
+    mus = fom.parameter_space.sample_randomly(6, key=3)
+    U = fom.solve_many(mus)
+    lhs, rhs = _sketched_system(fom, U)
+    lo, hi = fom.parameter_space.low, fom.parameter_space.high
+    p = fom.parameter_space.dim()
+    mdist = ResidualDistanceAffine(
+        lhs, rhs, ([lo] * p, [hi] * p), pg_iters=2000
+    )
+    rngl = np.random.RandomState(1)
+    for t in range(3):
+        u = rngl.normal(size=U.shape[1])
+        G, g = mdist._build_ls(jnp.asarray(u))
+        ref = lsq_linear(np.asarray(G), np.asarray(g), bounds=(lo, hi))
+        d, mu_min = mdist.evaluate(jnp.asarray(u))
+        assert d[0] <= np.linalg.norm(ref.fun) * (1 + 1e-5) + 1e-10
+        assert abs(d[0] - np.linalg.norm(ref.fun)) < 1e-5 * max(1.0, d[0])
+    # manifold point has ~0 distance and recovers its parameter
+    e = np.zeros(U.shape[1]); e[2] = 1.0
+    d, mu_min = mdist.evaluate(jnp.asarray(e))
+    assert d[0] < 1e-8
+    assert np.allclose(
+        np.asarray(mu_min[0]["diffusion"]),
+        np.asarray(mus[2]["diffusion"]),
+        atol=1e-4,
+    )
+
+
+def test_residual_distance_affine_build_ls_oracle(thermal_fom):
+    """G mu - g == sketched residual at mu, for random mu."""
+    fom = thermal_fom
+    mus = fom.parameter_space.sample_randomly(4, key=4)
+    U = fom.solve_many(mus)
+    lhs, rhs = _sketched_system(fom, U)
+    lo, hi = fom.parameter_space.low, fom.parameter_space.high
+    p = fom.parameter_space.dim()
+    mdist = ResidualDistanceAffine(lhs, rhs, ([lo] * p, [hi] * p))
+    u = np.random.RandomState(5).normal(size=U.shape[1])
+    mu = fom.parameter_space.sample_randomly(1, key=6)[0]
+    G, g = mdist._build_ls(jnp.asarray(u))
+    direct = np.asarray(lhs.apply(jnp.asarray(u), mu)) - np.asarray(
+        rhs.assemble_vec(mu)
+    )
+    assert np.allclose(
+        np.asarray(G) @ np.asarray(mu["diffusion"]) - np.asarray(g),
+        direct,
+        atol=1e-12,
+    )
+
+
+# ----------------------------------------------------------------- recovery
+def _observation_space(fom, m=30, seed=0):
+    """Random pointwise observations, Riesz-lifted and R-orthonormalized
+    (reference example.py:54-57)."""
+    n = fom.solution_dim
+    rngl = np.random.RandomState(seed)
+    rows = rngl.choice(n, size=m, replace=False)
+    Wd = np.zeros((n, m))
+    Wd[rows, np.arange(m)] = 1.0
+    Ru = fom.h1_0_product
+    W = np.asarray(Ru.inv.apply(jnp.asarray(Wd)))
+    return gram_schmidt(jnp.asarray(W), product=Ru)
+
+
+def test_pbdw_exact_in_span(thermal_fom):
+    """A state in span(V) with enough observations is recovered exactly."""
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    mus = fom.parameter_space.sample_randomly(5, key=7)
+    V = gram_schmidt(fom.solve_many(mus), product=Ru)
+    W = _observation_space(fom, m=25, seed=1)
+    rm = PbdwRecoveryMap(V, W, product=Ru, log_level=30)
+    u_true = np.asarray(V)[:, 1]
+    w = np.asarray(Ru.inner(W, jnp.asarray(u_true))).reshape(-1)
+    u_rec = np.asarray(rm.solve(jnp.asarray(w)))
+    err = float(Ru.norm(jnp.asarray(u_rec - u_true)))
+    assert err < 1e-8
+
+
+def test_pbdw_error_decay(thermal_fom):
+    """PBDW error decreases with background dimension (reference
+    example.py:77-86). Uses the 4-parameter block (fast POD decay)."""
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    mus_train = fom.parameter_space.sample_randomly(60, key=8)
+    rb, svals = pod(fom.solve_many(mus_train), product=Ru, modes=12)
+    W = _observation_space(fom, m=30, seed=2)
+    rm = PbdwRecoveryMap(rb, W, product=Ru, log_level=30)
+
+    mus_test = fom.parameter_space.sample_randomly(3, key=9)
+    u_test = fom.solve_many(mus_test)
+    obs = Ru.inner(W, u_test)
+    errs = []
+    for i in (1, 4, rb.shape[1]):
+        rmi = rm.project_background(jnp.arange(i))
+        ui = np.asarray(rmi.solve(obs))
+        errs.append(
+            float(np.mean(np.asarray(Ru.norm(jnp.asarray(ui - np.asarray(u_test))))))
+        )
+    assert errs[2] < errs[1] < errs[0]
+    assert errs[2] < 1e-2 * errs[0]
+
+
+def test_dictionary_recovery_end_to_end(thermal_fom_3x3):
+    """Dictionary multi-space recovery with manifold-distance selection
+    (reference example.py:89-111)."""
+    fom = thermal_fom_3x3
+    Ru = fom.h1_0_product
+    mus_train = fom.parameter_space.sample_randomly(40, key=10)
+    u_train = fom.solve_many(mus_train)
+    # normalized dictionary (reference example.py:91)
+    V_dic = np.asarray(u_train) / np.asarray(Ru.norm(u_train))[None, :]
+    W = _observation_space(fom, m=30, seed=3)
+    X = jnp.concatenate([jnp.asarray(V_dic), W], axis=1)
+    lhs, rhs = _sketched_system(fom, X, k=128, seed=11)
+    lo, hi = fom.parameter_space.low, fom.parameter_space.high
+    p = fom.parameter_space.dim()
+    mdist = ResidualDistanceAffine(lhs, rhs, ([lo] * p, [hi] * p), pg_iters=500)
+    rm = DicRecoveryMap(
+        jnp.asarray(V_dic), W, product=Ru, manifold_distance=mdist, log_level=30
+    )
+
+    mus_test = fom.parameter_space.sample_randomly(2, key=12)
+    u_test = fom.solve_many(mus_test)
+    obs = Ru.inner(W, u_test)
+    u_rec = np.asarray(rm.solve(obs))
+    rel = np.asarray(Ru.norm(jnp.asarray(u_rec - np.asarray(u_test)))) / np.asarray(
+        Ru.norm(u_test)
+    )
+    # 40-atom dictionary on a 9-parameter manifold: O(few %) recovery
+    assert rel.max() < 0.15 and rel.min() < 0.05
+
+    # solve_path: the manifold distance is an effective selector — the
+    # point chosen by min distance is within 3x of the best path error
+    u_path, dist = rm.solve_path(obs[:, 0])
+    errs = np.asarray(Ru.norm(u_path - np.asarray(u_test)[:, :1]))
+    assert errs[int(np.argmin(dist))] <= 3 * errs.min() + 1e-12
+
+
+def test_dic_requires_orthonormal_W(thermal_fom):
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    V = fom.solve_many(fom.parameter_space.sample_randomly(3, key=13))
+    W_bad = jnp.asarray(np.random.RandomState(0).normal(size=(fom.solution_dim, 5)))
+    with pytest.raises(AssertionError):
+        DicRecoveryMap(V, W_bad, product=Ru)
