@@ -1,0 +1,143 @@
+"""Matrix-free Q1 thermal-block operator (device, shardable).
+
+The scipy-assembled FOM (models/thermal_block.py) covers oracle-scale
+problems; this module is the pod-scale path (SURVEY §2.2, BASELINE config 5):
+the affine stiffness terms are applied as 2-D stencils on the node grid —
+pure shifted adds and multiplies, so XLA fuses them and, when the grid is
+sharded over a ``jax.sharding.Mesh`` axis, inserts halo exchanges
+automatically. Solves are matrix-free CG (core/solvers.py) instead of the
+reference's SuperLU (utilities/factorization.py:115).
+
+Node grid u has shape (N+1, N+1) with homogeneous Dirichlet boundary (the
+boundary ring is masked, not eliminated, to keep shapes shard-friendly).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rla4mor_tpu.core.solvers import cg
+
+# Q1 element stiffness, local corner order [SW, SE, NW, NE] (see
+# models/thermal_block.py; h-independent in 2D).
+_K_EL = (1.0 / 6.0) * np.array(
+    [
+        [4.0, -1.0, -1.0, -2.0],
+        [-1.0, 4.0, -2.0, -1.0],
+        [-1.0, -2.0, 4.0, -1.0],
+        [-2.0, -1.0, -1.0, 4.0],
+    ]
+)
+
+
+def interior_mask(n_nodes: int, dtype=jnp.float32) -> jax.Array:
+    m = jnp.zeros((n_nodes, n_nodes), dtype=dtype)
+    return m.at[1:-1, 1:-1].set(1.0)
+
+
+def block_masks(num_intervals: int, grid_shape: Tuple[int, int],
+                dtype=jnp.float32) -> jax.Array:
+    """(B, N, N) element masks for the diffusion blocks (x-fastest order,
+    matching models/thermal_block.py)."""
+    bx, by = grid_shape
+    N = num_intervals
+    ex = np.arange(N)
+    ey = np.arange(N)
+    bxi = ex * bx // N
+    byi = ey * by // N
+    blk = byi[:, None] * bx + bxi[None, :]  # (ey, ex)
+    masks = np.stack([(blk == b).astype(np.float64) for b in range(bx * by)])
+    return jnp.asarray(masks, dtype=dtype)
+
+
+def stencil_apply(u: jax.Array, kappa_el: jax.Array) -> jax.Array:
+    """A(kappa) u for the Q1 Laplacian with per-element coefficient.
+
+    u: (N+1, N+1) node grid (Dirichlet ring enforced on input and output);
+    kappa_el: (N, N) element coefficients. Row index = y, column = x.
+    """
+    mask = interior_mask(u.shape[0], u.dtype)
+    u = u * mask
+    # element corner values [SW, SE, NW, NE] = [(y,x), (y,x+1), (y+1,x), (y+1,x+1)]
+    c = (u[:-1, :-1], u[:-1, 1:], u[1:, :-1], u[1:, 1:])
+    K = _K_EL
+    out = jnp.zeros_like(u)
+    contrib = []
+    for a in range(4):
+        s = K[a][0] * c[0] + K[a][1] * c[1] + K[a][2] * c[2] + K[a][3] * c[3]
+        contrib.append(kappa_el * s)
+    out = out.at[:-1, :-1].add(contrib[0])
+    out = out.at[:-1, 1:].add(contrib[1])
+    out = out.at[1:, :-1].add(contrib[2])
+    out = out.at[1:, 1:].add(contrib[3])
+    return out * mask
+
+
+class StencilThermalBlock:
+    """Matrix-free affine thermal block: A(mu) = sum_b mu_b A_b (stencils)."""
+
+    def __init__(self, grid_shape=(2, 2), num_intervals=64, dtype=jnp.float32):
+        self.grid_shape = grid_shape
+        self.num_intervals = num_intervals
+        self.dtype = dtype
+        self.masks = block_masks(num_intervals, grid_shape, dtype)
+        self.n_terms = self.masks.shape[0]
+        self.n_nodes = num_intervals + 1
+        self.h = 1.0 / num_intervals
+
+    @property
+    def solution_shape(self):
+        return (self.n_nodes, self.n_nodes)
+
+    def kappa(self, mu) -> jax.Array:
+        theta = jnp.asarray(mu["diffusion"], dtype=self.dtype)
+        return jnp.einsum("b,byx->yx", theta, self.masks)
+
+    def apply(self, mu, u: jax.Array) -> jax.Array:
+        return stencil_apply(u, self.kappa(mu))
+
+    def apply_term(self, b: int, u: jax.Array) -> jax.Array:
+        return stencil_apply(u, self.masks[b])
+
+    def product_apply(self, u: jax.Array) -> jax.Array:
+        """h1_0 product R = A(kappa=1)."""
+        return stencil_apply(u, jnp.ones_like(self.masks[0]))
+
+    def rhs(self) -> jax.Array:
+        """Load vector for f = 1 (interior nodes get h^2: four adjacent
+        elements x h^2/4)."""
+        load = jnp.full(self.solution_shape, self.h * self.h, dtype=self.dtype)
+        return load * interior_mask(self.n_nodes, self.dtype)
+
+    def jacobi_diag(self, mu) -> jax.Array:
+        """Diagonal of A(mu) for Jacobi preconditioning: node n gets
+        sum_{adjacent elements} kappa_e * K[a,a] with K[a,a] = 2/3."""
+        kap = self.kappa(mu)
+        d = jnp.zeros(self.solution_shape, dtype=self.dtype)
+        d = d.at[:-1, :-1].add(kap * (2.0 / 3.0))
+        d = d.at[:-1, 1:].add(kap * (2.0 / 3.0))
+        d = d.at[1:, :-1].add(kap * (2.0 / 3.0))
+        d = d.at[1:, 1:].add(kap * (2.0 / 3.0))
+        return jnp.where(d > 0, d, 1.0)
+
+    def solve_cg(self, mu, tol=1e-8, maxiter=2000):
+        """Matrix-free Jacobi-preconditioned CG solve (jittable)."""
+        b = self.rhs()
+        diag = self.jacobi_diag(mu)
+        res = cg(
+            lambda u: self.apply(mu, u),
+            b,
+            precond=lambda r: r / diag,
+            tol=tol,
+            maxiter=maxiter,
+        )
+        return res.x
+
+    def output(self, u) -> jax.Array:
+        """Mean-value functional: integral of u (lumped) == sum * h^2."""
+        return jnp.sum(u) * self.h * self.h

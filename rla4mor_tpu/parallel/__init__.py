@@ -1,0 +1,20 @@
+from rla4mor_tpu.parallel.mesh import make_mesh, dof_sharding, replicated
+from rla4mor_tpu.parallel.sharded_sketch import (
+    gaussian_block,
+    gaussian_sketch_blocked,
+    gaussian_sketch_sharded,
+    srht_blocked,
+    srht_sketch_sharded,
+)
+from rla4mor_tpu.parallel.driver import (
+    GreedyState,
+    init_state,
+    make_sharded_greedy_step,
+)
+
+__all__ = [
+    "make_mesh", "dof_sharding", "replicated",
+    "gaussian_block", "gaussian_sketch_blocked", "gaussian_sketch_sharded",
+    "srht_blocked", "srht_sketch_sharded",
+    "GreedyState", "init_state", "make_sharded_greedy_step",
+]

@@ -1,0 +1,132 @@
+"""Fully-sharded sketched-greedy training step.
+
+One greedy iteration of the sketched RB method as a single jitted SPMD
+program over a 2-D mesh ('dof', 'mu'):
+
+* the FOM solve is matrix-free Jacobi-CG on the stencil operator with the
+  node grid sharded over 'dof' (XLA inserts halo exchanges);
+* the snapshot and its residual columns are sketched by the DoF-sharded
+  Gaussian embedding (per-shard fold_in generation + psum over 'dof');
+* the ROM assembly/solve/error-estimation is small and dense; the
+  training-set error sweep vmaps over a parameter batch sharded over 'mu'.
+
+State is padded to ``r_max`` columns with a fill counter so greedy
+iterations never retrace (SURVEY §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rla4mor_tpu.models.stencil import StencilThermalBlock
+from rla4mor_tpu.parallel.sharded_sketch import gaussian_sketch_sharded
+
+
+class GreedyState(NamedTuple):
+    srb: jax.Array        # (k, r_max) sketched basis (zero-padded)
+    res_lhs: jax.Array    # (T, k, r_max) sketched residual columns
+    res_rhs: jax.Array    # (k,) sketched rhs
+    ncols: jax.Array      # () int32 fill counter
+
+
+def init_state(k: int, r_max: int, n_terms: int, res_rhs) -> GreedyState:
+    dt = res_rhs.dtype
+    return GreedyState(
+        srb=jnp.zeros((k, r_max), dt),
+        res_lhs=jnp.zeros((n_terms, k, r_max), dt),
+        res_rhs=res_rhs,
+        ncols=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_sharded_greedy_step(
+    fom: StencilThermalBlock,
+    mesh: Mesh,
+    key: jax.Array,
+    k: int = 32,
+    r_max: int = 8,
+    cg_tol: float = 1e-6,
+    cg_maxiter: int = 500,
+):
+    """Build (init_state, step) for the sharded greedy. ``step(state, mu,
+    mu_batch)`` solves the FOM at mu, extends the sketched state, and
+    returns ROM error estimates over the (mu-sharded) batch."""
+    n_nodes = fom.n_nodes
+    n = n_nodes * n_nodes
+    grid_sharding = NamedSharding(mesh, P("dof", None))
+    key_theta = jax.random.fold_in(key, 0)
+
+    def sketch(X_flat):
+        """DoF-sharded Gaussian sketch of (n,) or (n, b) columns."""
+        return gaussian_sketch_sharded(key_theta, k, X_flat, mesh, axis="dof")
+
+    # rhs sketch (precomputed once)
+    rhs_flat = fom.rhs().reshape(-1)
+    res_rhs = sketch(rhs_flat)
+    state0 = init_state(k, r_max, fom.n_terms, res_rhs)
+
+    def rom_solve_and_estimate(state: GreedyState, mu):
+        theta = jnp.asarray(mu["diffusion"], dtype=state.srb.dtype)
+        # mask unused columns: identity rows keep the system solvable
+        col_mask = (jnp.arange(r_max) < state.ncols).astype(state.srb.dtype)
+        res = jnp.einsum("t,tkr->kr", theta, state.res_lhs) * col_mask[None, :]
+        A = state.srb.conj().T @ res
+        A = A * col_mask[:, None] + jnp.diag(1.0 - col_mask)
+        b = (state.srb.conj().T @ state.res_rhs) * col_mask
+        y = jnp.linalg.solve(A, b)
+        est = jnp.linalg.norm(res @ y - state.res_rhs)
+        return y, est
+
+    def step(state: GreedyState, mu, mu_batch):
+        # 1) sharded FOM solve
+        bvec = lax.with_sharding_constraint(fom.rhs(), grid_sharding)
+        diag = fom.jacobi_diag(mu)
+
+        from rla4mor_tpu.core.solvers import cg
+
+        u = cg(
+            lambda v: fom.apply(mu, v),
+            bvec,
+            precond=lambda r: r / diag,
+            tol=cg_tol,
+            maxiter=cg_maxiter,
+        ).x
+        u = lax.with_sharding_constraint(u, grid_sharding)
+
+        # 2) sketch snapshot and its residual columns (one batched sketch)
+        terms = jnp.stack(
+            [fom.apply_term(t, u).reshape(-1) for t in range(fom.n_terms)],
+            axis=1,
+        )  # (n, T)
+        X = jnp.concatenate([u.reshape(-1, 1), terms], axis=1)
+        SX = sketch(X)  # (k, 1+T)
+        su, s_terms = SX[:, 0], SX[:, 1:]
+
+        # 3) extend padded state
+        c = state.ncols
+        state = state._replace(
+            srb=state.srb.at[:, c].set(su),
+            res_lhs=state.res_lhs.at[:, :, c].set(s_terms.T),
+            ncols=c + 1,
+        )
+
+        # 4) error sweep over the mu batch (sharded over 'mu')
+        mu_batch = jax.tree.map(
+            lambda x: lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("mu", *([None] * (x.ndim - 1))))
+            ),
+            mu_batch,
+        )
+        _, estimates = jax.vmap(lambda m: rom_solve_and_estimate(state, m))(
+            mu_batch
+        )
+        return state, estimates, u
+
+    return state0, step

@@ -1,0 +1,161 @@
+"""DoF-sharded random sketching over a device mesh.
+
+TPU-native replacement for the reference's blockwise big-n machinery
+(``BlockGaussianEmbedding`` block loop, rla/embeddings.py:425-434;
+``project_block``, utilities/utilities.py:87-126): the DoF axis is sharded
+over the mesh; the Gaussian sketch is a per-shard on-the-fly-generated
+matmul followed by a ``psum`` over the 'dof' axis, and the SRHT runs
+log2(n_local) local FWHT stages plus log2(n_devices) cross-chip
+add/subtract butterfly stages via ``ppermute`` (SURVEY §2.2).
+
+Seed discipline: shard-block randomness derives from
+``fold_in(key, block_index)`` exactly like the single-device blocked
+functions below, so **sharded and unsharded sketches are bit-identical**
+(tested on the 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rla4mor_tpu.ops.fwht import fwht
+
+
+# ---------------------------------------------------------------------------
+# Gaussian: per-block generation (single-device reference + sharded version)
+# ---------------------------------------------------------------------------
+
+
+def gaussian_block(key, k: int, block_size: int, block_index,
+                   dtype=jnp.float32) -> jax.Array:
+    """(k, block_size) column-block of Omega, scaled 1/sqrt(k). The full
+    Omega is the column-concatenation over block_index."""
+    kb = jax.random.fold_in(key, block_index)
+    return jax.random.normal(kb, (k, block_size), dtype=dtype) / math.sqrt(k)
+
+
+def gaussian_sketch_blocked(key, k: int, x: jax.Array, n_blocks: int) -> jax.Array:
+    """Single-device oracle: Omega @ x with Omega generated in n_blocks
+    column blocks (never materialized whole)."""
+    n = x.shape[0]
+    assert n % n_blocks == 0
+    bs = n // n_blocks
+    out = jnp.zeros((k,) + x.shape[1:], dtype=x.dtype)
+    for b in range(n_blocks):
+        Ob = gaussian_block(key, k, bs, b, x.dtype)
+        out = out + Ob @ x[b * bs : (b + 1) * bs]
+    return out
+
+
+def gaussian_sketch_sharded(key, k: int, x: jax.Array, mesh: Mesh,
+                            axis: str = "dof") -> jax.Array:
+    """Sharded Omega @ x: each shard generates its own column block from
+    fold_in(key, shard_index) and contributes via psum. Result replicated."""
+    n_dev = mesh.shape[axis]
+    n = x.shape[0]
+    assert n % n_dev == 0
+
+    def local(x_local):
+        b = lax.axis_index(axis)
+        Ob = gaussian_block(key, k, x_local.shape[0], b, x_local.dtype)
+        return lax.psum(Ob @ x_local, axis_name=axis)
+
+    in_spec = P(axis) if x.ndim == 1 else P(axis, None)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(in_spec,), out_specs=P()
+    )(x)
+
+
+# ---------------------------------------------------------------------------
+# SRHT: blocked Rademacher + local FWHT + cross-chip butterfly
+# ---------------------------------------------------------------------------
+
+
+def _srht_plan_blocked(key, n: int, k: int, n_blocks: int):
+    """Seeded plan with *blockwise* Rademacher derivation so shards can
+    regenerate their slice: D block b = rademacher(fold_in(key_d, b))."""
+    key_d = jax.random.fold_in(key, 0)
+    key_s = jax.random.fold_in(key, 1)
+    sampling = jax.random.randint(key_s, (k,), 0, n)
+    bs = n // n_blocks
+    d_blocks = [
+        jax.random.rademacher(jax.random.fold_in(key_d, b), (bs,), dtype=jnp.int8)
+        for b in range(n_blocks)
+    ]
+    return d_blocks, sampling
+
+
+def srht_blocked(key, k: int, x: jax.Array, n_blocks: int) -> jax.Array:
+    """Single-device oracle of the sharded SRHT (n must be a power of two
+    and divisible into 2^c power-of-two blocks): y = sqrt(n/k) P H D x."""
+    n = x.shape[0]
+    d = n.bit_length() - 1
+    assert 1 << d == n, "sharded SRHT requires power-of-two n (pre-padded)"
+    d_blocks, sampling = _srht_plan_blocked(key, n, k, n_blocks)
+    D = jnp.concatenate(d_blocks).astype(x.dtype)
+    y = x * (D if x.ndim == 1 else D[:, None])
+    y = fwht(y.T if x.ndim > 1 else y, normalize=True)
+    y = y.T if x.ndim > 1 else y
+    scale = jnp.asarray(math.sqrt(n / k), dtype=x.dtype)
+    return scale * jnp.take(y, sampling, axis=0)
+
+
+def srht_sketch_sharded(key, k: int, x: jax.Array, mesh: Mesh,
+                        axis: str = "dof") -> jax.Array:
+    """Sharded SRHT: D-multiply and FWHT local stages per shard, then
+    log2(n_dev) ppermute butterfly stages across chips (H = H_chips (x)
+    H_local in Sylvester order, chip index major), sampling gathered via
+    psum of masked one-shard contributions."""
+    n_dev = mesh.shape[axis]
+    c = n_dev.bit_length() - 1
+    assert 1 << c == n_dev, "device count must be a power of two"
+    n = x.shape[0]
+    d = n.bit_length() - 1
+    assert 1 << d == n and n % n_dev == 0
+    key_d = jax.random.fold_in(key, 0)
+    key_s = jax.random.fold_in(key, 1)
+    sampling = jax.random.randint(key_s, (k,), 0, n)
+    n_local = n // n_dev
+
+    def local(x_local):
+        b = lax.axis_index(axis)
+        single = x_local.ndim == 1
+        xl = x_local[:, None] if single else x_local
+        # D multiply — the shard regenerates its own Rademacher block from
+        # fold_in(key_d, shard_index): same derivation as srht_blocked
+        D = jax.random.rademacher(
+            jax.random.fold_in(key_d, b), (n_local,), dtype=jnp.int8
+        ).astype(xl.dtype)
+        y = xl * D[:, None]
+        # local FWHT stages (normalized by 2^{-d_local/2})
+        y = fwht(y.T, normalize=True).T
+        # cross-chip butterfly stages (normalize by 2^{-c/2} at the end)
+        for s in range(c):
+            partner = b ^ (1 << s)
+            pairs = [(i, i ^ (1 << s)) for i in range(n_dev)]
+            other = lax.ppermute(y, axis_name=axis, perm=pairs)
+            bit = (b >> s) & 1
+            y = jnp.where(bit == 0, y + other, other - y)
+        y = y * (2.0 ** (-c / 2.0))
+        # sampling: global row g = chip * n_local + i
+        chip_of = sampling // n_local
+        row_of = sampling % n_local
+        mine = (chip_of == b).astype(y.dtype)
+        rows = jnp.take(y, row_of, axis=0) * mine[:, None]
+        out = lax.psum(rows, axis_name=axis)
+        scale = jnp.asarray(math.sqrt(n / k), dtype=y.dtype)
+        out = scale * out
+        return out[:, 0] if single else out
+
+    in_spec = P(axis) if x.ndim == 1 else P(axis, None)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(in_spec,), out_specs=P()
+    )(x)

@@ -1,0 +1,150 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh:
+sharded sketches == single-device blocked oracles (SURVEY §4: "sharded
+sketch ≡ single-chip sketch"), stencil FOM == assembled FOM, and the
+fully-sharded greedy training step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rla4mor_tpu.models import ThermalBlockFOM
+from rla4mor_tpu.models.stencil import StencilThermalBlock, interior_mask
+from rla4mor_tpu.parallel import (
+    gaussian_sketch_blocked,
+    gaussian_sketch_sharded,
+    make_mesh,
+    make_sharded_greedy_step,
+    srht_blocked,
+    srht_sketch_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8
+    return make_mesh(8, ("dof",))
+
+
+def test_gaussian_sharded_equals_blocked(mesh, rng):
+    key = jax.random.key(3)
+    n, k, m = 512, 33, 5
+    x = jnp.asarray(rng.normal(size=(n, m)))
+    g1 = np.asarray(gaussian_sketch_blocked(key, k, x, 8))
+    g2 = np.asarray(gaussian_sketch_sharded(key, k, x, mesh))
+    assert np.array_equal(g1, g2) or np.abs(g1 - g2).max() < 1e-12
+
+
+def test_srht_sharded_equals_blocked(mesh, rng):
+    key = jax.random.key(4)
+    n, k, m = 1024, 57, 3
+    x = jnp.asarray(rng.normal(size=(n, m)))
+    s1 = np.asarray(srht_blocked(key, k, x, 8))
+    s2 = np.asarray(srht_sketch_sharded(key, k, x, mesh))
+    assert np.abs(s1 - s2).max() < 1e-12
+
+
+def test_srht_blocked_is_isometric_in_expectation(rng):
+    key = jax.random.key(5)
+    x = jnp.asarray(rng.normal(size=(256,)))
+    y = np.asarray(srht_blocked(key, 2048, x, 8))
+    assert abs(np.linalg.norm(y) / np.linalg.norm(np.asarray(x)) - 1) < 0.1
+
+
+def test_stencil_matches_assembled():
+    """Matrix-free stencil apply == scipy-assembled operator terms."""
+    nx = 12
+    fom = ThermalBlockFOM((2, 2), nx)
+    st = StencilThermalBlock((2, 2), nx, dtype=jnp.float64)
+    rngl = np.random.RandomState(0)
+    u_int = rngl.normal(size=fom.solution_dim)
+    # embed interior vector into the node grid
+    grid = np.zeros((nx + 1) * (nx + 1))
+    grid[fom.interior] = u_int
+    grid = jnp.asarray(grid.reshape(nx + 1, nx + 1))
+    for t in range(4):
+        want = fom.operator.terms[t].S @ u_int
+        got = np.asarray(st.apply_term(t, grid)).reshape(-1)[fom.interior]
+        assert np.allclose(got, want, atol=1e-12)
+    # full operator at a parameter
+    mu = {"diffusion": jnp.asarray([0.3, 1.4, 0.8, 2.2])}
+    want = fom.assemble_sparse(mu) @ u_int
+    got = np.asarray(st.apply(mu, grid)).reshape(-1)[fom.interior]
+    assert np.allclose(got, want, atol=1e-12)
+    # rhs matches the assembled load vector
+    rhs_grid = np.asarray(st.rhs()).reshape(-1)[fom.interior]
+    assert np.allclose(rhs_grid, np.asarray(fom.assemble_rhs(mu)), atol=1e-12)
+
+
+def test_stencil_cg_solve():
+    nx = 16
+    fom = ThermalBlockFOM((2, 2), nx)
+    st = StencilThermalBlock((2, 2), nx, dtype=jnp.float64)
+    mu = {"diffusion": jnp.asarray([0.5, 1.0, 2.0, 0.7])}
+    u = jax.jit(lambda m: st.solve_cg(m, tol=1e-12, maxiter=2000))(mu)
+    want = np.asarray(fom.solve(mu))
+    got = np.asarray(u).reshape(-1)[fom.interior]
+    assert np.allclose(got, want, atol=1e-8)
+
+
+def test_sharded_greedy_step():
+    """One jitted sharded training step on a (4, 2) ('dof','mu') mesh."""
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("dof", "mu"))
+    fom = StencilThermalBlock((2, 2), 15, dtype=jnp.float64)  # N+1=16, /4 ok
+    key = jax.random.key(0)
+    state0, step = make_sharded_greedy_step(
+        fom, mesh, key, k=32, r_max=4, cg_tol=1e-10, cg_maxiter=500
+    )
+    from rla4mor_tpu.core import mu_stack
+    from rla4mor_tpu.core.parameters import ParameterSpace
+
+    space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
+    mu = space.sample_randomly(1, key=1)[0]
+    batch = mu_stack(space.sample_randomly(8, key=2))
+    with mesh:
+        jit_step = jax.jit(step)
+        state, est1, u = jit_step(state0, mu, batch)
+        state, est2, _ = jit_step(state, space.sample_randomly(1, key=3)[0], batch)
+    assert int(state.ncols) == 2
+    est1, est2 = np.asarray(est1), np.asarray(est2)
+    assert np.all(np.isfinite(est1)) and np.all(np.isfinite(est2))
+    # the 2-column ROM estimates are (weakly) better than the 1-column ones
+    assert np.median(est2) < np.median(est1)
+    # estimate at the interpolated mu itself is ~0 for the 1-column ROM
+    with mesh:
+        est_self = np.asarray(jit_step(state0, mu, mu_stack([mu] * 8))[1])
+    assert est_self.min() < 1e-6
+
+
+def test_sharded_step_matches_unsharded_oracle():
+    """The sharded step's sketched state equals a hand-built unsharded one."""
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("dof", "mu"))
+    fom = StencilThermalBlock((2, 2), 15, dtype=jnp.float64)
+    key = jax.random.key(9)
+    state0, step = make_sharded_greedy_step(
+        fom, mesh, key, k=24, r_max=2, cg_tol=1e-12, cg_maxiter=800
+    )
+    from rla4mor_tpu.core import mu_stack
+    from rla4mor_tpu.core.parameters import ParameterSpace
+
+    space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
+    mu = space.sample_randomly(1, key=4)[0]
+    batch = mu_stack(space.sample_randomly(4, key=5))
+    with mesh:
+        state, est, u = jax.jit(step)(state0, mu, batch)
+
+    # unsharded oracle of the same quantities
+    from rla4mor_tpu.parallel import gaussian_sketch_blocked
+
+    key_theta = jax.random.fold_in(key, 0)
+    u_flat = jnp.asarray(np.asarray(u).reshape(-1))
+    su = gaussian_sketch_blocked(key_theta, 24, u_flat, 4)
+    assert np.allclose(np.asarray(state.srb[:, 0]), np.asarray(su), atol=1e-10)
+    term0 = fom.apply_term(0, jnp.asarray(u)).reshape(-1)
+    st0 = gaussian_sketch_blocked(key_theta, 24, term0, 4)
+    assert np.allclose(
+        np.asarray(state.res_lhs[0, :, 0]), np.asarray(st0), atol=1e-10
+    )
