@@ -1,4 +1,11 @@
 from rla4mor_tpu.ops.fwht import fwht, srht, srht_rows, hadamard_matrix
+
+
+def srht_pallas(*args, **kwargs):
+    """Lazy import of the fused Pallas kernel (TPU-only dependency path)."""
+    from rla4mor_tpu.ops.srht_pallas import srht_pallas as _impl
+
+    return _impl(*args, **kwargs)
 from rla4mor_tpu.ops.dims import gaussian_dim, srht_dim, resolve_dim
 from rla4mor_tpu.ops.embeddings import (
     Embedding,
