@@ -19,6 +19,12 @@ import sys
 import time
 
 import jax
+
+# persistent compilation cache: the remote Mosaic compile of the fused
+# kernel takes minutes; cache hits make reruns instant.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,14 +51,13 @@ def bench_srht(d=24, rows=56, k=256, iters=6, seed=0):
     y = fn(x)
     y.block_until_ready()
 
-    # correctness spot check on a small slice against the XLA reference path
+    # correctness spot check: first rows vs the XLA reference path at the
+    # SAME n (avoids a second multi-minute Mosaic compile)
     from rla4mor_tpu.ops.fwht import srht
 
-    small = x[:2, : 1 << 18]
-    ref = srht(small, k, key)
-    got = srht_pallas(small, k, key)
-    rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
-    log(f"small-slice correctness vs XLA path: rel err {rel:.2e}")
+    ref = srht(x[:2], k, key)
+    rel = float(jnp.max(jnp.abs(y[:2] - ref)) / jnp.max(jnp.abs(ref)))
+    log(f"correctness vs XLA path (2 rows): rel err {rel:.2e}")
 
     times = []
     for i in range(iters):

@@ -294,6 +294,27 @@ def sparse_cholesky(S) -> sps.csc_matrix:
     return sps.csc_matrix(Q)
 
 
+class ScipyLinearOperator(spla.LinearOperator):
+    """Adapter exposing a LinOp to scipy's iterative solvers.
+
+    Rebuild of reference ``ScipyLinearOperator`` (utilities/utilities.py:
+    16-36): e.g. pass a preconditioner direction to ``scipy.sparse.linalg.
+    gmres(..., M=ScipyLinearOperator(P))``.
+    """
+
+    def __init__(self, op: LinOp, dtype=np.float64):
+        self.op = op
+        super().__init__(dtype=np.dtype(dtype),
+                         shape=(op.range_dim, op.source_dim))
+
+    def _matvec(self, x):
+        # copy: jnp-backed buffers are read-only, scipy mutates work arrays
+        return np.array(self.op.apply(np.asarray(x).reshape(-1)))
+
+    def _rmatvec(self, x):
+        return np.array(self.op.apply_adjoint(np.asarray(x).reshape(-1)))
+
+
 def to_matrix(op, dtype=None):
     """Dense jnp matrix of an op / array."""
     if isinstance(op, LinOp):

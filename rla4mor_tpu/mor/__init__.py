@@ -1,4 +1,8 @@
 from rla4mor_tpu.mor.sketched_reductor import SketchedReductor
 from rla4mor_tpu.mor.greedy import rb_greedy, GreedyResult
+from rla4mor_tpu.mor.serialization import save_reductor, load_reductor_state
 
-__all__ = ["SketchedReductor", "rb_greedy", "GreedyResult"]
+__all__ = [
+    "SketchedReductor", "rb_greedy", "GreedyResult",
+    "save_reductor", "load_reductor_state",
+]

@@ -1,0 +1,105 @@
+"""Checkpoint / resume for sketched-reductor state.
+
+The reference keeps all state in live Python objects with no serialization
+(SURVEY §5 "Checkpoint / resume: none"). Here the sketched state — which is
+exactly (seeds, sketched basis, affine residual stacks, output stack, basis
+parameters) — round-trips through a single ``.npz`` file, so long greedy
+runs can resume and ROMs can ship without the FOM.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from rla4mor_tpu.core.affine import AffineDense
+from rla4mor_tpu.core.parameters import (
+    Coefficient,
+    ConstantCoefficient,
+    ProductCoefficient,
+    ProjectionCoefficient,
+)
+
+
+def _coeff_to_spec(c: Coefficient):
+    if isinstance(c, ConstantCoefficient):
+        return {"kind": "const", "value": c.value}
+    if isinstance(c, ProjectionCoefficient):
+        return {"kind": "proj", "key": c.key, "index": c.index}
+    if isinstance(c, ProductCoefficient):
+        return {"kind": "prod", "factors": [_coeff_to_spec(f) for f in c.factors]}
+    raise TypeError(f"cannot serialize coefficient {c!r}")
+
+
+def _coeff_from_spec(spec) -> Coefficient:
+    if spec["kind"] == "const":
+        return ConstantCoefficient(spec["value"])
+    if spec["kind"] == "proj":
+        return ProjectionCoefficient(spec["key"], spec["index"])
+    if spec["kind"] == "prod":
+        return ProductCoefficient(
+            tuple(_coeff_from_spec(f) for f in spec["factors"])
+        )
+    raise ValueError(spec)
+
+
+def save_affine(d: dict, prefix: str, op: Optional[AffineDense]) -> None:
+    if op is None:
+        return
+    d[f"{prefix}__stack"] = np.asarray(op.stack)
+    d[f"{prefix}__coeffs"] = json.dumps(
+        [_coeff_to_spec(c) for c in op.coefficients]
+    )
+
+
+def load_affine(d, prefix: str) -> Optional[AffineDense]:
+    if f"{prefix}__stack" not in d:
+        return None
+    coeffs = [
+        _coeff_from_spec(s) for s in json.loads(str(d[f"{prefix}__coeffs"]))
+    ]
+    return AffineDense(jnp.asarray(d[f"{prefix}__stack"]), tuple(coeffs))
+
+
+def save_reductor(reductor, path) -> None:
+    """Persist the sketched state of a SketchedReductor."""
+    d: dict = {
+        "srb": np.asarray(reductor.srb),
+        "rb": np.asarray(reductor.rb),
+        "seed_primal": reductor.embedding_primal.seed,
+        "seed_online": reductor.embedding_online.seed,
+        "projection": reductor.projection,
+    }
+    save_affine(d, "residual_lhs", reductor.residual_lhs)
+    save_affine(d, "residual_rhs", reductor.residual_rhs)
+    save_affine(d, "output", reductor.output_functional)
+    if reductor.mu_basis:
+        keys = sorted(reductor.mu_basis[0].keys())
+        d["mu_basis_keys"] = json.dumps(keys)
+        for kname in keys:
+            d[f"mu_basis__{kname}"] = np.stack(
+                [np.asarray(m[kname]) for m in reductor.mu_basis]
+            )
+    np.savez_compressed(path, **d)
+
+
+def load_reductor_state(reductor, path) -> None:
+    """Restore sketched state saved by :func:`save_reductor` into a
+    freshly-constructed reductor (FOM/embeddings must match)."""
+    d = np.load(Path(path), allow_pickle=False)
+    reductor.srb = jnp.asarray(d["srb"])
+    reductor.rb = jnp.asarray(d["rb"])
+    reductor.residual_lhs = load_affine(d, "residual_lhs")
+    reductor.residual_rhs = load_affine(d, "residual_rhs")
+    reductor.output_functional = load_affine(d, "output")
+    if "mu_basis_keys" in d:
+        keys = json.loads(str(d["mu_basis_keys"]))
+        count = d[f"mu_basis__{keys[0]}"].shape[0]
+        reductor.mu_basis = [
+            {k: jnp.asarray(d[f"mu_basis__{k}"][i]) for k in keys}
+            for i in range(count)
+        ]

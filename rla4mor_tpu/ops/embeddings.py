@@ -367,3 +367,7 @@ class VectorizedEmbedding(LinOp):
 
     def matrix(self):
         return self.embedding.matrix()
+
+
+# reference-name alias (rla/embeddings.py:318 ``EmbeddingVectorized``)
+EmbeddingVectorized = VectorizedEmbedding

@@ -66,11 +66,16 @@ def _split_factors(d: int) -> Tuple[int, ...]:
     return tuple(base + (1 if i < extra else 0) for i in range(m))
 
 
-def fwht(x: jax.Array, normalize: bool = True) -> jax.Array:
+def fwht(x: jax.Array, normalize: bool = True,
+         precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Walsh-Hadamard transform along the LAST axis (length must be 2^d).
 
     ``normalize=True`` applies the 2^(-d/2) scaling (reference
-    rla/srht.py:36,64,90 normalize in-place the same way).
+    rla/srht.py:36,64,90 normalize in-place the same way). ``precision``
+    defaults to HIGHEST: the default TPU matmul truncates f32 inputs to
+    bf16; the Hadamard factors are exact but the data is not. Pass
+    ``precision=None`` for the fast bf16 path when sketch distortion
+    dominates anyway.
     """
     n = x.shape[-1]
     d = n.bit_length() - 1
@@ -83,7 +88,7 @@ def fwht(x: jax.Array, normalize: bool = True) -> jax.Array:
         S = n // (P * F)
         H = hadamard_matrix(df, x.dtype)
         x = x.reshape(*batch, P, F, S)
-        x = jnp.einsum("...pfs,fg->...pgs", x, H)
+        x = jnp.einsum("...pfs,fg->...pgs", x, H, precision=precision)
     x = x.reshape(*batch, n)
     if normalize:
         x = x * jnp.asarray(2.0 ** (-d / 2.0), dtype=x.dtype)

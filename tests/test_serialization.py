@@ -1,0 +1,66 @@
+"""Checkpoint/resume of the sketched reductor state."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rla4mor_tpu.mor import (
+    SketchedReductor,
+    load_reductor_state,
+    save_reductor,
+)
+from rla4mor_tpu.ops import GaussianEmbedding
+
+
+def test_reductor_roundtrip(thermal_fom, tmp_path):
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    theta = GaussianEmbedding.make(
+        fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=120, seed=3
+    )
+    phi = GaussianEmbedding.make(120, range_dim=60, seed=4)
+
+    def fresh():
+        return SketchedReductor(
+            fom, embedding_primal=theta, embedding_online=phi, product=Ru
+        )
+
+    red = fresh()
+    mus = fom.parameter_space.sample_randomly(5, key=0)
+    red.extend_basis(fom.solve_many(mus), mu=None)
+    red.mu_basis = mus
+
+    path = tmp_path / "red.npz"
+    save_reductor(red, path)
+
+    red2 = fresh()
+    load_reductor_state(red2, path)
+    assert np.array_equal(np.asarray(red.srb), np.asarray(red2.srb))
+    assert np.array_equal(np.asarray(red.rb), np.asarray(red2.rb))
+    assert red.residual_lhs.coefficients == red2.residual_lhs.coefficients
+    assert np.array_equal(
+        np.asarray(red.residual_lhs.stack), np.asarray(red2.residual_lhs.stack)
+    )
+    assert len(red2.mu_basis) == 5
+
+    mu = fom.parameter_space.sample_randomly(1, key=9)[0]
+    rom1 = red.reduce(seed=11)
+    rom2 = red2.reduce(seed=11)
+    assert np.allclose(np.asarray(rom1.solve(mu)), np.asarray(rom2.solve(mu)))
+    assert np.isclose(
+        float(rom1.estimate_error(mu)), float(rom2.estimate_error(mu))
+    )
+
+
+def test_scipy_linear_operator_adapter(thermal_fom):
+    import scipy.sparse.linalg as spla
+
+    from rla4mor_tpu.core import HostLUInverse, ScipyLinearOperator
+
+    fom = thermal_fom
+    mu = fom.parameter_space.sample_randomly(1, key=1)[0]
+    A = fom.assemble_sparse(mu)
+    b = np.asarray(fom.assemble_rhs(mu))
+    P = ScipyLinearOperator(HostLUInverse(A))
+    x, info = spla.gmres(A, b, M=P, rtol=1e-10, maxiter=20)
+    assert info == 0
+    assert np.linalg.norm(A @ x - b) < 1e-8 * np.linalg.norm(b)
