@@ -11,6 +11,9 @@ Run on CPU: python examples/sketched_rb_demo.py --cpu
 import argparse
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
