@@ -1,9 +1,9 @@
-"""Fused single-pass SRHT Pallas kernel for TPU.
+"""Fused single-pass SRHT for TPU (Pallas kernel + XLA-scan fallback).
 
 The reference's hot loop is the FWHT butterfly (numba/ffht, reference
 rla/srht.py:14-134): 2*log2(n) passes of adds over HBM-resident data. Even
 the Kronecker-matmul FWHT (ops/fwht.py) needs ~3 round trips to HBM. This
-kernel exploits that a *sampled* SRHT with k << n outputs never needs the
+module exploits that a *sampled* SRHT with k << n outputs never needs the
 full transform:
 
 With n = 2^d = P*Q*R (Sylvester ordering, index g = (p, q, r)) and sampled
@@ -12,11 +12,16 @@ output indices g_s = (p_s, q_s, r_s),
     y_s = (1/sqrt(k)) * sum_p Hp[p_s, p] * ( gq_s^T (D_p (.) X_p) gr_s ),
 
 where gq_s = H_Q[q_s, :] and gr_s = H_R[r_s, :] are +-1 Hadamard rows and
-X_p is the (Q, R) slab of one input column. Per slab this is ONE (BQ, R) x
+X_p is the (Q, R) slab of one input column. Per slab this is ONE (Q, R) x
 (R, k) MXU matmul + a VPU contraction — k MACs per element — and the input
-is read from HBM **exactly once** (plus an int8 sign vector): the kernel is
-HBM-bandwidth-bound at the theoretical minimum traffic, which no butterfly
-reformulation can achieve.
+is read from HBM **exactly once** (plus an int8 sign vector): minimum
+possible traffic for a sketch, unreachable by any butterfly formulation.
+
+Precision: the accumulator is f32; the slab matmul precision is
+configurable. DEFAULT (bf16 MXU) gives ~2e-3 relative error — usually far
+below the embedding distortion epsilon and the fastest path; HIGH (3-pass
+bf16) is near-f32 at ~1/3 the MXU rate; HIGHEST is the slowest/exact-f32
+path used by the correctness tests.
 
 Semantics are identical to ops.fwht.srht for power-of-two n (same seeded
 plan, same sqrt(2^d/k) scaling x the 2^(-d/2) FWHT normalization = 1/sqrt(k)).
@@ -53,81 +58,138 @@ def _popcount_parity(a: jax.Array) -> jax.Array:
 def _hadamard_rows(sel: jax.Array, size: int, dtype) -> jax.Array:
     """(len(sel), size) rows of the Sylvester Hadamard H_size."""
     cols = jnp.arange(size, dtype=jnp.uint32)
-    return _popcount_parity(sel[:, None].astype(jnp.uint32) & cols[None, :]).astype(dtype)
+    return _popcount_parity(
+        sel[:, None].astype(jnp.uint32) & cols[None, :]
+    ).astype(dtype)
 
 
 def _split_pqr(d: int) -> Tuple[int, int, int]:
-    dr = min(8, d)
+    """(P, Q, R) factorization: big R so each slab DMA is MBs (per-step
+    overhead amortized), Q <= 256 so the VPU contraction and the Gq factor
+    stay small. Slab = Q*R*4 bytes <= 4 MiB."""
+    dr = min(12, d)
     dq = min(8, d - dr)
     dp = d - dr - dq
     return dp, dq, dr
 
 
-def _srht_kernel(x_ref, d_ref, gq_ref, gr_ref, hp_ref, out_ref):
-    """Grid (M, P), row-major (p inner). Blocks: x (1, 1, Q, R); d (1, Q, R)
-    int8; gq (Q, K); gr (R, K); hp (1, K) (row p of the (P, K) factor);
-    out (1, K), accumulated across the p steps (revisited block)."""
-    p = pl.program_id(1)
+def _plan_factors(key, n, k, d, dtype):
+    """Shared host-side plan: Hadamard factors for the sampled indices."""
+    rademacher, sampling, _ = _srht_plan(key, n, k)
+    dp, dq, dr = _split_pqr(d)
+    P, Q, R = 1 << dp, 1 << dq, 1 << dr
+    samp = sampling.astype(jnp.uint32)
+    p_s = samp >> (dq + dr)
+    q_s = (samp >> dr) & (Q - 1)
+    r_s = samp & (R - 1)
+    gq = _hadamard_rows(q_s, Q, dtype)  # (K, Q)
+    gr = _hadamard_rows(r_s, R, dtype)  # (K, R)
+    hp = _hadamard_rows(p_s, P, jnp.float32)  # (K, P)
+    return rademacher, (P, Q, R), gq, gr, hp
 
-    @pl.when(p == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
 
-    xd = x_ref[0, 0] * d_ref[0].astype(x_ref.dtype)  # (Q, R)
-    # (Q, R) @ (R, K) on the MXU — the only O(n k) work. HIGHEST precision:
-    # the default TPU matmul truncates f32 inputs to bf16 (~2e-3 rel error);
-    # the Hadamard factor is exactly representable but the data is not.
-    w = jax.lax.dot_general(
-        xd, gr_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (Q, K)
-    # contract q against the selected H_Q rows (VPU)
-    val = jnp.sum(w * gq_ref[:], axis=0)  # (K,)
-    out_ref[:] += (val * hp_ref[0, 0])[None, None, :]
+def srht_onepass_xla(
+    x: jax.Array,
+    k: int,
+    key: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """The single-pass factored SRHT as a ``lax.scan`` over p-slabs in plain
+    XLA — fast-compiling fallback with the same semantics as the kernel."""
+    m, n = x.shape
+    d = n.bit_length() - 1
+    assert 1 << d == n, "srht_onepass_xla requires power-of-two n"
+    rademacher, (P, Q, R), gq, gr, hp = _plan_factors(key, n, k, d, x.dtype)
+
+    x4 = x.reshape(m, P, Q, R)
+    d4 = rademacher.reshape(P, Q, R)
+
+    def step(acc, inputs):
+        xp, dp_signs, hp_p = inputs  # (m, Q, R), (Q, R), (K,)
+        xd = xp * dp_signs.astype(xp.dtype)[None]
+        w = jax.lax.dot_general(
+            xd, gr.T, (((2,), (0,)), ((), ())), precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # (m, Q, K)
+        val = jnp.einsum("mqk,kq->mk", w, gq.astype(jnp.float32),
+                         precision=precision)
+        return acc + val * hp_p[None, :], None
+
+    acc0 = jnp.zeros((m, k), jnp.float32)
+    acc, _ = jax.lax.scan(
+        step, acc0, (jnp.moveaxis(x4, 1, 0), d4, hp.T)
+    )
+    return (acc / math.sqrt(k)).astype(x.dtype)
+
+
+def _make_kernel(precision):
+    def kernel(x_ref, d_ref, gq_ref, gr_ref, hp_ref, out_ref):
+        """Grid (M, P), p inner. Blocks: x (1, 1, Q, R); d (1, Q, R) int8;
+        gq (Q, K); gr (R, K); hp (1, 1, K); out (1, 1, K) revisited."""
+        p = pl.program_id(1)
+
+        @pl.when(p == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        xd = x_ref[0, 0] * d_ref[0].astype(x_ref.dtype)  # (Q, R)
+        w = jax.lax.dot_general(
+            xd, gr_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (Q, K)
+        val = jnp.sum(w * gq_ref[:], axis=0)  # (K,)
+        out_ref[:] += (val * hp_ref[0, 0])[None, None, :]
+
+    return kernel
 
 
 def srht_pallas(
     x: jax.Array,
     k: int,
     key: jax.Array,
-    block_rows: int = 8,
+    precision=jax.lax.Precision.HIGH,
 ) -> jax.Array:
     """SRHT sketch along the LAST axis: (m, n) -> (m, k), n = 2^d.
 
     Equals ops.fwht.srht(x, k, key) for power-of-two n (same plan/scaling),
-    computed in a single HBM pass.
+    computed in a single HBM pass. ``precision`` controls the slab matmul
+    (see module docstring); the p-accumulation is always f32.
     """
     m, n = x.shape
     d = n.bit_length() - 1
     assert 1 << d == n, "srht_pallas requires power-of-two n"
-    rademacher, sampling, _ = _srht_plan(key, n, k)
-    dp, dq, dr = _split_pqr(d)
-    P, Q, R = 1 << dp, 1 << dq, 1 << dr
+
+    # Mosaic block-offset arithmetic must stay in i32: keep each pallas
+    # operand under 1 GiB by chunking rows (same shape per chunk -> one
+    # kernel compile, reused).
+    row_bytes = n * jnp.dtype(x.dtype).itemsize
+    max_rows = max(1, (1 << 30) // int(row_bytes))
+    if m > max_rows:
+        outs = [
+            srht_pallas(x[i : i + max_rows], k, key, precision)
+            for i in range(0, m, max_rows)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    rademacher, (P, Q, R), gq, gr, hp = _plan_factors(
+        key, n, k, d, jnp.float32
+    )
 
     # pad k to a lane multiple for clean MXU shapes
     k_pad = max(128, -(-k // 128) * 128)
-    samp = jnp.concatenate(
-        [sampling, jnp.zeros((k_pad - k,), sampling.dtype)]
-    ).astype(jnp.uint32)
-    p_s = samp >> (dq + dr)
-    q_s = (samp >> dr) & (Q - 1)
-    r_s = samp & (R - 1)
-
-    gq = _hadamard_rows(q_s, Q, jnp.float32).T  # (Q, K)
-    gr = _hadamard_rows(r_s, R, jnp.float32).T  # (R, K)
-    hp = _hadamard_rows(p_s, P, jnp.float32).T  # (P, K)
-    # zero out the padding samples
-    valid = (jnp.arange(k_pad) < k).astype(jnp.float32)
-    hp = (hp * valid[None, :]).reshape(P, 1, k_pad)
+    pad = k_pad - k
+    gq = jnp.pad(gq, ((0, pad), (0, 0))).T  # (Q, K)
+    gr = jnp.pad(gr, ((0, pad), (0, 0))).T  # (R, K)
+    hp = jnp.pad(hp, ((0, pad), (0, 0))).T.reshape(P, 1, k_pad)  # (P, 1, K)
 
     d_signs = rademacher.reshape(P, Q, R)
     x4 = x.reshape(m, P, Q, R)
 
     grid = (m, P)
     out = pl.pallas_call(
-        _srht_kernel,
+        _make_kernel(precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, Q, R), lambda r, p: (r, p, 0, 0),

@@ -46,6 +46,23 @@ def test_hadamard_rows_helper():
 
 
 def test_split_pqr():
-    assert sp._split_pqr(24) == (8, 8, 8)
-    assert sp._split_pqr(12) == (0, 4, 8)
-    assert sp._split_pqr(20) == (4, 8, 8)
+    for d in (10, 12, 16, 20, 24):
+        dp, dq, dr = sp._split_pqr(d)
+        assert dp + dq + dr == d
+        assert dr <= 12 and dq <= 8
+        assert dp >= 0
+    assert sp._split_pqr(24) == (4, 8, 12)
+
+
+def test_onepass_xla_matches_srht():
+    import jax.numpy as jnp
+    from rla4mor_tpu.ops.srht_pallas import srht_onepass_xla
+
+    key = jax.random.key(3)
+    m, d, k = 4, 14, 120
+    x = jnp.asarray(
+        np.random.RandomState(1).normal(size=(m, 1 << d)), dtype=jnp.float32
+    )
+    y1 = np.asarray(srht_onepass_xla(x, k, key))
+    y2 = np.asarray(srht(x, k, key))
+    assert np.abs(y1 - y2).max() / np.abs(y2).max() < 1e-5
