@@ -69,7 +69,9 @@ class StationaryFOM:
     def solve(self, mu: Mu) -> jax.Array:
         """Direct sparse solve on host (offline/oracle path)."""
         A = self.assemble_sparse(mu)
-        b = np.asarray(self.assemble_rhs(mu), dtype=np.float64)
+        b = np.asarray(self.assemble_rhs(mu))
+        if not np.iscomplexobj(b):
+            b = b.astype(np.float64)
         x = spla.splu(A).solve(b)
         return jnp.asarray(x)
 

@@ -66,8 +66,9 @@ def _hadamard_rows(sel: jax.Array, size: int, dtype) -> jax.Array:
 def _split_pqr(d: int) -> Tuple[int, int, int]:
     """(P, Q, R) factorization: big R so each slab DMA is MBs (per-step
     overhead amortized), Q <= 256 so the VPU contraction and the Gq factor
-    stay small. Slab = Q*R*4 bytes <= 4 MiB."""
-    dr = min(12, d)
+    stay small. Slab = Q*R*4 = 2 MiB; double-buffered slab + int8 signs +
+    (R, K) factor must fit the 16 MiB VMEM."""
+    dr = min(11, d)
     dq = min(8, d - dr)
     dp = d - dr - dq
     return dp, dq, dr
@@ -149,14 +150,18 @@ def srht_pallas(
     x: jax.Array,
     k: int,
     key: jax.Array,
-    precision=jax.lax.Precision.HIGH,
+    precision=jax.lax.Precision.DEFAULT,
 ) -> jax.Array:
     """SRHT sketch along the LAST axis: (m, n) -> (m, k), n = 2^d.
 
     Equals ops.fwht.srht(x, k, key) for power-of-two n (same plan/scaling),
-    computed in a single HBM pass. ``precision`` controls the slab matmul
-    (see module docstring); the p-accumulation is always f32.
+    computed in a single HBM pass. ``precision`` controls the slab matmul:
+    DEFAULT = bf16 MXU (fast; ~2e-3 rel err, far below typical embedding
+    distortion), HIGHEST = exact f32 (Mosaic supports only these two; HIGH
+    is promoted to HIGHEST). The p-accumulation is always f32.
     """
+    if precision == jax.lax.Precision.HIGH:
+        precision = jax.lax.Precision.HIGHEST
     m, n = x.shape
     d = n.bit_length() - 1
     assert 1 << d == n, "srht_pallas requires power-of-two n"

@@ -1,0 +1,98 @@
+"""Complex-valued problems through the full stack (the reference supports
+complex128 throughout: c16 numba signatures rla/srht.py:14,39, a=2 factors
+in the oblivious-dimension bounds rla/embeddings.py:243)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from rla4mor_tpu.core import (
+    AffineOp,
+    DenseOp,
+    HostSparseOp,
+    ParameterSpace,
+    Product,
+    ProjectionCoefficient,
+    gram_schmidt,
+)
+from rla4mor_tpu.models import StationaryFOM
+from rla4mor_tpu.mor import SketchedReductor
+from rla4mor_tpu.ops import GaussianEmbedding, SrhtEmbedding, gaussian_dim
+
+
+def _complex_fom(n=80, seed=0):
+    """A(mu) = A0 + mu_0 A1 with Hermitian positive definite terms."""
+    rng = np.random.RandomState(seed)
+
+    def hpd(scale):
+        M = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+        return sps.csr_matrix(M @ M.conj().T / n + scale * np.eye(n))
+
+    A0, A1 = hpd(3.0), hpd(1.0)
+    b = rng.normal(size=(n, 1)) + 1j * rng.normal(size=(n, 1))
+    op = AffineOp(
+        (HostSparseOp(A0), HostSparseOp(A1)),
+        (ProjectionCoefficient("p", 0), ProjectionCoefficient("p", 1)),
+    )
+    rhs = AffineOp((DenseOp(jnp.asarray(b)),))
+    space = ParameterSpace.make({"p": 2}, 0.5, 2.0)
+    return StationaryFOM(op, rhs, parameter_space=space), (A0, A1, b)
+
+
+def test_complex_fom_solve():
+    fom, (A0, A1, b) = _complex_fom()
+    mu = {"p": jnp.asarray([1.3, 0.7])}
+    u = np.asarray(fom.solve(mu))
+    A = 1.3 * A0 + 0.7 * A1
+    assert np.linalg.norm(A @ u - b[:, 0]) < 1e-10
+
+
+def test_complex_gram_schmidt():
+    rng = np.random.RandomState(1)
+    U = jnp.asarray(rng.normal(size=(40, 6)) + 1j * rng.normal(size=(40, 6)))
+    Q, R = gram_schmidt(U, return_R=True)
+    G = np.asarray(Q).conj().T @ np.asarray(Q)
+    assert np.allclose(G, np.eye(6), atol=1e-10)
+    assert np.allclose(np.asarray(Q) @ np.asarray(R), np.asarray(U), atol=1e-10)
+
+
+@pytest.mark.parametrize("emb_cls", [GaussianEmbedding, SrhtEmbedding])
+def test_complex_embedding_apply(emb_cls):
+    rng = np.random.RandomState(2)
+    n, k = 64, 20
+    e = emb_cls.make(n, range_dim=k, seed=4)
+    x = jnp.asarray(rng.normal(size=(n, 3)) + 1j * rng.normal(size=(n, 3)))
+    y = np.asarray(e.apply(x))
+    M = np.asarray(e.matrix())
+    assert np.allclose(y, M @ np.asarray(x), atol=1e-10)
+    assert y.dtype == np.complex128
+
+
+def test_complex_sketched_reductor():
+    fom, (A0, A1, b) = _complex_fom()
+    n = fom.solution_dim
+    theta = GaussianEmbedding.make(n, range_dim=60, seed=5)
+    red = SketchedReductor(fom, embedding_primal=theta, orthonormalize=True)
+    mus = fom.parameter_space.sample_randomly(6, key=0)
+    red.extend_basis(fom.solve_many(mus))
+    rom = red.reduce(seed=6)
+
+    mu = fom.parameter_space.sample_randomly(1, key=1)[0]
+    y = np.asarray(rom.solve(mu))
+    u_rom = np.asarray(red.rb) @ y
+    u_fom = np.asarray(fom.solve(mu))
+    rel = np.linalg.norm(u_rom - u_fom) / np.linalg.norm(u_fom)
+    assert rel < 5e-2
+    est = float(rom.estimate_error(mu))
+    A = float(np.asarray(mu["p"])[0]) * A0 + float(np.asarray(mu["p"])[1]) * A1
+    res = np.linalg.norm(A @ u_rom - b[:, 0])
+    # estimator ~ l2 residual norm up to embedding distortion
+    assert 0.2 * res < est < 5 * res + 1e-12
+
+
+def test_complex_oblivious_dim():
+    assert gaussian_dim(0.5, 1e-3, 8, complex_dtype=True) > gaussian_dim(
+        0.5, 1e-3, 8, complex_dtype=False
+    )
