@@ -51,7 +51,7 @@ def test_split_pqr():
         assert dp + dq + dr == d
         assert dr <= 12 and dq <= 8
         assert dp >= 0
-    assert sp._split_pqr(24) == (4, 8, 12)
+    assert sp._split_pqr(24) == (5, 8, 11)
 
 
 def test_onepass_xla_matches_srht():
