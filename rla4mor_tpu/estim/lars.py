@@ -123,9 +123,6 @@ def lars_lasso_path_np(
 
         coefs.append(beta.copy())
         alphas.append(lam)
-        if len(active) >= min(m, K) and gamma == gamma_in:
-            # cannot add more variables; finish at alpha_min by extrapolating
-            pass
     return np.stack(coefs, axis=1), np.asarray(alphas)
 
 
@@ -153,10 +150,15 @@ def lars_lasso_jax(
     INF = jnp.asarray(jnp.finfo(dt).max / 4, dt)
 
     def solve_masked(mask, rhs):
-        # solve G[mask, mask] w = rhs[mask]; identity rows elsewhere -> w=0
+        # G[mask, mask] w = rhs[mask]; identity rows elsewhere -> w=0.
+        # Min-norm lstsq (SVD) mirrors the host path's singular-G fallback
+        # once the active set saturates rank(D).
         maskf = mask.astype(dt)
         Gm = Gfull * (maskf[:, None] * maskf[None, :]) + jnp.diag(1.0 - maskf)
-        return jnp.linalg.solve(Gm, rhs * maskf)
+        U_, s_, Vh_ = jnp.linalg.svd(Gm, full_matrices=False)
+        cutoff = 1e-12 * jnp.max(s_)
+        s_inv = jnp.where(s_ > cutoff, 1.0 / s_, 0.0)
+        return Vh_.conj().T @ (s_inv * (U_.conj().T @ (rhs * maskf)))
 
     def body(state):
         beta, signs, mask, lam, step, just_dropped, path, alphas = state
@@ -228,6 +230,53 @@ def lars_lasso_jax(
 # ---------------------------------------------------------------------------
 # weighted / rescaled wrapper (reference semantics)
 # ---------------------------------------------------------------------------
+
+
+def _ols_debias_jax(D, x, path):
+    """OLS re-fit on each path point's support, fixed shapes (vmappable).
+
+    Masked normal equations: identity rows for inactive variables, so the
+    solve is well-posed whenever the support columns are independent (the
+    LARS invariant)."""
+    D = jnp.asarray(D)
+    x = jnp.asarray(x)
+    G = D.T @ D
+    c = D.T @ x
+
+    def one(beta):
+        maskf = (beta != 0).astype(D.dtype)
+        Gm = G * (maskf[:, None] * maskf[None, :]) + jnp.diag(1.0 - maskf)
+        return jnp.linalg.solve(Gm, c * maskf)
+
+    return jax.vmap(one)(path)
+
+
+def lars_weighted_path_jax(
+    D,
+    x,
+    alpha: float = 0.0,
+    weights=None,
+    scale: float = 1e3,
+    ols: bool = True,
+    max_steps: int = 64,
+):
+    """Device version of :func:`lars_weighted_path`: fixed-shape path
+    ((K, max_steps) after dropping the zero point), jittable/vmappable.
+    Converged steps repeat the final point."""
+    D = jnp.asarray(D)
+    x = jnp.asarray(x)
+    K = D.shape[1]
+    w = jnp.ones((K,), D.dtype) if weights is None else jnp.asarray(weights)
+    D_ = D / w[None, :]
+    x_ = x * scale
+    alpha_ = alpha * scale / K
+
+    path, alphas, steps = lars_lasso_jax(D_, x_, alpha_, max_steps)
+    if ols:
+        path = _ols_debias_jax(D_, x_, path)
+    path = (path / w[None, :] / scale).T  # (K, max_steps+1)
+    alphas = alphas / scale
+    return path[:, 1:], alphas[1:], steps
 
 
 def _ols_debias(D, x, path, rcond=1e-10):

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rla4mor_tpu.core.products import Product
-from rla4mor_tpu.estim.lars import lars_weighted_path
+from rla4mor_tpu.estim.lars import lars_weighted_path, lars_weighted_path_jax
 from rla4mor_tpu.estim.manifold_distance import ManifoldDistance
 from rla4mor_tpu.utils.logger import get_logger, log_block
 
@@ -150,8 +150,21 @@ class DicRecoveryMap(RecoveryMap):
 
     # -- path machinery ---------------------------------------------------------
     def compute_state_path(self, w, alpha=0.0, weights=None, scale=1e3,
-                           ols=True, return_path=True, **kwargs):
-        """LARS path of dictionary coefficients (reference :170-206)."""
+                           ols=True, return_path=True, solver="np",
+                           max_steps: int = 64, **kwargs):
+        """LARS path of dictionary coefficients (reference :170-206).
+
+        ``solver``: 'np' = exact variable-length host path; 'jax' =
+        fixed-shape on-device path (``max_steps`` points, converged tail
+        repeated) — the analog of the reference's sklearn/spams backend
+        switch (reference lars.py:46-56), with the device path replacing
+        spams."""
+        if solver == "jax":
+            v, alphas, _ = lars_weighted_path_jax(
+                self.cross_gramian, jnp.asarray(w), alpha, weights, scale,
+                ols, max_steps,
+            )
+            return v, alphas
         v, alphas = lars_weighted_path(
             np.asarray(self.cross_gramian), np.asarray(w), alpha, weights,
             scale, ols, return_path, **kwargs

@@ -63,21 +63,22 @@ def _hadamard_rows(sel: jax.Array, size: int, dtype) -> jax.Array:
     ).astype(dtype)
 
 
-def _split_pqr(d: int) -> Tuple[int, int, int]:
+def _split_pqr(d: int, block_rows: int = 1) -> Tuple[int, int, int]:
     """(P, Q, R) factorization: big R so each slab DMA is MBs (per-step
     overhead amortized), Q <= 256 so the VPU contraction and the Gq factor
-    stay small. Slab = Q*R*4 = 2 MiB; double-buffered slab + int8 signs +
-    (R, K) factor must fit the 16 MiB VMEM."""
-    dr = min(11, d)
+    stay small. Per-step block = B*Q*R*4 <= 2 MiB so the double-buffered
+    slabs + int8 signs + (R, K) factor fit the 16 MiB VMEM."""
+    shrink = max(0, (max(1, block_rows) - 1).bit_length())
+    dr = min(11 - shrink, d)
     dq = min(8, d - dr)
     dp = d - dr - dq
     return dp, dq, dr
 
 
-def _plan_factors(key, n, k, d, dtype):
+def _plan_factors(key, n, k, d, dtype, block_rows: int = 1):
     """Shared host-side plan: Hadamard factors for the sampled indices."""
     rademacher, sampling, _ = _srht_plan(key, n, k)
-    dp, dq, dr = _split_pqr(d)
+    dp, dq, dr = _split_pqr(d, block_rows)
     P, Q, R = 1 << dp, 1 << dq, 1 << dr
     samp = sampling.astype(jnp.uint32)
     p_s = samp >> (dq + dr)
@@ -123,25 +124,30 @@ def srht_onepass_xla(
     return (acc / math.sqrt(k)).astype(x.dtype)
 
 
-def _make_kernel(precision):
+def _make_kernel(precision, block_rows):
     def kernel(x_ref, d_ref, gq_ref, gr_ref, hp_ref, out_ref):
-        """Grid (M, P), p inner. Blocks: x (1, 1, Q, R); d (1, Q, R) int8;
-        gq (Q, K); gr (R, K); hp (1, 1, K); out (1, 1, K) revisited."""
+        """Grid (M/B, P), p inner. Blocks: x (B, 1, Q, R); d (1, Q, R) int8;
+        gq (Q, K); gr (R, K); hp (1, 1, K); out (B, 1, K) revisited.
+        The row loop is unrolled: each row is one 2-D MXU matmul + a VPU
+        contraction (no in-kernel reshapes — Mosaic-friendly)."""
         p = pl.program_id(1)
 
         @pl.when(p == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        xd = x_ref[0, 0] * d_ref[0].astype(x_ref.dtype)  # (Q, R)
-        w = jax.lax.dot_general(
-            xd, gr_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # (Q, K)
-        val = jnp.sum(w * gq_ref[:], axis=0)  # (K,)
-        out_ref[:] += (val * hp_ref[0, 0])[None, None, :]
+        d_signs = d_ref[0].astype(x_ref.dtype)  # (Q, R)
+        hp_row = hp_ref[0, 0]  # (K,)
+        for b in range(block_rows):
+            xd = x_ref[b, 0] * d_signs  # (Q, R)
+            w = jax.lax.dot_general(
+                xd, gr_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # (Q, K)
+            val = jnp.sum(w * gq_ref[:], axis=0)  # (K,)
+            out_ref[b, 0, :] += val * hp_row
 
     return kernel
 
@@ -151,6 +157,7 @@ def srht_pallas(
     k: int,
     key: jax.Array,
     precision=jax.lax.Precision.DEFAULT,
+    block_rows: int = 2,
 ) -> jax.Array:
     """SRHT sketch along the LAST axis: (m, n) -> (m, k), n = 2^d.
 
@@ -159,6 +166,8 @@ def srht_pallas(
     DEFAULT = bf16 MXU (fast; ~2e-3 rel err, far below typical embedding
     distortion), HIGHEST = exact f32 (Mosaic supports only these two; HIGH
     is promoted to HIGHEST). The p-accumulation is always f32.
+    ``block_rows`` rows share each grid step (bigger DMAs, less per-step
+    overhead; VMEM-bound: B * 2 MiB double-buffered).
     """
     if precision == jax.lax.Precision.HIGH:
         precision = jax.lax.Precision.HIGHEST
@@ -173,13 +182,13 @@ def srht_pallas(
     max_rows = max(1, (1 << 30) // int(row_bytes))
     if m > max_rows:
         outs = [
-            srht_pallas(x[i : i + max_rows], k, key, precision)
+            srht_pallas(x[i : i + max_rows], k, key, precision, block_rows)
             for i in range(0, m, max_rows)
         ]
         return jnp.concatenate(outs, axis=0)
 
     rademacher, (P, Q, R), gq, gr, hp = _plan_factors(
-        key, n, k, d, jnp.float32
+        key, n, k, d, jnp.float32, block_rows
     )
 
     # pad k to a lane multiple for clean MXU shapes
@@ -190,14 +199,18 @@ def srht_pallas(
     hp = jnp.pad(hp, ((0, pad), (0, 0))).T.reshape(P, 1, k_pad)  # (P, 1, K)
 
     d_signs = rademacher.reshape(P, Q, R)
-    x4 = x.reshape(m, P, Q, R)
+    B = max(1, block_rows)
+    m_pad = -(-m // B) * B
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    x4 = x.reshape(m_pad, P, Q, R)
 
-    grid = (m, P)
+    grid = (m_pad // B, P)
     out = pl.pallas_call(
-        _make_kernel(precision),
+        _make_kernel(precision, B),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, Q, R), lambda r, p: (r, p, 0, 0),
+            pl.BlockSpec((B, 1, Q, R), lambda r, p: (r, p, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q, R), lambda r, p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -208,15 +221,15 @@ def srht_pallas(
             pl.BlockSpec((1, 1, k_pad), lambda r, p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, k_pad), lambda r, p: (r, 0, 0),
+        out_specs=pl.BlockSpec((B, 1, k_pad), lambda r, p: (r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, 1, k_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, 1, k_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * n * k_pad,
-            bytes_accessed=m * n * x.dtype.itemsize + n + 4 * k_pad * m,
+            flops=2 * m_pad * n * k_pad,
+            bytes_accessed=m_pad * n * x.dtype.itemsize + n + 4 * k_pad * m_pad,
             transcendentals=0,
         ),
     )(x4, d_signs, gq, gr, hp)
 
     scale = jnp.asarray(1.0 / math.sqrt(k), jnp.float32)
-    return scale * out[:, 0, :k]
+    return scale * out[:m, 0, :k]

@@ -11,10 +11,15 @@ from rla4mor_tpu.parallel.driver import (
     init_state,
     make_sharded_greedy_step,
 )
+from rla4mor_tpu.parallel.embeddings import (
+    ShardedGaussianEmbedding,
+    ShardedSrhtEmbedding,
+)
 
 __all__ = [
     "make_mesh", "dof_sharding", "replicated",
     "gaussian_block", "gaussian_sketch_blocked", "gaussian_sketch_sharded",
     "srht_blocked", "srht_sketch_sharded",
     "GreedyState", "init_state", "make_sharded_greedy_step",
+    "ShardedGaussianEmbedding", "ShardedSrhtEmbedding",
 ]

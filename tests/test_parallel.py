@@ -148,3 +148,71 @@ def test_sharded_step_matches_unsharded_oracle():
     assert np.allclose(
         np.asarray(state.res_lhs[0, :, 0]), np.asarray(st0), atol=1e-10
     )
+
+
+def test_sharded_embedding_classes(mesh, rng):
+    from rla4mor_tpu.parallel import (
+        ShardedGaussianEmbedding,
+        ShardedSrhtEmbedding,
+    )
+
+    n, k = 512, 33
+    x = jnp.asarray(rng.normal(size=(n, 4)))
+    e = ShardedGaussianEmbedding(k, n, mesh, seed=5)
+    y1 = np.asarray(e.apply(x))
+    y2 = np.asarray(e.apply_blocked(x))
+    assert np.abs(y1 - y2).max() < 1e-12
+    M = np.asarray(e.matrix())
+    assert np.allclose(y1, M @ np.asarray(x), atol=1e-12)
+    # seeded redraw
+    e2 = e.with_seed(6)
+    assert not np.allclose(np.asarray(e2.apply(x)), y1)
+    assert np.allclose(np.asarray(e.with_seed(5).apply(x)), y1)
+
+    s = ShardedSrhtEmbedding(21, 1024, mesh, seed=7)
+    xs = jnp.asarray(rng.normal(size=(1024, 3)))
+    assert np.abs(
+        np.asarray(s.apply(xs)) - np.asarray(s.apply_blocked(xs))
+    ).max() < 1e-12
+
+
+def test_jax_lars_in_recovery(thermal_fom):
+    """DicRecoveryMap with the on-device fixed-shape LARS path."""
+    import jax as _jax
+    from rla4mor_tpu.core import gram_schmidt
+    from rla4mor_tpu.estim.lars import lars_weighted_path, lars_weighted_path_jax
+
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    mus = fom.parameter_space.sample_randomly(10, key=3)
+    U = fom.solve_many(mus)
+    V = np.asarray(U) / np.asarray(Ru.norm(U))[None, :]
+    W = gram_schmidt(
+        jnp.asarray(
+            np.asarray(Ru.inv.apply(jnp.asarray(
+                np.eye(fom.solution_dim)[:, :20]
+            )))
+        ),
+        product=Ru,
+    )
+    CG = np.asarray(Ru.inner(W, jnp.asarray(V)))
+    w = CG @ np.ones(V.shape[1]) / V.shape[1]
+    p_np, a_np = lars_weighted_path(CG, w, ols=True)
+    p_j, a_j, steps = lars_weighted_path_jax(CG, jnp.asarray(w), ols=True,
+                                             max_steps=64)
+    # the dictionary is extremely ill-conditioned (normalized snapshots of
+    # nearby parameters), so breakpoint-for-breakpoint equality is not a
+    # stable property — check functional quality instead: every jax path
+    # point is the OLS fit on its support, and the best path residual
+    # matches the host path's within tolerance
+    p_j = np.asarray(p_j)
+    for i in range(int(steps)):
+        ind = np.nonzero(p_j[:, i])[0]
+        if ind.size:
+            sol, *_ = np.linalg.lstsq(CG[:, ind], w, rcond=None)
+            # normal-equations OLS vs QR lstsq: cond^2 amplification on the
+            # ill-conditioned support
+            assert np.allclose(p_j[ind, i], sol, rtol=1e-3, atol=1e-6)
+    res_np = np.linalg.norm(CG @ p_np - w[:, None], axis=0).min()
+    res_j = np.linalg.norm(CG @ p_j - w[:, None], axis=0).min()
+    assert res_j <= res_np * (1 + 1e-6) + 1e-10
