@@ -210,9 +210,11 @@ def test_jax_lars_in_recovery(thermal_fom):
         ind = np.nonzero(p_j[:, i])[0]
         if ind.size:
             sol, *_ = np.linalg.lstsq(CG[:, ind], w, rcond=None)
-            # normal-equations OLS vs QR lstsq: cond^2 amplification on the
-            # ill-conditioned support
-            assert np.allclose(p_j[ind, i], sol, rtol=1e-3, atol=1e-6)
+            # compare in residual space: coefficient-space equality is
+            # meaningless at these support condition numbers
+            r_j = np.linalg.norm(CG[:, ind] @ p_j[ind, i] - w)
+            r_o = np.linalg.norm(CG[:, ind] @ sol - w)
+            assert r_j <= r_o * (1 + 1e-3) + 1e-9
     res_np = np.linalg.norm(CG @ p_np - w[:, None], axis=0).min()
     res_j = np.linalg.norm(CG @ p_j - w[:, None], axis=0).min()
     assert res_j <= res_np * (1 + 1e-6) + 1e-10
