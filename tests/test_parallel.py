@@ -214,7 +214,7 @@ def test_jax_lars_in_recovery(thermal_fom):
             # meaningless at these support condition numbers
             r_j = np.linalg.norm(CG[:, ind] @ p_j[ind, i] - w)
             r_o = np.linalg.norm(CG[:, ind] @ sol - w)
-            assert r_j <= r_o * (1 + 1e-3) + 1e-9
+            assert r_j <= r_o * (1 + 1e-3) + 1e-6 * np.linalg.norm(w)
     res_np = np.linalg.norm(CG @ p_np - w[:, None], axis=0).min()
     res_j = np.linalg.norm(CG @ p_j - w[:, None], axis=0).min()
     assert res_j <= res_np * (1 + 1e-6) + 1e-10
