@@ -218,3 +218,39 @@ def test_jax_lars_in_recovery(thermal_fom):
     res_np = np.linalg.norm(CG @ p_np - w[:, None], axis=0).min()
     res_j = np.linalg.norm(CG @ p_j - w[:, None], axis=0).min()
     assert res_j <= res_np * (1 + 1e-6) + 1e-10
+
+
+def test_sketched_reductor_with_sharded_embedding(mesh):
+    """SketchedReductor driven by a mesh-sharded embedding equals the same
+    reductor driven by the embedding's explicit matrix."""
+    from rla4mor_tpu.core import DenseOp
+    from rla4mor_tpu.models import ThermalBlockFOM
+    from rla4mor_tpu.mor import SketchedReductor
+    from rla4mor_tpu.parallel import ShardedGaussianEmbedding
+
+    fom = ThermalBlockFOM((2, 2), 17)  # interior = 16^2 = 256, /8 ok
+    n = fom.solution_dim
+    assert n % 8 == 0
+    emb = ShardedGaussianEmbedding(48, n, mesh, seed=3)
+    emb_dense = DenseOp(emb.matrix())
+    emb_dense.with_seed = lambda s: emb_dense  # deterministic online stand-in
+
+    mus = fom.parameter_space.sample_randomly(5, key=0)
+    U = fom.solve_many(mus)
+
+    red_s = SketchedReductor(fom, embedding_primal=emb)
+    red_d = SketchedReductor(fom, embedding_primal=emb_dense)
+    red_s.extend_basis(U)
+    red_d.extend_basis(U)
+    assert np.allclose(np.asarray(red_s.srb), np.asarray(red_d.srb), atol=1e-10)
+    assert np.allclose(
+        np.asarray(red_s.residual_lhs.stack),
+        np.asarray(red_d.residual_lhs.stack),
+        atol=1e-10,
+    )
+    mu = fom.parameter_space.sample_randomly(1, key=1)[0]
+    rom_s = red_s.reduce()
+    rom_d = red_d.reduce()
+    assert np.allclose(
+        np.asarray(rom_s.solve(mu)), np.asarray(rom_d.solve(mu)), atol=1e-8
+    )

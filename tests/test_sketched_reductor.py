@@ -239,3 +239,23 @@ def test_output_functional_projection(thermal_fom):
     u = red.rb @ jnp.asarray(y)
     s_direct = float(np.asarray(fom.output_functional.apply(u, mu)))
     assert abs(s_rom - s_direct) < 1e-10
+
+
+def test_greedy_minres_srht(thermal_fom):
+    """Greedy with SRHT primal sketch + minres projection (BASELINE config 2
+    combined with the minres path)."""
+    fom = thermal_fom
+    red, _ = _setup(fom, SrhtEmbedding, k=220, orthonormalize=True,
+                    projection="minres", k_online=100)
+    training = fom.parameter_space.sample_randomly(25, key=8)
+    result = rb_greedy(fom, red, training, max_extensions=7)
+    assert red.basis_size == 7
+    assert result.max_estimates[-1] < result.max_estimates[0]
+    mu = training[5]
+    u_fom = np.asarray(fom.solve(mu))
+    u_rom = np.asarray(red.rb) @ np.asarray(result.rom.solve(mu))
+    Ru = fom.h1_0_product
+    rel = float(Ru.norm(jnp.asarray(u_fom - u_rom))) / float(
+        Ru.norm(jnp.asarray(u_fom))
+    )
+    assert rel < 1e-1
