@@ -4,10 +4,12 @@ from rla4mor_tpu.models.stationary import (
     ResidualErrorEstimator,
 )
 from rla4mor_tpu.models.thermal_block import ThermalBlockFOM
+from rla4mor_tpu.models.advection_diffusion import AdvectionDiffusionFOM
 
 __all__ = [
     "StationaryFOM",
     "StationaryROM",
     "ResidualErrorEstimator",
     "ThermalBlockFOM",
+    "AdvectionDiffusionFOM",
 ]
