@@ -116,7 +116,7 @@ class AffineDense:
     """
 
     def __init__(self, stack, coefficients: Sequence[Coefficient]):
-        self.stack = jnp.asarray(stack) if not isinstance(stack, jax.core.Tracer) else stack
+        self.stack = jnp.asarray(stack)
         assert self.stack.ndim == 3, self.stack.shape
         self.coefficients = tuple(as_coefficient(c) for c in coefficients)
         assert self.stack.shape[0] == len(self.coefficients)

@@ -220,6 +220,17 @@ class SketchedReductor:
             "(classical unsketched reduction of an empty basis is degenerate)"
         )
 
+    def extend_basis_blocked(self, U, max_block_size: int = 64, mu=None):
+        """Stream snapshot columns in blocks to bound peak memory
+        (reference's blockwise RAM strategy, utilities/utilities.py:43-44;
+        the FOM-side applies and sketches then never hold more than
+        ``max_block_size`` columns at once)."""
+        U = jnp.asarray(U)
+        if U.ndim == 1:
+            U = U[:, None]
+        for i in range(0, U.shape[1], max_block_size):
+            self.extend_basis(U[:, i : i + max_block_size], mu=mu)
+
     # ------------------------------------------------------------------ recon
     def reconstruct(self, u_reduced) -> jax.Array:
         """Lift reduced coefficients to the full space (needs save_rb)."""

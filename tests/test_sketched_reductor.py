@@ -259,3 +259,16 @@ def test_greedy_minres_srht(thermal_fom):
         Ru.norm(jnp.asarray(u_fom))
     )
     assert rel < 1e-1
+
+
+def test_extend_basis_blocked(thermal_fom):
+    fom = thermal_fom
+    mus, U = _snapshots(fom, count=6)
+    red_a, _ = _setup(fom, GaussianEmbedding, orthonormalize=True)
+    red_b, _ = _setup(fom, GaussianEmbedding, orthonormalize=True)
+    red_a.extend_basis(U)
+    red_b.extend_basis_blocked(U, max_block_size=2)
+    mu = fom.parameter_space.sample_randomly(1, key=50)[0]
+    ua = np.asarray(red_a.rb) @ np.asarray(red_a.reduce(seed=1).solve(mu))
+    ub = np.asarray(red_b.rb) @ np.asarray(red_b.reduce(seed=1).solve(mu))
+    assert np.allclose(ua, ub, atol=1e-8)
