@@ -80,3 +80,104 @@ def rb_greedy(
     result.rom = reductor.reduce(seed=online_seed + max_extensions)
     result.iterations = max_extensions
     return result
+
+
+def rb_greedy_padded(
+    fom,
+    reductor: SketchedReductor,
+    training_set: Sequence[Mu],
+    max_extensions: int = 20,
+    atol: float = 0.0,
+    rtol: float = 0.0,
+    online_seed: int = 0,
+    log_level: int = 20,
+) -> GreedyResult:
+    """Weak greedy with a no-retrace error sweep (SURVEY §7 hard part 5).
+
+    The sketched state is padded to ``max_extensions`` columns with a fill
+    counter, so the jitted (solve + sketched-estimate) sweep over the
+    training batch compiles ONCE — on a remote-compile TPU platform the
+    per-basis-size retracing of :func:`rb_greedy` dominates offline time.
+    Galerkin projection only.
+    """
+    import jax.numpy as jnp
+
+    assert reductor.projection == "galerkin"
+    logger = get_logger("mor.greedy", log_level)
+    result = GreedyResult(rom=None)
+    mus_batched = mu_stack(list(training_set))
+    r_max = max_extensions
+    k = reductor.embedding_primal.range_dim
+
+    @jax.jit
+    def sweep(srb_pad, lhs_pad, rhs_stack, phi, ncols, mus):
+        """Masked Galerkin solve + Phi-sketched estimate per mu."""
+        col_mask = (jnp.arange(r_max) < ncols).astype(srb_pad.dtype)
+        op_coeffs = reductor.fom.operator.coefficients
+
+        def one(mu):
+            from rla4mor_tpu.core.parameters import eval_coefficients
+
+            theta = eval_coefficients(op_coeffs, mu).astype(srb_pad.dtype)
+            res = jnp.einsum("t,tkr->kr", theta, lhs_pad) * col_mask[None, :]
+            rhs = jnp.einsum(
+                "t,tk->k",
+                eval_coefficients(
+                    reductor.residual_rhs.coefficients, mu
+                ).astype(srb_pad.dtype),
+                rhs_stack,
+            )
+            A = srb_pad.conj().T @ res
+            A = A * col_mask[:, None] + jnp.diag(1.0 - col_mask)
+            b = (srb_pad.conj().T @ rhs) * col_mask
+            y = jnp.linalg.solve(A, b)
+            est = jnp.linalg.norm(phi @ (res @ y - rhs))
+            return est
+
+        return jax.vmap(one)(mus)
+
+    def padded_state():
+        r = reductor.basis_size
+        srb_pad = jnp.zeros((k, r_max), reductor.srb.dtype)
+        srb_pad = srb_pad.at[:, :r].set(reductor.srb)
+        T = reductor.residual_lhs.n_terms
+        lhs_pad = jnp.zeros((T, k, r_max), reductor.residual_lhs.stack.dtype)
+        lhs_pad = lhs_pad.at[:, :, :r].set(reductor.residual_lhs.stack)
+        return srb_pad, lhs_pad
+
+    # bootstrap
+    mu0 = training_set[0]
+    t0 = time.perf_counter()
+    reductor.extend_basis(fom.solve(mu0), mu=mu0)
+    result.extension_times.append(time.perf_counter() - t0)
+    result.selected_mus.append(mu0)
+
+    first_max = None
+    for it in range(1, max_extensions):
+        srb_pad, lhs_pad = padded_state()
+        rhs_stack = reductor.residual_rhs.stack[:, :, 0]
+        phi = jnp.asarray(
+            reductor.embedding_online.with_seed(online_seed + it).matrix()
+        ).astype(srb_pad.dtype)
+        estimates = np.asarray(
+            sweep(srb_pad, lhs_pad, rhs_stack, phi,
+                  jnp.asarray(reductor.basis_size), mus_batched)
+        )
+        imax = int(np.argmax(estimates))
+        emax = float(estimates[imax])
+        result.max_estimates.append(emax)
+        if first_max is None:
+            first_max = emax
+        logger.info("greedy(padded) it=%d basis=%d max_est=%.3e", it,
+                    reductor.basis_size, emax)
+        if emax <= atol or (rtol and emax <= rtol * first_max):
+            break
+        mu = training_set[imax]
+        t0 = time.perf_counter()
+        reductor.extend_basis(fom.solve(mu), mu=mu)
+        result.extension_times.append(time.perf_counter() - t0)
+        result.selected_mus.append(mu)
+
+    result.rom = reductor.reduce(seed=online_seed + max_extensions)
+    result.iterations = len(result.selected_mus)
+    return result

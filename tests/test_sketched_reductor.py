@@ -272,3 +272,24 @@ def test_extend_basis_blocked(thermal_fom):
     ua = np.asarray(red_a.rb) @ np.asarray(red_a.reduce(seed=1).solve(mu))
     ub = np.asarray(red_b.rb) @ np.asarray(red_b.reduce(seed=1).solve(mu))
     assert np.allclose(ua, ub, atol=1e-8)
+
+
+def test_padded_greedy_matches_plain(thermal_fom):
+    """rb_greedy_padded (single-compile sweep) selects the same parameters
+    and estimates as the retracing rb_greedy."""
+    from rla4mor_tpu.mor import rb_greedy_padded
+
+    fom = thermal_fom
+    training = fom.parameter_space.sample_randomly(20, key=6)
+
+    red_a, _ = _setup(fom, GaussianEmbedding, k=150, orthonormalize=True)
+    res_a = rb_greedy(fom, red_a, training, max_extensions=6, online_seed=40)
+    red_b, _ = _setup(fom, GaussianEmbedding, k=150, orthonormalize=True)
+    res_b = rb_greedy_padded(fom, red_b, training, max_extensions=6,
+                             online_seed=40)
+
+    assert len(res_a.selected_mus) == len(res_b.selected_mus)
+    for ma, mb in zip(res_a.selected_mus, res_b.selected_mus):
+        assert np.allclose(np.asarray(ma["diffusion"]),
+                           np.asarray(mb["diffusion"]))
+    assert np.allclose(res_a.max_estimates, res_b.max_estimates, rtol=1e-8)
