@@ -75,6 +75,10 @@ def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
         "xla_scan_high": jax.jit(
             lambda v: jnp.sum(srht_onepass_xla(v, k, key, P.HIGH) ** 2)
         ),
+        # bf16 MXU passes: ~2e-3 rel error, far below sketch distortion
+        "xla_scan_bf16": jax.jit(
+            lambda v: jnp.sum(srht_onepass_xla(v, k, key, P.DEFAULT) ** 2)
+        ),
     }
     best_name, best_gbps = None, 0.0
     for name, fn in candidates.items():
