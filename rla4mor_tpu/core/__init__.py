@@ -22,6 +22,7 @@ from rla4mor_tpu.core.linops import (
     ZeroOp,
     HostSparseOp,
     HostLUInverse,
+    CGInverseOp,
     ScipyLinearOperator,
     sparse_cholesky,
     to_matrix,
@@ -47,7 +48,7 @@ __all__ = [
     "ProjectionCoefficient", "ProductCoefficient", "ExpressionCoefficient",
     "ONE", "eval_coefficients", "mu_stack", "mu_unstack",
     "LinOp", "IdentityOp", "DenseOp", "DiagonalOp", "AdjointOp", "ChainOp",
-    "ScaledOp", "ZeroOp", "HostSparseOp", "HostLUInverse",
+    "ScaledOp", "ZeroOp", "HostSparseOp", "HostLUInverse", "CGInverseOp",
     "ScipyLinearOperator", "sparse_cholesky", "to_matrix",
     "AffineOp", "AffineDense", "as_affine", "compose", "project",
     "project_block", "apply2", "materialize", "concat_affine",

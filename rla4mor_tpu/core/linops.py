@@ -294,6 +294,47 @@ def sparse_cholesky(S) -> sps.csc_matrix:
     return sps.csc_matrix(Q)
 
 
+class CGInverseOp(LinOp):
+    """Implicit inverse of an SPD matrix-free operator via device CG.
+
+    The TPU-native replacement for stored sparse factorizations as
+    preconditioner directions P_i = A(mu_i)^-1 (reference builds
+    ``InverseOperator``/``InverseLuOperator`` over SuperLU,
+    preconditioners/tests.py:374-378, utilities/factorization.py:84): a
+    ``matvec`` closure (e.g. a stencil apply) + Jacobi preconditioning,
+    jittable and vmapped over right-hand-side columns.
+    """
+
+    def __init__(self, matvec, dim: int, precond=None, tol: float = 1e-10,
+                 maxiter: int = 1000):
+        self.matvec = matvec
+        self.precond = precond
+        self.tol = tol
+        self.maxiter = maxiter
+        self.source_dim = self.range_dim = dim
+
+    def _solve_one(self, b):
+        from rla4mor_tpu.core.solvers import cg
+
+        return cg(self.matvec, b, precond=self.precond, tol=self.tol,
+                  maxiter=self.maxiter).x
+
+    def apply(self, U, mu=None):
+        U = jnp.asarray(U)
+        if U.ndim == 1:
+            return self._solve_one(U)
+        return jax.vmap(self._solve_one, in_axes=1, out_axes=1)(U)
+
+    # SPD: the adjoint solve is the same solve
+    apply_adjoint = apply
+
+    def apply_inverse(self, U, mu=None):
+        U = jnp.asarray(U)
+        if U.ndim == 1:
+            return self.matvec(U)
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(U)
+
+
 class ScipyLinearOperator(spla.LinearOperator):
     """Adapter exposing a LinOp to scipy's iterative solvers.
 

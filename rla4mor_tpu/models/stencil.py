@@ -141,3 +141,56 @@ class StencilThermalBlock:
     def output(self, u) -> jax.Array:
         """Mean-value functional: integral of u (lumped) == sum * h^2."""
         return jnp.sum(u) * self.h * self.h
+
+    # -- flattened-vector LinOp views (for the generic operator algebra) ----
+    def term_linop(self, b: int) -> "StencilTermOp":
+        return StencilTermOp(self, b)
+
+    def product_linop(self) -> "StencilTermOp":
+        return StencilTermOp(self, None)
+
+    def affine_operator(self):
+        """AffineOp over flattened interior-masked vectors (same coefficient
+        structure as ThermalBlockFOM)."""
+        from rla4mor_tpu.core.affine import AffineOp
+        from rla4mor_tpu.core.parameters import ProjectionCoefficient
+
+        return AffineOp(
+            tuple(self.term_linop(b) for b in range(self.n_terms)),
+            tuple(
+                ProjectionCoefficient("diffusion", b)
+                for b in range(self.n_terms)
+            ),
+        )
+
+
+class StencilTermOp:
+    """LinOp view of one stencil term (or the kappa=1 product) acting on
+    flattened (n_nodes^2,) vectors — symmetric, jittable, shardable."""
+
+    def __init__(self, st: StencilThermalBlock, term):
+        self.st = st
+        self.term = term
+        self.source_dim = self.range_dim = st.n_nodes * st.n_nodes
+
+    def _kappa(self):
+        if self.term is None:
+            return jnp.ones_like(self.st.masks[0])
+        return self.st.masks[self.term]
+
+    def _apply_one(self, u_flat):
+        grid = u_flat.reshape(self.st.solution_shape)
+        return stencil_apply(grid, self._kappa()).reshape(-1)
+
+    def apply(self, U, mu=None):
+        U = jnp.asarray(U)
+        if U.ndim == 1:
+            return self._apply_one(U)
+        return jax.vmap(self._apply_one, in_axes=1, out_axes=1)(U)
+
+    # symmetric
+    apply_adjoint = apply
+
+    @property
+    def H(self):
+        return self
