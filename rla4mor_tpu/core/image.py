@@ -12,7 +12,7 @@ from typing import Optional, Sequence
 
 import jax.numpy as jnp
 
-from rla4mor_tpu.core.affine import AffineOp, as_affine
+from rla4mor_tpu.core.affine import as_affine
 from rla4mor_tpu.core.orthonormalize import gram_schmidt
 from rla4mor_tpu.core.products import Product
 

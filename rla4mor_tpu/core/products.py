@@ -10,8 +10,6 @@ inverses cover very large n (see core/solvers.py).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sps

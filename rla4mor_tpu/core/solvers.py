@@ -9,7 +9,6 @@ shard_map for very large DoF counts (SURVEY §7 hard part 2).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -16,7 +16,7 @@ minimal parametric residual norm  min_mu || L(mu) u - b(mu) ||.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ G = W^H R W (m, m); cross-gramian CG = W^H R V (m, nv).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ import numpy as np
 from rla4mor_tpu.core.products import Product
 from rla4mor_tpu.estim.lars import lars_weighted_path, lars_weighted_path_jax
 from rla4mor_tpu.estim.manifold_distance import ManifoldDistance
-from rla4mor_tpu.utils.logger import get_logger, log_block
+from rla4mor_tpu.utils.logger import get_logger
 
 
 class RecoveryMap:

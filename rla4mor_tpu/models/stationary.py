@@ -14,9 +14,7 @@ reference (mor/sketched_reductor.py:165-166, inverse_problems/example.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

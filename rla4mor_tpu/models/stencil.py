@@ -14,7 +14,6 @@ boundary ring is masked, not eliminated, to keep shapes shard-friendly).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

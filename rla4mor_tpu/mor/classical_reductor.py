@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rla4mor_tpu.core.affine import AffineDense, concat_affine, materialize, project
+from rla4mor_tpu.core.affine import materialize, project
 from rla4mor_tpu.core.orthonormalize import gram_schmidt
 from rla4mor_tpu.core.parameters import Mu, eval_coefficients
 from rla4mor_tpu.core.products import Product

@@ -34,7 +34,7 @@ from rla4mor_tpu.core.affine import (
     materialize,
     project,
 )
-from rla4mor_tpu.core.linops import ChainOp, IdentityOp, LinOp
+from rla4mor_tpu.core.linops import ChainOp, LinOp
 from rla4mor_tpu.core.orthonormalize import gram_schmidt
 from rla4mor_tpu.core.products import Product
 from rla4mor_tpu.models.stationary import (

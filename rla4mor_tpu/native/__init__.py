@@ -9,10 +9,8 @@ no compiler is available the pure-numpy fallback is used transparently.
 from __future__ import annotations
 
 import ctypes
-import math
 import os
 import subprocess
-import sysconfig
 import threading
 from pathlib import Path
 from typing import Optional

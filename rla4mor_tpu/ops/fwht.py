@@ -29,8 +29,8 @@ path uses sqrt(n/k), which disagrees whenever n is not a power of two.
 from __future__ import annotations
 
 import math
-from functools import lru_cache, partial
-from typing import Optional, Sequence, Tuple
+from functools import lru_cache
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

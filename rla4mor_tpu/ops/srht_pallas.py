@@ -30,7 +30,6 @@ plan, same sqrt(2^d/k) scaling x the 2^(-d/2) FWHT normalization = 1/sqrt(k)).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax

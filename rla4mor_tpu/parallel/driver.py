@@ -16,9 +16,7 @@ iterations never retrace (SURVEY §7 hard part 5).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

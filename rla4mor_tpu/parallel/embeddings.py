@@ -10,8 +10,6 @@ chip.
 
 from __future__ import annotations
 
-import dataclasses
-from dataclasses import dataclass, field
 from typing import Optional
 
 import jax

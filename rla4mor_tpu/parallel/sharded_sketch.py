@@ -17,14 +17,12 @@ functions below, so **sharded and unsharded sketches are bit-identical**
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from rla4mor_tpu.ops.fwht import fwht
 

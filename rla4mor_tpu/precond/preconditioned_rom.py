@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rla4mor_tpu.core.affine import AffineDense, concat_affine, materialize, project
+from rla4mor_tpu.core.affine import AffineDense, materialize, project
 from rla4mor_tpu.core.linops import LinOp
 from rla4mor_tpu.core.parameters import (
     Mu,
