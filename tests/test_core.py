@@ -242,3 +242,24 @@ def test_parameter_space(rng):
     assert dict(ext.shapes)["precond"] == 3
     mu = space.parse(np.arange(4.0))
     assert np.array_equal(np.asarray(mu["diffusion"]), np.arange(4.0))
+
+
+def test_concat_affine_axis0(rng):
+    a, b = _affine(rng, k=4, m=6), _affine(rng, k=3, m=6)
+    b = AffineDense(b.stack, a.coefficients)
+    mu = _mu(rng)
+    cat = concat_affine((a, b), axis=0)
+    assert cat.range_dim == 7
+    want = np.concatenate(
+        [np.asarray(a.assemble(mu)), np.asarray(b.assemble(mu))], axis=0
+    )
+    assert np.allclose(np.asarray(cat.assemble(mu)), want)
+
+
+def test_project_block_range_side(rng):
+    op = _affine(rng, k=10, m=9)
+    V = jnp.asarray(rng.normal(size=(10, 7)))
+    mu = _mu(rng)
+    full = project(op, V, None)
+    blk = project_block(op, V, None, max_block_size=3)
+    assert np.allclose(np.asarray(full.assemble(mu)), np.asarray(blk.assemble(mu)))

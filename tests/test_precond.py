@@ -266,3 +266,15 @@ def test_stable_equals_naive(setup, reductor, reductor_stable):
     e1 = float(reductor.prom.rom.estimate_error(mu_p))
     e2 = float(reductor_stable.prom.rom.estimate_error(mu_p))
     assert np.isclose(e1, e2, rtol=1e-8)
+
+
+def test_factored_rom_output(setup, reductor_stable):
+    """Stable-mode FactoredROM carries the projected output functional."""
+    s = setup
+    mu_p = s.mu_p(key_mu=77, key_y=78)
+    rom = reductor_stable.prom.rom
+    y = rom.solve(mu_p)
+    out = float(np.asarray(rom.output_functional.apply(y, mu_p)))
+    u = np.asarray(s.u_basis) @ np.asarray(y)
+    want = float(np.asarray(s.fom.output_functional.apply(jnp.asarray(u), mu_p)))
+    assert abs(out - want) < 1e-9
