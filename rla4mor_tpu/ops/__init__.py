@@ -6,6 +6,13 @@ def srht_pallas(*args, **kwargs):
     from rla4mor_tpu.ops.srht_pallas import srht_pallas as _impl
 
     return _impl(*args, **kwargs)
+
+
+def srht_onepass_xla(*args, **kwargs):
+    """Lazy import of the single-pass XLA-scan SRHT (same semantics)."""
+    from rla4mor_tpu.ops.srht_pallas import srht_onepass_xla as _impl
+
+    return _impl(*args, **kwargs)
 from rla4mor_tpu.ops.dims import gaussian_dim, srht_dim, resolve_dim
 from rla4mor_tpu.ops.embeddings import (
     Embedding,
