@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Pod-scale path demo: sketched greedy on a multi-million-DoF FOM.
+
+BASELINE config 5 scenario on whatever devices are available: the
+matrix-free stencil thermal block at ~4M DoF (grid 2047 -> 2048^2 nodes),
+solved by Jacobi-CG and sketched by the blockwise/sharded Gaussian
+embedding, with the padded no-retrace greedy step (parallel/driver.py).
+On a mesh with >1 device the DoF axis shards automatically; on one chip it
+runs locally with identical (bit-for-bit) sketches.
+
+Run on TPU:  python examples/large_scale_demo.py
+Run on CPU:  python examples/large_scale_demo.py --cpu --grid 255
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--grid", type=int, default=2047)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--k", type=int, default=256)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from rla4mor_tpu.core import mu_stack
+    from rla4mor_tpu.core.parameters import ParameterSpace
+    from rla4mor_tpu.models.stencil import StencilThermalBlock
+    from rla4mor_tpu.parallel import make_sharded_greedy_step
+
+    n_dev = jax.device_count()
+    n_dof = 1
+    while n_dof * 2 <= n_dev:
+        n_dof *= 2
+    mesh = Mesh(np.array(jax.devices()[: n_dof]).reshape(n_dof, 1),
+                ("dof", "mu"))
+
+    # grid rows (N+1) must divide the dof axis
+    N = args.grid
+    while (N + 1) % n_dof:
+        N += 1
+    fom = StencilThermalBlock((2, 2), N, dtype=jnp.float32)
+    n = fom.n_nodes ** 2
+    print(f"devices={n_dev} (dof axis {n_dof}), grid {N}x{N}, "
+          f"n = {n / 1e6:.2f}M DoF, sketch k = {args.k}")
+
+    key = jax.random.key(0)
+    state, step = make_sharded_greedy_step(
+        fom, mesh, key, k=args.k, r_max=args.steps,
+        cg_tol=1e-5, cg_maxiter=400,
+    )
+    space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
+    batch = mu_stack(space.sample_randomly(8, key=1))
+    batch = jax.tree.map(lambda x: x.astype(jnp.float32), batch)
+
+    with mesh:
+        jit_step = jax.jit(step)
+        for it in range(args.steps):
+            mu = jax.tree.map(lambda x: x.astype(jnp.float32),
+                              space.sample_randomly(1, key=10 + it)[0])
+            t0 = time.perf_counter()
+            state, estimates, u = jit_step(state, mu, batch)
+            est = np.asarray(estimates)  # forces the transfer = sync
+            dt = time.perf_counter() - t0
+            label = "compile+step" if it == 0 else "step"
+            print(f"it {it}: {label} {dt:6.2f}s   basis={int(np.asarray(state.ncols))} "
+                  f"median est {np.median(est):.3e}")
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

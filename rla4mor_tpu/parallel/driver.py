@@ -107,11 +107,24 @@ def make_sharded_greedy_step(
         SX = sketch(X)  # (k, 1+T)
         su, s_terms = SX[:, 0], SX[:, 1:]
 
-        # 3) extend padded state
+        # 3) extend padded state with masked incremental Gram-Schmidt: the
+        # sketched basis stays orthonormal (otherwise the masked Galerkin
+        # solve degrades as near-parallel snapshots accumulate), and the
+        # same combination is applied to the residual columns — exactly the
+        # host reductor's sketch-space orthonormalization in incremental
+        # form (mor/sketched_reductor.py orthonormalize_basis)
         c = state.ncols
+        col_mask = (jnp.arange(r_max) < c).astype(su.dtype)
+        for _ in range(2):  # one re-orthogonalization pass
+            coeffs = (state.srb.conj().T @ su) * col_mask
+            su = su - state.srb @ coeffs
+            s_terms = s_terms - jnp.einsum(
+                "tkr,r->kt", state.res_lhs, coeffs
+            )
+        nrm = jnp.maximum(jnp.linalg.norm(su), 1e-30)
         state = state._replace(
-            srb=state.srb.at[:, c].set(su),
-            res_lhs=state.res_lhs.at[:, :, c].set(s_terms.T),
+            srb=state.srb.at[:, c].set(su / nrm),
+            res_lhs=state.res_lhs.at[:, :, c].set(s_terms.T / nrm),
             ncols=c + 1,
         )
 

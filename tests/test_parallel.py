@@ -141,12 +141,13 @@ def test_sharded_step_matches_unsharded_oracle():
 
     key_theta = jax.random.fold_in(key, 0)
     u_flat = jnp.asarray(np.asarray(u).reshape(-1))
-    su = gaussian_sketch_blocked(key_theta, 24, u_flat, 4)
-    assert np.allclose(np.asarray(state.srb[:, 0]), np.asarray(su), atol=1e-10)
+    su = np.asarray(gaussian_sketch_blocked(key_theta, 24, u_flat, 4))
+    nrm = np.linalg.norm(su)  # first column is GS-normalized in the step
+    assert np.allclose(np.asarray(state.srb[:, 0]), su / nrm, atol=1e-10)
     term0 = fom.apply_term(0, jnp.asarray(u)).reshape(-1)
-    st0 = gaussian_sketch_blocked(key_theta, 24, term0, 4)
+    st0 = np.asarray(gaussian_sketch_blocked(key_theta, 24, term0, 4))
     assert np.allclose(
-        np.asarray(state.res_lhs[0, :, 0]), np.asarray(st0), atol=1e-10
+        np.asarray(state.res_lhs[0, :, 0]), st0 / nrm, atol=1e-10
     )
 
 
