@@ -59,10 +59,14 @@ def main():
     print(f"devices={n_dev} (dof axis {n_dof}), grid {N}x{N}, "
           f"n = {n / 1e6:.2f}M DoF, sketch k = {args.k}")
 
+    # NOTE: the 4M-DoF Laplacian has kappa ~ 1e7; Jacobi-CG needs thousands
+    # of iterations for snapshot-quality solves (a multigrid preconditioner
+    # is the round-2 item — TODO.md). The greedy estimates are only
+    # meaningful once the snapshots are converged.
     key = jax.random.key(0)
     state, step = make_sharded_greedy_step(
         fom, mesh, key, k=args.k, r_max=args.steps,
-        cg_tol=1e-5, cg_maxiter=400,
+        cg_tol=1e-7, cg_maxiter=6000,
     )
     space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
     batch = mu_stack(space.sample_randomly(8, key=1))

@@ -1,0 +1,112 @@
+"""Geometric multigrid preconditioner for the stencil thermal block.
+
+The missing piece of SURVEY §7 hard part 2 at pod scale: plain Jacobi-CG
+needs O(sqrt(kappa)) ~ thousands of iterations on a multi-million-DoF
+Laplacian (kappa ~ h^-2). A V-cycle with rediscretized coefficients,
+damped-Jacobi smoothing, full-weighting restriction and bilinear
+prolongation is mesh-independent: CG preconditioned with one V-cycle
+converges in tens of iterations.
+
+Everything is static-shape per level (node grids (2^l + 1)^2), so the
+whole cycle jits, vmaps, and shards like the stencil itself (shifted adds;
+XLA inserts halo exchanges for sharded grids).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from rla4mor_tpu.models.stencil import interior_mask, stencil_apply
+
+
+def coarsen_kappa(kappa: jax.Array) -> jax.Array:
+    """(N, N) element coefficients -> (N/2, N/2) by 2x2 averaging."""
+    N = kappa.shape[0]
+    return kappa.reshape(N // 2, 2, N // 2, 2).mean(axis=(1, 3))
+
+
+def restrict_full_weighting(r: jax.Array) -> jax.Array:
+    """Node-grid full-weighting: coarse nodes = even fine nodes, 9-point
+    [1/4, 1/2, 1/4] (x) [1/4, 1/2, 1/4] stencil. r: (N+1, N+1), N even."""
+    w = jnp.asarray([0.25, 0.5, 0.25], r.dtype)
+    rp = jnp.pad(r, 1)
+    # separable: convolve rows then columns, then subsample even nodes
+    rows = w[0] * rp[:-2, :] + w[1] * rp[1:-1, :] + w[2] * rp[2:, :]
+    full = w[0] * rows[:, :-2] + w[1] * rows[:, 1:-1] + w[2] * rows[:, 2:]
+    coarse = full[::2, ::2]
+    return coarse * interior_mask(coarse.shape[0], r.dtype)
+
+
+def prolong_bilinear(e: jax.Array, n_fine: int) -> jax.Array:
+    """Bilinear interpolation from ((N/2)+1)^2 coarse nodes to (N+1)^2."""
+    nc = e.shape[0]
+    out = jnp.zeros((n_fine, n_fine), e.dtype)
+    out = out.at[::2, ::2].set(e)
+    # horizontal midpoints
+    out = out.at[::2, 1::2].set(0.5 * (e[:, :-1] + e[:, 1:]))
+    # vertical midpoints
+    out = out.at[1::2, ::2].set(0.5 * (e[:-1, :] + e[1:, :]))
+    # cell centers
+    out = out.at[1::2, 1::2].set(
+        0.25 * (e[:-1, :-1] + e[:-1, 1:] + e[1:, :-1] + e[1:, 1:])
+    )
+    return out * interior_mask(n_fine, e.dtype)
+
+
+def _jacobi_diag(kappa: jax.Array, dtype) -> jax.Array:
+    n = kappa.shape[0] + 1
+    d = jnp.zeros((n, n), dtype)
+    w = 2.0 / 3.0
+    d = d.at[:-1, :-1].add(kappa * w)
+    d = d.at[:-1, 1:].add(kappa * w)
+    d = d.at[1:, :-1].add(kappa * w)
+    d = d.at[1:, 1:].add(kappa * w)
+    return jnp.where(d > 0, d, 1.0)
+
+
+def make_vcycle(
+    kappa: jax.Array,
+    n_levels: int | None = None,
+    nu_pre: int = 2,
+    nu_post: int = 2,
+    omega: float = 0.8,
+    nu_coarse: int = 40,
+):
+    """Build ``vcycle(b) -> approximate A^-1 b`` for A = stencil(kappa).
+
+    ``kappa``: (N, N) element coefficients, N a power of two. Levels coarsen
+    down to 8x8 elements (or ``n_levels``). The returned closure is a fixed
+    linear operation (static iteration counts) — a valid CG preconditioner.
+    """
+    N = kappa.shape[0]
+    assert N & (N - 1) == 0, "multigrid needs power-of-two element counts"
+    kappas: List[jax.Array] = [kappa]
+    while kappas[-1].shape[0] > 8 and (
+        n_levels is None or len(kappas) < n_levels
+    ):
+        kappas.append(coarsen_kappa(kappas[-1]))
+    diags = [_jacobi_diag(k, kappa.dtype) for k in kappas]
+
+    def smooth(level, u, b, steps):
+        kap, dia = kappas[level], diags[level]
+        for _ in range(steps):
+            r = b - stencil_apply(u, kap)
+            u = u + omega * r / dia
+        return u
+
+    def cycle(level, b):
+        u = smooth(level, jnp.zeros_like(b), b, nu_pre)
+        if level == len(kappas) - 1:
+            return smooth(level, u, b, nu_coarse)
+        r = b - stencil_apply(u, kappas[level])
+        e_c = cycle(level + 1, restrict_full_weighting(r))
+        u = u + prolong_bilinear(e_c, b.shape[0])
+        return smooth(level, u, b, nu_post)
+
+    def vcycle(b):
+        return cycle(0, b)
+
+    return vcycle

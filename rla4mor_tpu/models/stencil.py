@@ -124,17 +124,22 @@ class StencilThermalBlock:
         d = d.at[1:, 1:].add(kap * (2.0 / 3.0))
         return jnp.where(d > 0, d, 1.0)
 
-    def solve_cg(self, mu, tol=1e-8, maxiter=2000):
-        """Matrix-free Jacobi-preconditioned CG solve (jittable)."""
+    def solve_cg(self, mu, tol=1e-8, maxiter=2000, precond="jacobi"):
+        """Matrix-free preconditioned CG solve (jittable).
+
+        ``precond``: 'jacobi' (default) or 'mg' — a geometric V-cycle
+        (models/multigrid.py), mesh-independent iteration counts; requires
+        power-of-two num_intervals."""
         b = self.rhs()
-        diag = self.jacobi_diag(mu)
-        res = cg(
-            lambda u: self.apply(mu, u),
-            b,
-            precond=lambda r: r / diag,
-            tol=tol,
-            maxiter=maxiter,
-        )
+        if precond == "mg":
+            from rla4mor_tpu.models.multigrid import make_vcycle
+
+            M = make_vcycle(self.kappa(mu))
+        else:
+            diag = self.jacobi_diag(mu)
+            M = lambda r: r / diag  # noqa: E731
+        res = cg(lambda u: self.apply(mu, u), b, precond=M, tol=tol,
+                 maxiter=maxiter)
         return res.x
 
     def output(self, u) -> jax.Array:

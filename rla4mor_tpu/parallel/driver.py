@@ -52,6 +52,7 @@ def make_sharded_greedy_step(
     r_max: int = 8,
     cg_tol: float = 1e-6,
     cg_maxiter: int = 500,
+    cg_precond: str = "jacobi",
 ):
     """Build (init_state, step) for the sharded greedy. ``step(state, mu,
     mu_batch)`` solves the FOM at mu, extends the sketched state, and
@@ -85,14 +86,20 @@ def make_sharded_greedy_step(
     def step(state: GreedyState, mu, mu_batch):
         # 1) sharded FOM solve
         bvec = lax.with_sharding_constraint(fom.rhs(), grid_sharding)
-        diag = fom.jacobi_diag(mu)
+        if cg_precond == "mg":
+            from rla4mor_tpu.models.multigrid import make_vcycle
+
+            M = make_vcycle(fom.kappa(mu))
+        else:
+            diag = fom.jacobi_diag(mu)
+            M = lambda r: r / diag  # noqa: E731
 
         from rla4mor_tpu.core.solvers import cg
 
         u = cg(
             lambda v: fom.apply(mu, v),
             bvec,
-            precond=lambda r: r / diag,
+            precond=M,
             tol=cg_tol,
             maxiter=cg_maxiter,
         ).x
