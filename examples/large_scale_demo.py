@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--grid", type=int, default=2047)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--k", type=int, default=256)
+    ap.add_argument("--precond", choices=["jacobi", "mg"], default="jacobi")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -50,10 +51,17 @@ def main():
     mesh = Mesh(np.array(jax.devices()[: n_dof]).reshape(n_dof, 1),
                 ("dof", "mu"))
 
-    # grid rows (N+1) must divide the dof axis
+    # multigrid needs power-of-two element counts; sharding needs node
+    # rows divisible by the dof axis (mutually exclusive for now: MG runs
+    # single-device, jacobi when sharded)
+    use_mg = n_dof == 1 and args.precond == "mg"
     N = args.grid
-    while (N + 1) % n_dof:
-        N += 1
+    if use_mg:
+        while N & (N - 1):
+            N += 1
+    else:
+        while (N + 1) % n_dof:
+            N += 1
     fom = StencilThermalBlock((2, 2), N, dtype=jnp.float32)
     n = fom.n_nodes ** 2
     print(f"devices={n_dev} (dof axis {n_dof}), grid {N}x{N}, "
@@ -66,7 +74,8 @@ def main():
     key = jax.random.key(0)
     state, step = make_sharded_greedy_step(
         fom, mesh, key, k=args.k, r_max=args.steps,
-        cg_tol=1e-7, cg_maxiter=6000,
+        cg_tol=1e-7, cg_maxiter=300 if use_mg else 6000,
+        cg_precond="mg" if use_mg else "jacobi",
     )
     space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
     batch = mu_stack(space.sample_randomly(8, key=1))
