@@ -263,3 +263,26 @@ def test_project_block_range_side(rng):
     full = project(op, V, None)
     blk = project_block(op, V, None, max_block_size=3)
     assert np.allclose(np.asarray(full.assemble(mu)), np.asarray(blk.assemble(mu)))
+
+
+def test_small_linops(rng):
+    from rla4mor_tpu.core import DiagonalOp, ScaledOp, ZeroOp, IdentityOp
+
+    d = jnp.asarray(rng.normal(size=5))
+    D = DiagonalOp(d)
+    x = jnp.asarray(rng.normal(size=(5, 2)))
+    assert np.allclose(np.asarray(D.apply(x)), np.asarray(d)[:, None] * np.asarray(x))
+    assert np.allclose(np.asarray(D.matrix()), np.diag(np.asarray(d)))
+
+    S = ScaledOp(D, 2.5)
+    assert np.allclose(np.asarray(S.apply(x)), 2.5 * np.asarray(D.apply(x)))
+    assert np.allclose(np.asarray(S.matrix()), 2.5 * np.diag(np.asarray(d)))
+
+    Z = ZeroOp(4, 5)
+    assert np.allclose(np.asarray(Z.apply(x)), 0.0)
+    assert Z.apply(x).shape == (4, 2)
+    assert np.asarray(Z.apply_adjoint(jnp.ones(4))).shape == (5,)
+
+    I = IdentityOp(5)
+    assert I.H is I
+    assert np.allclose(np.asarray((I @ D).apply(x)), np.asarray(D.apply(x)))
