@@ -98,11 +98,13 @@ def rb_greedy_padded(
     counter, so the jitted (solve + sketched-estimate) sweep over the
     training batch compiles ONCE — on a remote-compile TPU platform the
     per-basis-size retracing of :func:`rb_greedy` dominates offline time.
-    Galerkin projection only.
+    Supports both projections: masked square solve (galerkin) or masked
+    min-norm least squares (minres; zeroed pad columns yield zero
+    coefficients under the SVD solve).
     """
     import jax.numpy as jnp
 
-    assert reductor.projection == "galerkin"
+    minres = reductor.projection == "minres"
     logger = get_logger("mor.greedy", log_level)
     result = GreedyResult(rom=None)
     mus_batched = mu_stack(list(training_set))
@@ -110,8 +112,8 @@ def rb_greedy_padded(
     k = reductor.embedding_primal.range_dim
 
     @jax.jit
-    def sweep(srb_pad, lhs_pad, rhs_stack, phi, ncols, mus):
-        """Masked Galerkin solve + Phi-sketched estimate per mu."""
+    def sweep(srb_pad, lhs_pad, rhs_stack, phi1, phi2, ncols, mus):
+        """Masked solve + Phi-sketched estimate per mu."""
         col_mask = (jnp.arange(r_max) < ncols).astype(srb_pad.dtype)
         op_coeffs = reductor.fom.operator.coefficients
 
@@ -127,11 +129,18 @@ def rb_greedy_padded(
                 ).astype(srb_pad.dtype),
                 rhs_stack,
             )
-            A = srb_pad.conj().T @ res
-            A = A * col_mask[:, None] + jnp.diag(1.0 - col_mask)
-            b = (srb_pad.conj().T @ rhs) * col_mask
-            y = jnp.linalg.solve(A, b)
-            est = jnp.linalg.norm(phi @ (res @ y - rhs))
+            if minres:
+                A = phi1 @ res
+                b = phi1 @ rhs
+                U_, s_, Vh_ = jnp.linalg.svd(A, full_matrices=False)
+                s_inv = jnp.where(s_ > 1e-13 * jnp.max(s_), 1.0 / s_, 0.0)
+                y = Vh_.conj().T @ (s_inv * (U_.conj().T @ b))
+            else:
+                A = srb_pad.conj().T @ res
+                A = A * col_mask[:, None] + jnp.diag(1.0 - col_mask)
+                b = (srb_pad.conj().T @ rhs) * col_mask
+                y = jnp.linalg.solve(A, b)
+            est = jnp.linalg.norm(phi2 @ (res @ y - rhs))
             return est
 
         return jax.vmap(one)(mus)
@@ -156,11 +165,20 @@ def rb_greedy_padded(
     for it in range(1, max_extensions):
         srb_pad, lhs_pad = padded_state()
         rhs_stack = reductor.residual_rhs.stack[:, :, 0]
-        phi = jnp.asarray(
-            reductor.embedding_online.with_seed(online_seed + it).matrix()
+        # same seed schedule as rb_greedy / reduce(): galerkin draws one
+        # online sketch per iteration, minres a (seed, seed+1) pair
+        seed1 = online_seed + it
+        phi1 = jnp.asarray(
+            reductor.embedding_online.with_seed(seed1).matrix()
         ).astype(srb_pad.dtype)
+        if minres:
+            phi2 = jnp.asarray(
+                reductor.embedding_online.with_seed(seed1 + 1).matrix()
+            ).astype(srb_pad.dtype)
+        else:
+            phi2 = phi1
         estimates = np.asarray(
-            sweep(srb_pad, lhs_pad, rhs_stack, phi,
+            sweep(srb_pad, lhs_pad, rhs_stack, phi1, phi2,
                   jnp.asarray(reductor.basis_size), mus_batched)
         )
         imax = int(np.argmax(estimates))

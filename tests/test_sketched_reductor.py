@@ -293,3 +293,22 @@ def test_padded_greedy_matches_plain(thermal_fom):
         assert np.allclose(np.asarray(ma["diffusion"]),
                            np.asarray(mb["diffusion"]))
     assert np.allclose(res_a.max_estimates, res_b.max_estimates, rtol=1e-8)
+
+
+def test_padded_greedy_minres_matches_plain(thermal_fom):
+    from rla4mor_tpu.mor import rb_greedy_padded
+
+    fom = thermal_fom
+    training = fom.parameter_space.sample_randomly(15, key=7)
+    red_a, _ = _setup(fom, GaussianEmbedding, k=150, orthonormalize=True,
+                      projection="minres", k_online=90)
+    res_a = rb_greedy(fom, red_a, training, max_extensions=5, online_seed=60)
+    red_b, _ = _setup(fom, GaussianEmbedding, k=150, orthonormalize=True,
+                      projection="minres", k_online=90)
+    res_b = rb_greedy_padded(fom, red_b, training, max_extensions=5,
+                             online_seed=60)
+    assert len(res_a.selected_mus) == len(res_b.selected_mus)
+    for ma, mb in zip(res_a.selected_mus, res_b.selected_mus):
+        assert np.allclose(np.asarray(ma["diffusion"]),
+                           np.asarray(mb["diffusion"]))
+    assert np.allclose(res_a.max_estimates, res_b.max_estimates, rtol=1e-7)
