@@ -38,8 +38,8 @@ def test_full_workflow():
     phi = GaussianEmbedding.make(250, range_dim=120, seed=1)
     red = SketchedReductor(fom, embedding_primal=theta, embedding_online=phi,
                            product=Ru, log_level=40)
-    training = space.sample_randomly(40, key=0)
-    result = rb_greedy_padded(fom, red, training, max_extensions=10,
+    training = space.sample_randomly(30, key=0)
+    result = rb_greedy_padded(fom, red, training, max_extensions=9,
                               log_level=40)
     rom = result.rom
 
