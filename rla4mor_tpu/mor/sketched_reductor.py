@@ -215,10 +215,15 @@ class SketchedReductor:
         )
 
     def _reduce_empty(self) -> StationaryROM:
-        raise ValueError(
-            "reduce() with empty basis: extend_basis at least once first "
-            "(classical unsketched reduction of an empty basis is degenerate)"
-        )
+        """Classical fallback for the empty basis (reference
+        mor/sketched_reductor.py:189-208): project with the empty basis and
+        build the exact Riesz residual estimator, so the emitted ROM
+        estimates ||b(mu)||_{R^-1}-type residuals instead of raising."""
+        from rla4mor_tpu.mor.classical_reductor import ClassicalReductor
+
+        self.logger.info("empty basis: classical residual reduction")
+        red = ClassicalReductor(self.fom, product=self.product)
+        return red.reduce()
 
     def extend_basis_blocked(self, U, max_block_size: int = 64, mu=None):
         """Stream snapshot columns in blocks to bound peak memory

@@ -135,7 +135,12 @@ def _resolve(kind, source_dim, range_dim, epsilon, delta, oblivious_dim,
 
 @dataclass(frozen=True)
 class GaussianEmbedding(Embedding):
-    """Omega with iid N(0, 1/k) entries (reference rla/embeddings.py:214-270)."""
+    """Omega with iid N(0, 1/k) entries (reference rla/embeddings.py:214-270).
+
+    Entries follow the canonical tile derivation (ops/seeding.py), so this,
+    ``BlockGaussianEmbedding`` and the mesh-sharded Gaussian sketch all name
+    the SAME operator at the same seed.
+    """
 
     @classmethod
     def make(cls, source_dim, sqrt_product=None, range_dim=None, epsilon=None,
@@ -145,10 +150,11 @@ class GaussianEmbedding(Embedding):
         return cls(k, source_dim, seed, sqrt_product)
 
     def random_matrix(self):
-        k = self.range_dim
-        return jax.random.normal(
-            self.key, (k, self.l2_dim), dtype=default_dtype()
-        ) / math.sqrt(k)
+        from rla4mor_tpu.ops.seeding import gaussian_matrix
+
+        return gaussian_matrix(
+            self.key, self.range_dim, self.l2_dim, default_dtype()
+        )
 
 
 @dataclass(frozen=True)
@@ -270,9 +276,10 @@ class BlockGaussianEmbedding(Embedding):
 
     The reference stores only per-block seeds and regenerates k x n Gaussian
     blocks on demand to bound RAM (rla/embeddings.py:373-467, block seeds
-    :402-407). Here block b draws from ``fold_in(key, b)`` — deterministic,
-    collision-free, and the exact mechanism reused for per-shard generation
-    in parallel/ (same sketch whether sharded or not).
+    :402-407). Here every block is a row slice of the canonical tile-derived
+    Omega (ops/seeding.py) — deterministic, collision-free, and literally
+    equal to the corresponding rows of ``GaussianEmbedding`` and of the
+    mesh-sharded Gaussian at the same seed (same sketch on any layout).
     """
 
     max_block_size: int = 128
@@ -295,11 +302,13 @@ class BlockGaussianEmbedding(Embedding):
         return len(self.block_sizes)
 
     def random_block(self, b: int) -> jax.Array:
-        """(block_size, l2_dim) rows of Omega for block b."""
-        size = self.block_sizes[b]
-        return jax.random.normal(
-            jax.random.fold_in(self.key, b), (size, self.l2_dim),
-            dtype=default_dtype(),
+        """(block_size, l2_dim) rows of the canonical Omega for block b."""
+        from rla4mor_tpu.ops.seeding import gaussian_rows
+
+        r0 = b * self.max_block_size
+        r1 = r0 + self.block_sizes[b]
+        return gaussian_rows(
+            self.key, self.l2_dim, r0, r1, default_dtype()
         ) / math.sqrt(self.range_dim)
 
     def block_source_array(self, b: int) -> jax.Array:

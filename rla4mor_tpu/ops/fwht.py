@@ -96,11 +96,18 @@ def fwht(x: jax.Array, normalize: bool = True,
 
 
 def _srht_plan(key: jax.Array, n: int, k: int) -> Tuple[jax.Array, jax.Array, int]:
-    """Seeded (rademacher (n,), sampling (k,), d) — pure function of key."""
+    """Seeded (rademacher (n,), sampling (k,), d) — pure function of key.
+
+    The sign vector uses the canonical SIGN_BLOCK-wise derivation
+    (ops/seeding.py) so mesh shards can regenerate exactly their slice:
+    one seed = one operator on any device layout.
+    """
+    from rla4mor_tpu.ops.seeding import rademacher_vector
+
     d = max(int(math.ceil(math.log2(max(n, 1)))), 0)
     key_d = jax.random.fold_in(key, 0)
     key_s = jax.random.fold_in(key, 1)
-    rademacher = jax.random.rademacher(key_d, (n,), dtype=jnp.int8)
+    rademacher = rademacher_vector(key_d, n)
     sampling = jax.random.randint(key_s, (k,), 0, 1 << d)
     return rademacher, sampling, d
 

@@ -8,10 +8,10 @@ matmul followed by a ``psum`` over the 'dof' axis, and the SRHT runs
 log2(n_local) local FWHT stages plus log2(n_devices) cross-chip
 add/subtract butterfly stages via ``ppermute`` (SURVEY §2.2).
 
-Seed discipline: shard-block randomness derives from
-``fold_in(key, block_index)`` exactly like the single-device blocked
-functions below, so **sharded and unsharded sketches are bit-identical**
-(tested on the 8-device CPU mesh).
+Seed discipline: every shard generates its column strip of the CANONICAL
+tile-derived Omega / sign vector (ops/seeding.py), so sharded, blocked and
+full-matrix (embedding-zoo) sketches are **bit-identical at the same seed**
+and independent of the device count (tested on the 8-device CPU mesh).
 """
 
 from __future__ import annotations
@@ -24,7 +24,8 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from rla4mor_tpu.ops.fwht import fwht
+from rla4mor_tpu.ops.fwht import _srht_plan, fwht
+from rla4mor_tpu.ops.seeding import gaussian_cols, rademacher_slice
 
 
 # ---------------------------------------------------------------------------
@@ -34,10 +35,10 @@ from rla4mor_tpu.ops.fwht import fwht
 
 def gaussian_block(key, k: int, block_size: int, block_index,
                    dtype=jnp.float32) -> jax.Array:
-    """(k, block_size) column-block of Omega, scaled 1/sqrt(k). The full
-    Omega is the column-concatenation over block_index."""
-    kb = jax.random.fold_in(key, block_index)
-    return jax.random.normal(kb, (k, block_size), dtype=dtype) / math.sqrt(k)
+    """(k, block_size) column-block of the canonical Omega, scaled
+    1/sqrt(k). The full Omega is the column-concatenation over block_index
+    — equal to ``GaussianEmbedding(key...).random_matrix()`` columns."""
+    return gaussian_cols(key, k, block_index * block_size, block_size, dtype)
 
 
 def gaussian_sketch_blocked(key, k: int, x: jax.Array, n_blocks: int) -> jax.Array:
@@ -77,28 +78,17 @@ def gaussian_sketch_sharded(key, k: int, x: jax.Array, mesh: Mesh,
 # ---------------------------------------------------------------------------
 
 
-def _srht_plan_blocked(key, n: int, k: int, n_blocks: int):
-    """Seeded plan with *blockwise* Rademacher derivation so shards can
-    regenerate their slice: D block b = rademacher(fold_in(key_d, b))."""
-    key_d = jax.random.fold_in(key, 0)
-    key_s = jax.random.fold_in(key, 1)
-    sampling = jax.random.randint(key_s, (k,), 0, n)
-    bs = n // n_blocks
-    d_blocks = [
-        jax.random.rademacher(jax.random.fold_in(key_d, b), (bs,), dtype=jnp.int8)
-        for b in range(n_blocks)
-    ]
-    return d_blocks, sampling
-
-
 def srht_blocked(key, k: int, x: jax.Array, n_blocks: int) -> jax.Array:
-    """Single-device oracle of the sharded SRHT (n must be a power of two
-    and divisible into 2^c power-of-two blocks): y = sqrt(n/k) P H D x."""
+    """Single-device oracle of the sharded SRHT (n must be a power of two):
+    y = sqrt(n/k) P H D x with the canonical seeded plan — identical to
+    ``ops.fwht.srht`` applied along axis 0 (n_blocks only mirrors the
+    sharded call signature; the operator does not depend on it)."""
     n = x.shape[0]
     d = n.bit_length() - 1
     assert 1 << d == n, "sharded SRHT requires power-of-two n (pre-padded)"
-    d_blocks, sampling = _srht_plan_blocked(key, n, k, n_blocks)
-    D = jnp.concatenate(d_blocks).astype(x.dtype)
+    del n_blocks  # canonical derivation is layout-independent
+    rademacher, sampling, _ = _srht_plan(key, n, k)
+    D = rademacher.astype(x.dtype)
     y = x * (D if x.ndim == 1 else D[:, None])
     y = fwht(y.T if x.ndim > 1 else y, normalize=True)
     y = y.T if x.ndim > 1 else y
@@ -127,11 +117,9 @@ def srht_sketch_sharded(key, k: int, x: jax.Array, mesh: Mesh,
         b = lax.axis_index(axis)
         single = x_local.ndim == 1
         xl = x_local[:, None] if single else x_local
-        # D multiply — the shard regenerates its own Rademacher block from
-        # fold_in(key_d, shard_index): same derivation as srht_blocked
-        D = jax.random.rademacher(
-            jax.random.fold_in(key_d, b), (n_local,), dtype=jnp.int8
-        ).astype(xl.dtype)
+        # D multiply — the shard regenerates its slice of the CANONICAL
+        # sign vector (same derivation as srht_blocked / ops.fwht.srht)
+        D = rademacher_slice(key_d, b * n_local, n_local).astype(xl.dtype)
         y = xl * D[:, None]
         # local FWHT stages (normalized by 2^{-d_local/2})
         y = fwht(y.T, normalize=True).T

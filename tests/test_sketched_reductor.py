@@ -312,3 +312,26 @@ def test_padded_greedy_minres_matches_plain(thermal_fom):
         assert np.allclose(np.asarray(ma["diffusion"]),
                            np.asarray(mb["diffusion"]))
     assert np.allclose(res_a.max_estimates, res_b.max_estimates, rtol=1e-7)
+
+
+def test_empty_basis_reduce_classical_fallback(thermal_fom):
+    """VERDICT missing #2: reduce() on an empty basis falls back to the
+    classical residual reductor (reference mor/sketched_reductor.py:189-208)
+    — the ROM estimates ||b(mu)||_{R^-1} instead of raising."""
+    from rla4mor_tpu.core.affine import materialize
+    from rla4mor_tpu.core.parameters import eval_coefficients
+
+    fom = thermal_fom
+    red, _ = _setup(fom, GaussianEmbedding)
+    rom = red.reduce(seed=0)
+    mu = fom.parameter_space.sample_randomly(1, key=11)[0]
+    u = rom.solve(mu)
+    assert u.shape == (0,)
+    est = float(rom.error_estimator.estimate_error(u, mu))
+
+    Ru = fom.h1_0_product
+    bm = materialize(fom.rhs)
+    th = eval_coefficients(bm.coefficients, mu)
+    bvec = jnp.einsum("t,tnl->nl", th, bm.stack)[:, 0]
+    oracle = float(jnp.sqrt(bvec @ jnp.asarray(Ru.inv.apply(bvec))))
+    assert abs(est - oracle) < 1e-8 * oracle
