@@ -23,6 +23,8 @@ from rla4mor_tpu.core.linops import (
     HostSparseOp,
     HostLUInverse,
     CGInverseOp,
+    DeviceCholeskyInverse,
+    RecycledCGInverseOp,
     ScipyLinearOperator,
     sparse_cholesky,
     to_matrix,
@@ -49,6 +51,7 @@ __all__ = [
     "ONE", "eval_coefficients", "mu_stack", "mu_unstack",
     "LinOp", "IdentityOp", "DenseOp", "DiagonalOp", "AdjointOp", "ChainOp",
     "ScaledOp", "ZeroOp", "HostSparseOp", "HostLUInverse", "CGInverseOp",
+    "DeviceCholeskyInverse", "RecycledCGInverseOp",
     "ScipyLinearOperator", "sparse_cholesky", "to_matrix",
     "AffineOp", "AffineDense", "as_affine", "compose", "project",
     "project_block", "apply2", "materialize", "concat_affine",

@@ -42,6 +42,11 @@ class ManifoldDistance:
         """Distances and minimizing parameter values for each column."""
         raise NotImplementedError
 
+    def distances(self, U) -> "jax.Array":
+        """Distances only, as a pure jittable/vmappable function of U
+        (n_dofs, cols) -> (cols,) — used by the batched recovery driver."""
+        raise NotImplementedError
+
     def project(self, indices) -> "ManifoldDistance":
         """Restrict the source DoFs of lhs to ``indices`` (reference
         ``ManifoldDistance.project``, manifold_distance.py:67-89)."""
@@ -79,6 +84,12 @@ class ResidualDistanceDiscrete(ManifoldDistance):
         distances = norms[np.arange(len(idx)), idx]
         mus = [self.mus[i] for i in idx]
         return distances, mus
+
+    def distances(self, U):
+        U = jnp.asarray(U)
+        if U.ndim == 1:
+            U = U[:, None]
+        return jax.vmap(self._residual_norms, in_axes=1)(U).min(axis=1)
 
     def project(self, indices):
         indices = jnp.asarray(indices)
@@ -164,6 +175,12 @@ class ResidualDistanceAffine(ManifoldDistance):
         dist, xs = jax.jit(jax.vmap(self._evaluate_one, in_axes=1))(U)
         mus = [{self.parameter_key: xs[i]} for i in range(xs.shape[0])]
         return np.asarray(dist), mus
+
+    def distances(self, U):
+        U = jnp.asarray(U)
+        if U.ndim == 1:
+            U = U[:, None]
+        return jax.vmap(self._evaluate_one, in_axes=1)(U)[0]
 
     def project(self, indices):
         indices = jnp.asarray(indices)

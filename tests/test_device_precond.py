@@ -146,3 +146,55 @@ def test_device_preconditioned_reductor_matches_host():
     Bd, fd = red_d.assemble_rom_system(mu_p)
     assert np.allclose(np.asarray(Bh), np.asarray(Bd), atol=1e-7)
     assert np.allclose(np.asarray(fh), np.asarray(fd), atol=1e-7)
+
+
+def test_device_cholesky_inverse_matches_lu(thermal_fom):
+    """VERDICT r1 next #8: stored device factorization as a direction."""
+    from rla4mor_tpu.core import DeviceCholeskyInverse
+
+    fom = thermal_fom
+    mu = fom.parameter_space.sample_randomly(1, key=3)[0]
+    A = fom.assemble_sparse(mu)
+    lu = HostLUInverse(A)
+    chol = DeviceCholeskyInverse(jnp.asarray(A.toarray()))
+    X = jnp.asarray(np.random.RandomState(1).normal(size=(fom.solution_dim, 3)))
+    assert np.allclose(np.asarray(chol.apply(X)), np.asarray(lu.apply(X)),
+                       atol=1e-9)
+    assert np.allclose(np.asarray(chol.apply_adjoint(X)),
+                       np.asarray(lu.apply(X)), atol=1e-9)
+    assert np.allclose(np.asarray(chol.apply_inverse(X)),
+                       np.asarray(A @ np.asarray(X)), atol=1e-10)
+
+
+def test_recycled_cg_inverse(thermal_fom):
+    """VERDICT r1 next #8: deflated CG direction — correct solves, and the
+    recycled subspace makes repeated/nearby right-hand sides converge in a
+    few iterations instead of restarting cold."""
+    from rla4mor_tpu.core import RecycledCGInverseOp
+
+    fom = thermal_fom
+    mu = fom.parameter_space.sample_randomly(1, key=4)[0]
+    A = fom.assemble_sparse(mu)
+    Ad = jnp.asarray(A.toarray())
+    lu = HostLUInverse(A)
+    op = RecycledCGInverseOp(lambda v: Ad @ v, fom.solution_dim,
+                             tol=1e-12, maxiter=3000, m_max=8)
+    rng = np.random.RandomState(2)
+    b = jnp.asarray(rng.normal(size=fom.solution_dim))
+    x1 = op.apply(b)
+    assert np.allclose(np.asarray(x1), np.asarray(lu.apply(b)), atol=1e-7)
+    cold_iters = op.last_iters
+    assert cold_iters > 5
+    # identical rhs again: deflation solves it (near-)instantly
+    x2 = op.apply(b)
+    assert op.last_iters <= 2
+    assert np.allclose(np.asarray(x2), np.asarray(lu.apply(b)), atol=1e-7)
+    # nearby rhs: warm start beats cold start
+    b2 = b + 0.05 * jnp.asarray(rng.normal(size=fom.solution_dim))
+    x3 = op.apply(b2)
+    assert op.last_iters < cold_iters
+    assert np.allclose(np.asarray(x3), np.asarray(lu.apply(b2)), atol=1e-7)
+    # matrix applies (column loop + state threading)
+    X = jnp.asarray(rng.normal(size=(fom.solution_dim, 2)))
+    assert np.allclose(np.asarray(op.apply(X)), np.asarray(lu.apply(X)),
+                       atol=1e-7)
