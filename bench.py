@@ -49,6 +49,20 @@ def _timed(fn, x, iters):
     return float(np.median(ts))
 
 
+def _timed_amortized(fn, x, chain=6, reps=3):
+    """Seconds per call with ``chain`` back-to-back dispatches and ONE final
+    sync: amortizes the axon tunnel's ~30 ms fixed dispatch+transfer cost
+    and exposes the true on-chip rate (diagnostic; see PERF.md round 2)."""
+    _ = np.asarray(fn(x))
+    best = float("inf")
+    for _r in range(reps):
+        t0 = time.perf_counter()
+        rs = [fn(x) for _ in range(chain)]
+        _ = np.asarray(rs[-1])
+        best = min(best, (time.perf_counter() - t0) / chain)
+    return best
+
+
 def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
     from rla4mor_tpu.ops.fwht import srht
     from rla4mor_tpu.ops.srht_pallas import srht_onepass_xla, srht_pallas
@@ -62,11 +76,17 @@ def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
     x = jax.random.normal(jax.random.fold_in(key, 1), (rows, n), jnp.float32)
     _ = np.asarray(jnp.sum(x))
 
-    # measured single-read roofline
-    t_read = _timed(jax.jit(lambda v: jnp.sum(v)), x, iters)
+    # measured single-read roofline (same per-call sync methodology as the
+    # candidates; the amortized numbers below are the true on-chip rates)
+    roof_fn = jax.jit(lambda v: jnp.sum(v))
+    t_read = _timed(roof_fn, x, iters)
     roofline = nbytes / t_read / 1e9
     log(f"measured 1-read roofline: {roofline:.1f} GB/s "
         f"({roofline / SPEC_ROOFLINE_GBPS * 100:.1f}% of the 819 GB/s spec)")
+    t_read_a = _timed_amortized(roof_fn, x)
+    log(f"  amortized (pipelined) roofline: {nbytes / t_read_a / 1e9:.1f} "
+        f"GB/s — fixed dispatch+sync overhead ~{(t_read - t_read_a) * 1e3:.0f}"
+        " ms/call on this tunnel")
 
     candidates = {
         "pallas_bf16": jax.jit(
@@ -79,18 +99,28 @@ def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
         "xla_scan_bf16": jax.jit(
             lambda v: jnp.sum(srht_onepass_xla(v, k, key, P.DEFAULT) ** 2)
         ),
+        # same kernel, big-R split (the XLA scan has no VMEM constraint)
+        "xla_scan_bf16_bigR": jax.jit(
+            lambda v: jnp.sum(
+                srht_onepass_xla(
+                    v, k, key, P.DEFAULT, split=(1, 7, d - 8)
+                ) ** 2
+            )
+        ),
     }
     best_name, best_gbps = None, 0.0
     for name, fn in candidates.items():
         log(f"compiling + timing {name} ...")
         try:
             t = _timed(fn, x, iters)
+            t_a = _timed_amortized(fn, x)
         except Exception as e:
             log(f"  {name} failed: {e!r}")
             continue
         gbps = nbytes / t / 1e9
         log(f"  {name}: {t * 1e3:.1f} ms -> {gbps:.1f} GB/s "
-            f"({gbps / roofline * 100:.1f}% of measured roofline)")
+            f"({gbps / roofline * 100:.1f}% of measured roofline); "
+            f"amortized {t_a * 1e3:.1f} ms ({nbytes / t_a / 1e9:.1f} GB/s)")
         if gbps > best_gbps:
             best_name, best_gbps = name, gbps
 

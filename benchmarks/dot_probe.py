@@ -4,6 +4,11 @@ If halving N doubles throughput -> MXU-compute-bound; if flat -> bandwidth/
 pipeline-bound. Also probes the sign-multiply fusion and f32 accumulate.
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
+
 import time
 import sys
 

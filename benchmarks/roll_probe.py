@@ -4,6 +4,11 @@ z = sum_l roll(s_l * x_l, o_l along the coarse axis) on a (m, L, b1, 128)
 view — candidate single-pass collapse for a CountSketch+SRHT composition.
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
+
 import time
 
 import jax

@@ -6,6 +6,11 @@ dimension (H_R = H_F kron H_{R/F}); per-step dot becomes
 matrix in the small VPU einsum. MAC count is unchanged; MXU shape changes.
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
+
 import math
 import time
 
@@ -79,17 +84,10 @@ def main():
     t = timed(jax.jit(jnp.sum), x)
     print(f"roofline {nbytes/t/1e9:.1f} GB/s", flush=True)
 
-    # K scaling at fixed split (compute-bound test)
-    for k in (64, 128, 256, 512):
-        fn = jax.jit(lambda v, k=k: jnp.sum(
-            srht_scan_f(v, k, key, (1, 7, 16), 1) ** 2))
-        t = timed(fn, x)
-        print(f"K={k} split=(1,7,16) F=1: {t*1e3:.1f} ms -> "
-              f"{nbytes/t/1e9:.1f} GB/s", flush=True)
-
     # F-stacking at K=256
-    for split, F in [((1, 7, 16), 2), ((1, 7, 16), 4), ((1, 7, 16), 8),
-                     ((1, 7, 16), 16), ((0, 7, 17), 8), ((2, 8, 14), 4)]:
+    for split, F in [((0, 7, 17), 16), ((0, 7, 17), 32), ((0, 8, 16), 16),
+                     ((0, 6, 18), 16), ((0, 6, 18), 32), ((0, 5, 19), 32),
+                     ((0, 7, 17), 64)]:
         fn = jax.jit(lambda v, split=split, F=F: jnp.sum(
             srht_scan_f(v, 256, key, split, F) ** 2))
         t = timed(fn, x)

@@ -5,6 +5,11 @@ budget; the XLA scan can take much bigger R, shrinking the per-step
 (m, Q, K) intermediate traffic (K/R of input bytes, written+read).
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
+
 import sys
 import time
 

@@ -94,13 +94,29 @@ def srht_onepass_xla(
     k: int,
     key: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
+    split: Tuple[int, int, int] | None = None,
 ) -> jax.Array:
     """The single-pass factored SRHT as a ``lax.scan`` over p-slabs in plain
-    XLA — fast-compiling fallback with the same semantics as the kernel."""
+    XLA — fast-compiling fallback with the same semantics as the kernel.
+
+    ``split`` overrides the (log2 P, log2 Q, log2 R) factorization (the
+    default is the Pallas-kernel-compatible ``_split_pqr``; the XLA scan
+    has no VMEM constraint, and measured throughput is split-insensitive
+    to ~5% — see PERF.md round-2 notes)."""
     m, n = x.shape
     d = n.bit_length() - 1
     assert 1 << d == n, "srht_onepass_xla requires power-of-two n"
-    rademacher, (P, Q, R), gq, gr, hp = _plan_factors(key, n, k, d, x.dtype)
+    if split is None:
+        rademacher, (P, Q, R), gq, gr, hp = _plan_factors(key, n, k, d, x.dtype)
+    else:
+        dp, dq, dr = split
+        assert dp + dq + dr == d, (split, d)
+        rademacher, sampling, _ = _srht_plan(key, n, k)
+        P, Q, R = 1 << dp, 1 << dq, 1 << dr
+        samp = sampling.astype(jnp.uint32)
+        gq = _hadamard_rows((samp >> dr) & (Q - 1), Q, x.dtype)
+        gr = _hadamard_rows(samp & (R - 1), R, x.dtype)
+        hp = _hadamard_rows(samp >> (dq + dr), P, jnp.float32)
 
     x4 = x.reshape(m, P, Q, R)
     d4 = rademacher.reshape(P, Q, R)
