@@ -5,6 +5,13 @@ from rla4mor_tpu.models.stationary import (
 )
 from rla4mor_tpu.models.thermal_block import ThermalBlockFOM
 from rla4mor_tpu.models.advection_diffusion import AdvectionDiffusionFOM
+from rla4mor_tpu.models.instationary import (
+    InstationaryFOM,
+    InstationaryROM,
+    InstationaryReductor,
+    instationary_thermal_block,
+    pod_greedy,
+)
 
 __all__ = [
     "StationaryFOM",
@@ -12,4 +19,6 @@ __all__ = [
     "ResidualErrorEstimator",
     "ThermalBlockFOM",
     "AdvectionDiffusionFOM",
+    "InstationaryFOM", "InstationaryROM", "InstationaryReductor",
+    "instationary_thermal_block", "pod_greedy",
 ]

@@ -1,0 +1,374 @@
+"""Instationary (parabolic) parametric models and their reduction.
+
+M du/dt + A(mu) u = b(mu),  u(0) = u0,  on (0, T] with nt implicit-Euler
+steps.  The reference is stationary-only (rla4mor has no instationary
+counterpart); this extends the framework toward pyMOR's
+``InstationaryModel`` the TPU-first way:
+
+* FOM trajectories: one host factorization of (M + dt A(mu)) and nt
+  back-substitutions (offline path, mirrors StationaryFOM.solve);
+* ROM trajectories: dense reduced mass/stiffness, the WHOLE time loop is a
+  ``lax.scan`` — one jitted program per mu, vmappable over parameter
+  batches;
+* error estimation: the implicit-Euler space-time residual
+  r_k = M (u_k - u_{k-1})/dt + A(mu) u_k - b(mu), Riesz-lifted and
+  SKETCHED with the stationary machinery (Theta R^-1 applied to the
+  reduced-basis images ONCE offline), accumulated as
+  eta = sqrt(dt * sum_k ||Theta R^-1 r_k||^2) inside the same scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+import scipy.sparse.linalg as spla
+
+from rla4mor_tpu.core.affine import AffineDense, AffineOp
+from rla4mor_tpu.core.linops import HostSparseOp
+from rla4mor_tpu.core.parameters import Mu, ParameterSpace, eval_coefficients
+from rla4mor_tpu.core.products import Product
+from rla4mor_tpu.utils.logger import get_logger
+
+
+class InstationaryFOM:
+    """Implicit-Euler parabolic FOM with affine A(mu), b(mu) and fixed M."""
+
+    def __init__(
+        self,
+        operator: AffineOp,
+        rhs: AffineOp,
+        mass: HostSparseOp,
+        T: float = 1.0,
+        nt: int = 50,
+        u0=None,
+        output_functional=None,
+        products=None,
+        parameter_space: Optional[ParameterSpace] = None,
+        name: str = "instationary_fom",
+    ):
+        self.operator = operator
+        self.rhs = rhs
+        self.mass = mass
+        self.T = float(T)
+        self.nt = int(nt)
+        self.dt = self.T / self.nt
+        n = operator.source_dim
+        self.solution_dim = n
+        self.u0 = (jnp.zeros(n) if u0 is None else jnp.asarray(u0))
+        self.output_functional = output_functional
+        self.products = products or {}
+        self.parameter_space = parameter_space
+        self.name = name
+        self.logger = get_logger("models.instationary", 20)
+
+    def _assemble_A(self, mu: Mu) -> sps.csc_matrix:
+        theta = np.asarray(eval_coefficients(self.operator.coefficients, mu))
+        out = None
+        for t, term in enumerate(self.operator.terms):
+            m = theta[t] * term.S
+            out = m if out is None else out + m
+        return out.tocsc()
+
+    def assemble_rhs(self, mu: Mu) -> np.ndarray:
+        if isinstance(self.rhs, AffineDense):
+            return np.asarray(self.rhs.assemble_vec(mu))
+        return np.asarray(self.rhs.assemble_dense(mu))[:, 0]
+
+    def solve(self, mu: Mu) -> jax.Array:
+        """(n, nt+1) trajectory, implicit Euler: (M + dt A) u_k = M u_{k-1}
+        + dt b; ONE factorization per mu."""
+        A = self._assemble_A(mu)
+        M = sps.csc_matrix(self.mass.S)
+        b = self.assemble_rhs(mu).astype(np.float64)
+        lu = spla.splu(sps.csc_matrix(M + self.dt * A))
+        u = np.asarray(self.u0, np.float64)
+        out = [u]
+        for _ in range(self.nt):
+            u = lu.solve(np.asarray(M @ u) + self.dt * b)
+            out.append(u)
+        return jnp.asarray(np.stack(out, axis=1))
+
+    def solve_many(self, mus) -> jax.Array:
+        return jnp.stack([self.solve(mu) for mu in mus], axis=0)  # (m, n, nt+1)
+
+
+class InstationaryROM:
+    """Dense reduced parabolic model; trajectory + sketched space-time
+    residual estimate in ONE jitted ``lax.scan`` (pytree, vmappable)."""
+
+    def __init__(self, mass_r, lhs: AffineDense, rhs_r: AffineDense,
+                 u0_r, dt: float, nt: int,
+                 est_mass=None, est_lhs: Optional[AffineDense] = None,
+                 est_rhs: Optional[AffineDense] = None,
+                 output_functional: Optional[AffineDense] = None):
+        self.mass_r = mass_r          # (r, r)
+        self.lhs = lhs                # (T, r, r)
+        self.rhs_r = rhs_r            # (Tb, r, 1)
+        self.u0_r = u0_r              # (r,)
+        self.dt = float(dt)
+        self.nt = int(nt)
+        self.est_mass = est_mass      # (k, r)   Theta R^-1 M V
+        self.est_lhs = est_lhs        # (T, k, r) Theta R^-1 A_t V
+        self.est_rhs = est_rhs        # (Tb, k, 1) Theta R^-1 b_l
+        self.output_functional = output_functional
+
+    def tree_flatten(self):
+        return (self.mass_r, self.lhs, self.rhs_r, self.u0_r, self.est_mass,
+                self.est_lhs, self.est_rhs, self.output_functional), (
+            self.dt, self.nt)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        obj = object.__new__(cls)
+        (obj.mass_r, obj.lhs, obj.rhs_r, obj.u0_r, obj.est_mass, obj.est_lhs,
+         obj.est_rhs, obj.output_functional) = ch
+        obj.dt, obj.nt = aux
+        return obj
+
+    @property
+    def dim(self) -> int:
+        return self.mass_r.shape[0]
+
+    def _assembled(self, mu: Mu):
+        A = self.lhs.assemble(mu)
+        b = self.rhs_r.assemble_vec(mu)
+        return A, b
+
+    def solve(self, mu: Mu, return_estimate: bool = False):
+        """(r, nt+1) trajectory; optionally the cumulative residual-norm
+        estimate eta = sqrt(dt * sum_k ||sketched r_k||^2)."""
+        A, b = self._assembled(mu)
+        S = self.mass_r + self.dt * A
+        estimating = return_estimate and self.est_lhs is not None
+        if estimating:
+            sA = self.est_lhs.apply_stacked(mu) if hasattr(
+                self.est_lhs, "apply_stacked") else jnp.einsum(
+                "t,tkr->kr",
+                eval_coefficients(self.est_lhs.coefficients, mu).astype(
+                    self.est_lhs.stack.dtype), self.est_lhs.stack)
+            sb = self.est_rhs.assemble_vec(mu)
+
+        def step(carry, _):
+            u, acc = carry
+            u_new = jnp.linalg.solve(S, self.mass_r @ u + self.dt * b)
+            if estimating:
+                r = (self.est_mass @ (u_new - u)) / self.dt + sA @ u_new - sb
+                acc = acc + jnp.sum(jnp.abs(r) ** 2)
+            return (u_new, acc), u_new
+
+        (u_end, acc), traj = jax.lax.scan(
+            step, (self.u0_r.astype(S.dtype), jnp.asarray(0.0, S.dtype)),
+            None, length=self.nt,
+        )
+        traj = jnp.concatenate(
+            [self.u0_r.astype(S.dtype)[None], traj], axis=0
+        ).T  # (r, nt+1)
+        if return_estimate:
+            return traj, jnp.sqrt(self.dt * acc)
+        return traj
+
+    def estimate_error(self, mu: Mu) -> jax.Array:
+        _, eta = self.solve(mu, return_estimate=True)
+        return eta
+
+    def output(self, U, mu: Mu) -> jax.Array:
+        assert self.output_functional is not None
+        return self.output_functional.apply(U, mu)
+
+
+jax.tree_util.register_pytree_node(
+    InstationaryROM,
+    lambda x: x.tree_flatten(),
+    InstationaryROM.tree_unflatten,
+)
+
+
+class InstationaryReductor:
+    """Galerkin reduction of an InstationaryFOM with a sketched space-time
+    residual estimator (embedding = Theta, Riesz lift = product.inv —
+    the stationary sketching machinery applied to [M V | A_t V | b])."""
+
+    def __init__(self, fom: InstationaryFOM, embedding=None,
+                 product: Optional[Product] = None, log_level: int = 20):
+        self.fom = fom
+        n = fom.solution_dim
+        self.product = product if product is not None else Product.identity(n)
+        self.embedding = embedding
+        self.rb = jnp.zeros((n, 0))
+        self.logger = get_logger("mor.instationary", log_level)
+
+    @property
+    def basis_size(self) -> int:
+        return self.rb.shape[1]
+
+    def extend_basis(self, U) -> None:
+        """Append columns and R-orthonormalize (POD-greedy appends POD
+        modes of the projection error trajectory)."""
+        from rla4mor_tpu.core.orthonormalize import gram_schmidt
+
+        U = jnp.asarray(U)
+        if U.ndim == 1:
+            U = U[:, None]
+        rb = jnp.concatenate([self.rb.astype(U.dtype), U], axis=1)
+        self.rb = gram_schmidt(rb, product=self.product,
+                               offset=self.basis_size)
+
+    def project_trajectory(self, traj) -> jax.Array:
+        """R-orthogonal projection error of an (n, nt+1) trajectory."""
+        V = self.rb
+        if V.shape[1] == 0:
+            return jnp.asarray(traj)
+        coeffs = V.conj().T @ jnp.asarray(self.product.op.apply(traj))
+        return jnp.asarray(traj) - V @ coeffs
+
+    def reduce(self) -> InstationaryROM:
+        fom = self.fom
+        V = self.rb
+        r = V.shape[1]
+        M = fom.mass
+        MV = jnp.asarray(M.apply(V))
+        mass_r = V.conj().T @ MV
+        lhs = AffineDense(
+            jnp.stack([V.conj().T @ jnp.asarray(t.apply(V))
+                       for t in fom.operator.terms]),
+            fom.operator.coefficients,
+        )
+        rhs_mat = (fom.rhs if isinstance(fom.rhs, AffineDense)
+                   else _materialize_rhs(fom.rhs))
+        rhs_r = AffineDense(
+            jnp.einsum("nr,tnl->trl", V.conj(), rhs_mat.stack),
+            rhs_mat.coefficients,
+        )
+        u0_r = V.conj().T @ jnp.asarray(self.product.op.apply(fom.u0))
+
+        est_mass = est_lhs = est_rhs = None
+        if self.embedding is not None:
+            Rinv = self.product.inv
+
+            def sk(X):
+                return jnp.asarray(
+                    self.embedding.apply(jnp.asarray(Rinv.apply(X)))
+                )
+
+            est_mass = sk(MV)
+            est_lhs = AffineDense(
+                jnp.stack([sk(jnp.asarray(t.apply(V)))
+                           for t in fom.operator.terms]),
+                fom.operator.coefficients,
+            )
+            est_rhs = AffineDense(
+                jnp.stack([sk(rhs_mat.stack[t])
+                           for t in range(rhs_mat.n_terms)]),
+                rhs_mat.coefficients,
+            )
+
+        out = None
+        if fom.output_functional is not None:
+            of = fom.output_functional
+            out = AffineDense(
+                jnp.einsum("tqn,nr->tqr", of.stack, V), of.coefficients
+            ) if isinstance(of, AffineDense) else None
+
+        return InstationaryROM(
+            mass_r, lhs, rhs_r, u0_r, fom.dt, fom.nt,
+            est_mass=est_mass, est_lhs=est_lhs, est_rhs=est_rhs,
+            output_functional=out,
+        )
+
+    def reconstruct(self, traj_r) -> jax.Array:
+        return self.rb @ jnp.asarray(traj_r)
+
+
+def _materialize_rhs(rhs: AffineOp) -> AffineDense:
+    from rla4mor_tpu.core.affine import materialize
+
+    return materialize(rhs)
+
+
+def pod_greedy(
+    fom: InstationaryFOM,
+    reductor: InstationaryReductor,
+    training_set: Sequence[Mu],
+    max_extensions: int = 10,
+    modes_per_extension: int = 1,
+    atol: float = 0.0,
+    rtol: float = 0.0,
+    log_level: int = 20,
+) -> Tuple[InstationaryROM, dict]:
+    """POD-greedy (Haasdonk/Ohlberger): greedy over mu by the sketched
+    space-time residual estimate; each extension appends the leading POD
+    mode(s) of the R-orthogonal projection-error trajectory at the worst
+    mu.  The estimator sweep is one jitted vmap over the training set."""
+    from rla4mor_tpu.core.orthonormalize import pod
+    from rla4mor_tpu.core.parameters import mu_stack
+
+    logger = get_logger("mor.pod_greedy", log_level)
+    history = {"selected_mus": [], "max_estimates": []}
+    mus_batched = mu_stack(list(training_set))
+
+    mu0 = training_set[0]
+    traj = fom.solve(mu0)
+    err0 = reductor.project_trajectory(traj)
+    modes, _ = pod(err0, product=reductor.product,
+                   modes=modes_per_extension)
+    reductor.extend_basis(modes)
+    history["selected_mus"].append(mu0)
+
+    first_max = None
+    rom = reductor.reduce()
+    for _it in range(1, max_extensions):
+        estimates = np.asarray(
+            jax.jit(jax.vmap(rom.estimate_error))(mus_batched)
+        )
+        imax = int(np.argmax(estimates))
+        emax = float(estimates[imax])
+        history["max_estimates"].append(emax)
+        if first_max is None:
+            first_max = emax
+        logger.info("pod-greedy it=%d basis=%d max_est=%.3e", _it,
+                    reductor.basis_size, emax)
+        if emax <= atol or (rtol and emax <= rtol * first_max):
+            break
+        mu = training_set[imax]
+        traj = fom.solve(mu)
+        err = reductor.project_trajectory(traj)
+        modes, svals = pod(err, product=reductor.product,
+                           modes=modes_per_extension)
+        if modes.shape[1] == 0:
+            logger.info("pod-greedy: projection error exhausted")
+            break
+        reductor.extend_basis(modes)
+        history["selected_mus"].append(mu)
+        rom = reductor.reduce()
+
+    return rom, history
+
+
+def instationary_thermal_block(
+    grid_shape=(2, 2),
+    num_intervals: int = 16,
+    T: float = 1.0,
+    nt: int = 50,
+    parameter_range=(0.1, 1.0),
+) -> InstationaryFOM:
+    """Parabolic thermal block: L2 mass + the stationary affine stiffness
+    (heat equation with block-wise diffusion, f = 1, u0 = 0)."""
+    from rla4mor_tpu.models.thermal_block import ThermalBlockFOM
+
+    st = ThermalBlockFOM(grid_shape, num_intervals, parameter_range)
+    fom = InstationaryFOM(
+        operator=st.operator,
+        rhs=st.rhs,
+        mass=st.l2_product.op,
+        T=T,
+        nt=nt,
+        output_functional=st.output_functional,
+        products=st.products,
+        parameter_space=st.parameter_space,
+        name=st.name + "_parabolic",
+    )
+    return fom

@@ -236,6 +236,15 @@ class SketchedReductor:
         for i in range(0, U.shape[1], max_block_size):
             self.extend_basis(U[:, i : i + max_block_size], mu=mu)
 
+    def extend_basis_streamed(self, blocks, mu=None) -> None:
+        """Consume an ITERATOR of snapshot column blocks: peak memory is one
+        block plus the sketched state, so the snapshot matrix never has to
+        exist whole (HBM/host-RAM-larger-than-memory streaming; the
+        reference's blockwise RAM strategy taken to its limit,
+        utilities/utilities.py:43-44)."""
+        for block in blocks:
+            self.extend_basis(block, mu=mu)
+
     # ------------------------------------------------------------------ recon
     def reconstruct(self, u_reduced) -> jax.Array:
         """Lift reduced coefficients to the full space (needs save_rb)."""

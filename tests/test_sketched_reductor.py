@@ -335,3 +335,23 @@ def test_empty_basis_reduce_classical_fallback(thermal_fom):
     bvec = jnp.einsum("t,tnl->nl", th, bm.stack)[:, 0]
     oracle = float(jnp.sqrt(bvec @ jnp.asarray(Ru.inv.apply(bvec))))
     assert abs(est - oracle) < 1e-8 * oracle
+
+
+def test_extend_basis_streamed_matches_batch(thermal_fom):
+    """Streaming an iterator of column blocks == one batch extension
+    (generator never materializes the snapshot matrix)."""
+    fom = thermal_fom
+    _, U = _snapshots(fom, count=6, key=21)
+
+    red_a, _ = _setup(fom, GaussianEmbedding, orthonormalize=True)
+    red_a.extend_basis_streamed(
+        (U[:, i:i + 2] for i in range(0, 6, 2))
+    )
+    red_b, _ = _setup(fom, GaussianEmbedding, orthonormalize=True)
+    for i in range(0, 6, 2):
+        red_b.extend_basis(U[:, i:i + 2])
+    assert np.abs(np.asarray(red_a.srb) - np.asarray(red_b.srb)).max() < 1e-12
+    rom_a = red_a.reduce(seed=9)
+    rom_b = red_b.reduce(seed=9)
+    mu = fom.parameter_space.sample_randomly(1, key=22)[0]
+    assert np.allclose(np.asarray(rom_a.solve(mu)), np.asarray(rom_b.solve(mu)))
