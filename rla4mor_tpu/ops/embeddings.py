@@ -230,11 +230,28 @@ class SrhtEmbedding(Embedding):
                      oblivious_dim, complex_dtype)
         return cls(k, source_dim, seed, sqrt_product)
 
+    # above this many DoFs (power-of-two only) the fused single-pass SRHT
+    # (one HBM read) beats the 3-pass Kronecker FWHT; below it the small
+    # fwht path compiles faster and the traffic difference is noise.
+    _ONEPASS_MIN_DIM = 1 << 16
+
     def apply_random(self, X):
         X = jnp.asarray(X)
         single = X.ndim == 1
         Xm = X[:, None] if single else X
-        out = srht(Xm.T, self.range_dim, self.key).T
+        n = Xm.shape[0]
+        if n >= self._ONEPASS_MIN_DIM and (n & (n - 1)) == 0:
+            # identical plan/scaling to srht for power-of-two n
+            # (ops/srht_pallas.py docstring; equality tested in
+            # tests/test_srht_pallas.py)
+            from rla4mor_tpu.ops.srht_pallas import srht_onepass_xla
+
+            out = srht_onepass_xla(
+                Xm.T, self.range_dim, self.key,
+                precision=jax.lax.Precision.HIGHEST,
+            ).T
+        else:
+            out = srht(Xm.T, self.range_dim, self.key).T
         return out[:, 0] if single else out
 
     def random_matrix(self):

@@ -95,6 +95,7 @@ def srht_onepass_xla(
     key: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
     split: Tuple[int, int, int] | None = None,
+    unroll: int = 1,
 ) -> jax.Array:
     """The single-pass factored SRHT as a ``lax.scan`` over p-slabs in plain
     XLA — fast-compiling fallback with the same semantics as the kernel.
@@ -102,7 +103,9 @@ def srht_onepass_xla(
     ``split`` overrides the (log2 P, log2 Q, log2 R) factorization (the
     default is the Pallas-kernel-compatible ``_split_pqr``; the XLA scan
     has no VMEM constraint, and measured throughput is split-insensitive
-    to ~5% — see PERF.md round-2 notes)."""
+    to ~5% — see PERF.md round-2 notes). ``unroll`` is passed to
+    ``lax.scan`` (unrolled bodies let XLA overlap successive slab loads
+    with MXU work)."""
     m, n = x.shape
     d = n.bit_length() - 1
     assert 1 << d == n, "srht_onepass_xla requires power-of-two n"
@@ -121,22 +124,75 @@ def srht_onepass_xla(
     x4 = x.reshape(m, P, Q, R)
     d4 = rademacher.reshape(P, Q, R)
 
+    # accumulate in f32 for <=32-bit inputs (bf16 snapshots included), in
+    # the input dtype for f64 (CPU/f64 oracles need full precision)
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    hp = hp.astype(acc_dtype)
+
     def step(acc, inputs):
         xp, dp_signs, hp_p = inputs  # (m, Q, R), (Q, R), (K,)
         xd = xp * dp_signs.astype(xp.dtype)[None]
         w = jax.lax.dot_general(
             xd, gr.T, (((2,), (0,)), ((), ())), precision=precision,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
         )  # (m, Q, K)
-        val = jnp.einsum("mqk,kq->mk", w, gq.astype(jnp.float32),
+        val = jnp.einsum("mqk,kq->mk", w, gq.astype(acc_dtype),
                          precision=precision)
         return acc + val * hp_p[None, :], None
 
-    acc0 = jnp.zeros((m, k), jnp.float32)
+    acc0 = jnp.zeros((m, k), acc_dtype)
     acc, _ = jax.lax.scan(
-        step, acc0, (jnp.moveaxis(x4, 1, 0), d4, hp.T)
+        step, acc0, (jnp.moveaxis(x4, 1, 0), d4, hp.T), unroll=unroll
     )
     return (acc / math.sqrt(k)).astype(x.dtype)
+
+
+def srht_onepass_flat(
+    x: jax.Array,
+    k: int,
+    key: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+    split: Tuple[int, int, int] | None = None,
+) -> jax.Array:
+    """Single-pass factored SRHT as ONE flat MXU contraction (no scan).
+
+    Identical semantics/plan to :func:`srht_onepass_xla`, but the R-factor
+    contraction runs as a single ``(m*P*Q, R) @ (R, K)`` dot over the whole
+    input. On the measured TPU a flat dot streams HBM at the VPU read rate
+    (~375 GB/s) while a ``lax.scan`` of per-slab dots reaches only ~half
+    (PERF.md round-2: the scan's dynamic-slice boundary defeats XLA's
+    within-dot pipelining). The per-sample P/Q recombination is a k-diagonal
+    multiply + lane-aligned column reduction over the (m, P, Q, K)
+    intermediate — O(K/R) of the input bytes, fused by XLA where possible.
+
+    Replaces the reference hot loop (reference rla/srht.py:93-134, butterfly
+    FWHT over HBM) with minimum-traffic sampling-aware contraction.
+    """
+    m, n = x.shape
+    d = n.bit_length() - 1
+    assert 1 << d == n, "srht_onepass_flat requires power-of-two n"
+    if split is None:
+        dp, dq, dr = _split_pqr(d)
+    else:
+        dp, dq, dr = split
+        assert dp + dq + dr == d, (split, d)
+    rademacher, sampling, _ = _srht_plan(key, n, k)
+    P, Q, R = 1 << dp, 1 << dq, 1 << dr
+    samp = sampling.astype(jnp.uint32)
+    gq = _hadamard_rows((samp >> dr) & (Q - 1), Q, jnp.float32)  # (K, Q)
+    gr = _hadamard_rows(samp & (R - 1), R, x.dtype)              # (K, R)
+    hp = _hadamard_rows(samp >> (dq + dr), P, jnp.float32)       # (K, P)
+
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    xd = x.reshape(m, P, Q, R) * rademacher.reshape(P, Q, R).astype(x.dtype)
+    w = jax.lax.dot_general(
+        xd, gr.T, (((3,), (0,)), ((), ())), precision=precision,
+        preferred_element_type=acc_dtype,
+    )  # (m, P, Q, K)
+    # k-diagonal recombination weight (P, Q, K), +-1 entries
+    hq = (hp[:, :, None] * gq[:, None, :]).transpose(1, 2, 0).astype(acc_dtype)
+    out = jnp.sum(w * hq[None], axis=(1, 2))  # (m, K)
+    return (out / math.sqrt(k)).astype(x.dtype)
 
 
 def _make_kernel(precision, block_rows):

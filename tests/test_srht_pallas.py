@@ -66,3 +66,53 @@ def test_onepass_xla_matches_srht():
     y1 = np.asarray(srht_onepass_xla(x, k, key))
     y2 = np.asarray(srht(x, k, key))
     assert np.abs(y1 - y2).max() / np.abs(y2).max() < 1e-5
+
+
+def test_onepass_xla_unroll_equivalent():
+    from rla4mor_tpu.ops.srht_pallas import srht_onepass_xla
+
+    key = jax.random.key(11)
+    m, d, k = 3, 13, 96
+    x = jnp.asarray(
+        np.random.RandomState(2).normal(size=(m, 1 << d)), dtype=jnp.float32
+    )
+    y1 = np.asarray(srht_onepass_xla(x, k, key))
+    for unroll in (2, 4):
+        yu = np.asarray(srht_onepass_xla(x, k, key, unroll=unroll))
+        assert np.abs(yu - y1).max() / np.abs(y1).max() < 1e-6
+
+
+def test_onepass_xla_bf16_input():
+    """bf16 snapshot blocks: sketch accumulates in f32; quantization error
+    stays ~1e-2, far below typical embedding distortion (PERF.md)."""
+    from rla4mor_tpu.ops.srht_pallas import srht_onepass_xla
+
+    key = jax.random.key(5)
+    m, d, k = 4, 13, 128
+    xf = jnp.asarray(
+        np.random.RandomState(3).normal(size=(m, 1 << d)), dtype=jnp.float32
+    )
+    xh = xf.astype(jnp.bfloat16)
+    yh = np.asarray(
+        srht_onepass_xla(xh, k, key, jax.lax.Precision.DEFAULT)
+    ).astype(np.float32)
+    yf = np.asarray(srht_onepass_xla(xf, k, key))
+    rel = np.abs(yh - yf).max() / np.abs(yf).max()
+    assert rel < 2e-2
+    # norms preserved to bf16 accuracy (the sketch estimate itself)
+    nf = np.linalg.norm(yf, axis=1)
+    nh = np.linalg.norm(yh.astype(np.float32), axis=1)
+    assert np.abs(nh / nf - 1).max() < 2e-2
+
+
+def test_srht_embedding_dispatches_onepass():
+    """SrhtEmbedding uses the single-pass kernel at large power-of-two n
+    with identical results (same seeded plan)."""
+    from rla4mor_tpu.ops.embeddings import SrhtEmbedding
+
+    n = SrhtEmbedding._ONEPASS_MIN_DIM  # smallest dispatching size
+    emb = SrhtEmbedding(64, n, seed=9)
+    x = jnp.asarray(np.random.RandomState(4).normal(size=(n, 2)))
+    got = np.asarray(emb.apply(x))
+    want = np.asarray(srht(x.T, 64, emb.key).T)
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
