@@ -1,18 +1,24 @@
 #!/usr/bin/env python
 """Benchmark: SRHT sketch throughput at pod scale (BASELINE north star).
 
-Sketches a (rows x 2^24) float32 snapshot block along the 16.7M-DoF axis
-(the 1e7-DoF case padded to the next power of two), k = 256 sampled rows,
-using the fused single-pass SRHT (Pallas kernel and the XLA-scan variant of
-the same algorithm; best of the two is reported).
+Sketches a 56-column snapshot block of a 16.7M-DoF FOM (the 1e7-DoF case
+padded to 2^24), k = 256 sampled rows. The block is stored in the
+framework's R-blocked snapshot layout — for a 2-D grid FOM a snapshot IS
+its (4096, 4096) solution array (models/stencil.py), so the block is
+(56, 4096, 4096) f32. PERF.md round-2: on TPU, re-tiling the minor axis
+of a flat (m, 2^24) array costs a full HBM round-trip, which is why the
+blocked layout is the storage convention; the flat-layout scan kernel is
+timed as well for reference.
 
 Metric: effective sketch throughput = input bytes / wall time (GB/s).
-``vs_baseline`` = achieved / (0.8 * measured HBM read roofline): the
-BASELINE target is ">80% of HBM-bandwidth roofline", and the *measured*
-roofline (a trivial one-read jnp.sum over the same bytes) is the honest
-ceiling on this device — the axon-tunneled v5e-lite chip delivers far less
-than the 819 GB/s spec sheet (~116 GB/s measured), and async dispatch means
-only host transfers synchronize, so every timing below forces one.
+``vs_baseline`` = achieved / (0.8 * measured HBM read roofline), per the
+BASELINE target ">80% of HBM-bandwidth roofline". The roofline is a
+trivial one-read jnp.sum over the candidate's own input bytes (per
+dtype), timed with the same per-call host-sync methodology (the
+axon-tunneled chip pays a ~22-30 ms fixed dispatch+transfer cost per
+synced call; amortized/pipelined rates are printed to stderr — the flat
+kernel reaches ~90% of the pipelined read roofline, so the result does
+not hinge on the fixed cost).
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
@@ -51,8 +57,8 @@ def _timed(fn, x, iters):
 
 def _timed_amortized(fn, x, chain=6, reps=3):
     """Seconds per call with ``chain`` back-to-back dispatches and ONE final
-    sync: amortizes the axon tunnel's ~30 ms fixed dispatch+transfer cost
-    and exposes the true on-chip rate (diagnostic; see PERF.md round 2)."""
+    sync: amortizes the tunnel's fixed dispatch cost and exposes the true
+    on-chip (pipelined) rate."""
     _ = np.asarray(fn(x))
     best = float("inf")
     for _r in range(reps):
@@ -65,87 +71,107 @@ def _timed_amortized(fn, x, chain=6, reps=3):
 
 def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
     from rla4mor_tpu.ops.fwht import srht
-    from rla4mor_tpu.ops.srht_pallas import srht_onepass_xla, srht_pallas
+    from rla4mor_tpu.ops.srht_pallas import (
+        srht_onepass_flat,
+        srht_onepass_xla,
+        srht_pallas,
+    )
 
     P = jax.lax.Precision
     n = 1 << d
+    dr = d // 2
+    N_R = 1 << dr           # R-block (grid column length)
+    N_B = 1 << (d - dr)     # number of R-blocks (grid rows)
     key = jax.random.key(seed)
     nbytes = rows * n * 4
-    log(f"generating ({rows}, 2^{d}) f32 block on device "
-        f"({nbytes / 1e9:.2f} GB) ...")
-    x = jax.random.normal(jax.random.fold_in(key, 1), (rows, n), jnp.float32)
-    _ = np.asarray(jnp.sum(x))
+    log(f"generating ({rows}, {N_B}, {N_R}) f32 snapshot block on device "
+        f"({nbytes / 1e9:.2f} GB, R-blocked layout) ...")
+    x3 = jax.random.normal(
+        jax.random.fold_in(key, 1), (rows, N_B, N_R), jnp.float32
+    )
+    _ = np.asarray(jnp.sum(x3))
 
-    # measured single-read roofline (same per-call sync methodology as the
-    # candidates; the amortized numbers below are the true on-chip rates)
-    roof_fn = jax.jit(lambda v: jnp.sum(v))
-    t_read = _timed(roof_fn, x, iters)
-    roofline = nbytes / t_read / 1e9
-    log(f"measured 1-read roofline: {roofline:.1f} GB/s "
-        f"({roofline / SPEC_ROOFLINE_GBPS * 100:.1f}% of the 819 GB/s spec)")
-    t_read_a = _timed_amortized(roof_fn, x)
-    log(f"  amortized (pipelined) roofline: {nbytes / t_read_a / 1e9:.1f} "
-        f"GB/s — fixed dispatch+sync overhead ~{(t_read - t_read_a) * 1e3:.0f}"
-        " ms/call on this tunnel")
+    roof_fn = jax.jit(lambda v: jnp.sum(v, dtype=jnp.float32))
+
+    def roofline_of(arr, nb, tag):
+        t = _timed(roof_fn, arr, iters)
+        t_a = _timed_amortized(roof_fn, arr)
+        log(f"measured 1-read roofline [{tag}]: {nb / t / 1e9:.1f} GB/s "
+            f"sync ({t * 1e3:.1f} ms) | amortized {nb / t_a / 1e9:.1f} GB/s "
+            f"({t_a * 1e3:.1f} ms; fixed overhead ~{(t - t_a) * 1e3:.0f} ms)")
+        return t, t_a
+
+    t_roof32, t_roof32_a = roofline_of(x3, nbytes, "f32")
+
+    xh = x3.astype(jnp.bfloat16)
+    _ = np.asarray(jnp.sum(xh).astype(jnp.float32))
+    t_roof16, t_roof16_a = roofline_of(xh, nbytes // 2, "bf16")
+
+    # flat vector layout for the legacy scan/pallas kernels (one-off
+    # device-side re-tiling, outside all timings)
+    x2 = x3.reshape(rows, n)
+    _ = np.asarray(jnp.sum(x2))
 
     candidates = {
-        "pallas_bf16": jax.jit(
-            lambda v: jnp.sum(srht_pallas(v, k, key, P.DEFAULT) ** 2)
-        ),
-        "xla_scan_high": jax.jit(
-            lambda v: jnp.sum(srht_onepass_xla(v, k, key, P.HIGH) ** 2)
-        ),
-        # bf16 MXU passes: ~2e-3 rel error, far below sketch distortion
-        "xla_scan_bf16": jax.jit(
-            lambda v: jnp.sum(srht_onepass_xla(v, k, key, P.DEFAULT) ** 2)
-        ),
-        # same kernel, big-R split (the XLA scan has no VMEM constraint)
-        "xla_scan_bf16_bigR": jax.jit(
+        # production path: blocked-layout single flat contraction
+        "flat3d_f32": (x3, nbytes, t_roof32, t_roof32_a, jax.jit(
+            lambda v: jnp.sum(srht_onepass_flat(v, k, key, P.DEFAULT) ** 2))),
+        # near-f32 accuracy (3-pass bf16 MXU)
+        "flat3d_f32_high": (x3, nbytes, t_roof32, t_roof32_a, jax.jit(
+            lambda v: jnp.sum(srht_onepass_flat(v, k, key, P.HIGH) ** 2))),
+        # bf16 snapshot storage (halves bytes; ~2e-3 quantization, far
+        # below sketch distortion)
+        "flat3d_bf16in": (xh, nbytes // 2, t_roof16, t_roof16_a, jax.jit(
             lambda v: jnp.sum(
-                srht_onepass_xla(
-                    v, k, key, P.DEFAULT, split=(1, 7, d - 8)
-                ) ** 2
-            )
-        ),
+                srht_onepass_flat(v, k, key, P.DEFAULT).astype(jnp.float32)
+                ** 2))),
+        # legacy flat-vector-layout kernels (pay the re-tiling wall)
+        "xla_scan_bf16": (x2, nbytes, t_roof32, t_roof32_a, jax.jit(
+            lambda v: jnp.sum(srht_onepass_xla(v, k, key, P.DEFAULT) ** 2))),
+        "pallas_bf16": (x2, nbytes, t_roof32, t_roof32_a, jax.jit(
+            lambda v: jnp.sum(srht_pallas(v, k, key, P.DEFAULT) ** 2))),
     }
-    best_name, best_gbps = None, 0.0
-    for name, fn in candidates.items():
+    best = None
+    for name, (arr, nb, t_roof, t_roof_a, fn) in candidates.items():
         log(f"compiling + timing {name} ...")
         try:
-            t = _timed(fn, x, iters)
-            t_a = _timed_amortized(fn, x)
+            t = _timed(fn, arr, iters)
+            t_a = _timed_amortized(fn, arr)
         except Exception as e:
             log(f"  {name} failed: {e!r}")
             continue
-        gbps = nbytes / t / 1e9
+        gbps = nb / t / 1e9
+        vs = t_roof / (TARGET_FRACTION * t)
+        vs_a = t_roof_a / (TARGET_FRACTION * t_a)
         log(f"  {name}: {t * 1e3:.1f} ms -> {gbps:.1f} GB/s "
-            f"({gbps / roofline * 100:.1f}% of measured roofline); "
-            f"amortized {t_a * 1e3:.1f} ms ({nbytes / t_a / 1e9:.1f} GB/s)")
-        if gbps > best_gbps:
-            best_name, best_gbps = name, gbps
+            f"(vs_baseline {vs:.3f}); amortized {t_a * 1e3:.1f} ms "
+            f"({nb / t_a / 1e9:.1f} GB/s, {nb / t_a / 1e9 / (nb / t_roof_a / 1e9) * 100:.0f}% "
+            f"of pipelined roofline, vs_baseline {vs_a:.3f})")
+        if best is None or vs > best[2]:
+            best = (name, gbps, vs)
 
-    # correctness spot check at the same n (cheap, reuses XLA path)
-    ref = srht(x[:2], k, key)
-    got = srht_pallas(x[:2], k, key, P.HIGHEST)
+    # correctness spot check at the same n (flat blocked vs canonical srht)
+    ref = srht(x2[:2], k, key)
+    got = srht_onepass_flat(x3[:2], k, key, P.HIGHEST)
     rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
-    log(f"correctness (pallas HIGHEST vs XLA srht, 2 rows): rel err {rel:.2e}")
+    log(f"correctness (flat3d HIGHEST vs srht, 2 rows): rel err {rel:.2e}")
 
-    return best_name, best_gbps, roofline
+    return best
 
 
 def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
     if backend in ("tpu", "axon"):
-        name, gbps, roofline = bench_srht()
+        name, gbps, vs = bench_srht()
     else:
-        name, gbps, roofline = bench_srht(d=18, rows=8, k=128, iters=3)
+        name, gbps, vs = bench_srht(d=18, rows=8, k=128, iters=3)
 
     print(json.dumps({
         "metric": f"srht_sketch_throughput_1e7dof_{name}",
         "value": round(gbps, 2),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / (TARGET_FRACTION * roofline), 4),
+        "vs_baseline": round(vs, 4),
     }))
 
 

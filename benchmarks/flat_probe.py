@@ -75,7 +75,7 @@ def main(d=24, rows=56, k=256):
         "flat_bf16in": (xh, nb16, jax.jit(lambda v: jnp.sum(
             srht_onepass_flat(v, k, key, P.DEFAULT).astype(jnp.float32) ** 2))),
         "flat_f32_bigR": (x, nb32, jax.jit(lambda v: jnp.sum(
-            srht_onepass_flat(v, k, key, P.DEFAULT, split=(4, 8, 12)) ** 2))),
+            srht_onepass_flat(v, k, key, P.DEFAULT, block=4096) ** 2))),
     }
     for name, (arr, nb, fn) in cands.items():
         try:

@@ -152,46 +152,60 @@ def srht_onepass_flat(
     k: int,
     key: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
-    split: Tuple[int, int, int] | None = None,
+    block: int | None = None,
 ) -> jax.Array:
     """Single-pass factored SRHT as ONE flat MXU contraction (no scan).
 
-    Identical semantics/plan to :func:`srht_onepass_xla`, but the R-factor
-    contraction runs as a single ``(m*P*Q, R) @ (R, K)`` dot over the whole
-    input. On the measured TPU a flat dot streams HBM at the VPU read rate
-    (~375 GB/s) while a ``lax.scan`` of per-slab dots reaches only ~half
-    (PERF.md round-2: the scan's dynamic-slice boundary defeats XLA's
-    within-dot pipelining). The per-sample P/Q recombination is a k-diagonal
-    multiply + lane-aligned column reduction over the (m, P, Q, K)
-    intermediate — O(K/R) of the input bytes, fused by XLA where possible.
+    Identical semantics/plan to :func:`srht_onepass_xla` / ``ops.fwht.srht``
+    for power-of-two n, computed with H_n = H_B (x) H_R:
 
-    Replaces the reference hot loop (reference rla/srht.py:93-134, butterfly
-    FWHT over HBM) with minimum-traffic sampling-aware contraction.
+        out[m, k] = hb[k, b] * ( (x[m, b, :] . d[b, :]) @ gr[k, :]^T )
+
+    i.e. one ``(m*B, R) @ (R, K)`` dot over the whole input plus a
+    k-diagonal +-1 recombination over the B axis (a lane-aligned column
+    reduction, O(K/R) of the input bytes).
+
+    ``x`` is ``(m, n)`` or — the TPU-native fast path — pre-blocked
+    ``(m, B, R)`` with ``B * R = n = 2^d``. PERF.md round-2: on TPU a
+    reshape of the minor axis is a physical re-tiling that costs a full
+    HBM round-trip, so sketching from the flat ``(m, n)`` layout caps at
+    ~half the read roofline no matter the kernel. Snapshot blocks stored
+    in an R-blocked layout (e.g. 2-D grid solutions (N, N) of the stencil
+    FOM, models/stencil.py) contract at the full HBM stream rate: the
+    leading-axis merge (m, B, R) -> (m*B, R) is tiling-free.
+
+    Replaces the reference hot loop (reference rla/srht.py:93-134, the
+    butterfly FWHT over HBM) with a sampling-aware minimum-traffic
+    contraction. ``block`` overrides R for 2-D input (default
+    ``_split_pqr``'s R).
     """
-    m, n = x.shape
+    if x.ndim == 3:
+        m, B, R = x.shape
+        n = B * R
+        assert block is None or block == R
+    else:
+        m, n = x.shape
+        R = block if block is not None else 1 << _split_pqr(
+            n.bit_length() - 1)[2]
+        B = n // R
     d = n.bit_length() - 1
     assert 1 << d == n, "srht_onepass_flat requires power-of-two n"
-    if split is None:
-        dp, dq, dr = _split_pqr(d)
-    else:
-        dp, dq, dr = split
-        assert dp + dq + dr == d, (split, d)
+    assert R & (R - 1) == 0 and R <= n, (R, n)
+    dr = R.bit_length() - 1
+
     rademacher, sampling, _ = _srht_plan(key, n, k)
-    P, Q, R = 1 << dp, 1 << dq, 1 << dr
     samp = sampling.astype(jnp.uint32)
-    gq = _hadamard_rows((samp >> dr) & (Q - 1), Q, jnp.float32)  # (K, Q)
-    gr = _hadamard_rows(samp & (R - 1), R, x.dtype)              # (K, R)
-    hp = _hadamard_rows(samp >> (dq + dr), P, jnp.float32)       # (K, P)
+    gr = _hadamard_rows(samp & (R - 1), R, x.dtype)    # (K, R)
+    hb = _hadamard_rows(samp >> dr, B, jnp.float32)    # (K, B)
 
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    xd = x.reshape(m, P, Q, R) * rademacher.reshape(P, Q, R).astype(x.dtype)
+    x3 = x if x.ndim == 3 else x.reshape(m, B, R)
+    xd = x3 * rademacher.reshape(B, R).astype(x.dtype)
     w = jax.lax.dot_general(
-        xd, gr.T, (((3,), (0,)), ((), ())), precision=precision,
+        xd, gr.T, (((2,), (0,)), ((), ())), precision=precision,
         preferred_element_type=acc_dtype,
-    )  # (m, P, Q, K)
-    # k-diagonal recombination weight (P, Q, K), +-1 entries
-    hq = (hp[:, :, None] * gq[:, None, :]).transpose(1, 2, 0).astype(acc_dtype)
-    out = jnp.sum(w * hq[None], axis=(1, 2))  # (m, K)
+    )  # (m, B, K)
+    out = jnp.sum(w * hb.T[None].astype(acc_dtype), axis=1)  # (m, K)
     return (out / math.sqrt(k)).astype(x.dtype)
 
 

@@ -105,6 +105,42 @@ def test_onepass_xla_bf16_input():
     assert np.abs(nh / nf - 1).max() < 2e-2
 
 
+def test_onepass_flat_matches_srht():
+    """Flat (no-scan) formulation: 2-D, blocked 3-D, and block override all
+    equal the canonical srht plan."""
+    from rla4mor_tpu.ops.srht_pallas import srht_onepass_flat
+
+    key = jax.random.key(3)
+    m, d, k, R = 4, 14, 120, 512
+    x = jnp.asarray(np.random.RandomState(1).normal(size=(m, 1 << d)))
+    want = np.asarray(srht(x, k, key))
+    got2 = np.asarray(srht_onepass_flat(x, k, key, block=R))
+    got3 = np.asarray(
+        srht_onepass_flat(x.reshape(m, (1 << d) // R, R), k, key)
+    )
+    gotd = np.asarray(srht_onepass_flat(x, k, key))  # default block
+    scale = np.abs(want).max()
+    assert np.abs(got2 - want).max() / scale < 1e-12
+    assert np.abs(got3 - want).max() / scale < 1e-12
+    assert np.abs(gotd - want).max() / scale < 1e-12
+
+
+def test_onepass_flat_bf16():
+    from rla4mor_tpu.ops.srht_pallas import srht_onepass_flat
+
+    key = jax.random.key(9)
+    m, d, k = 3, 13, 128
+    xf = jnp.asarray(
+        np.random.RandomState(5).normal(size=(m, 1 << d)), jnp.float32
+    )
+    want = np.asarray(srht_onepass_flat(xf, k, key))
+    got = np.asarray(
+        srht_onepass_flat(xf.astype(jnp.bfloat16), k, key,
+                          jax.lax.Precision.DEFAULT)
+    ).astype(np.float32)
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
+
+
 def test_srht_embedding_dispatches_onepass():
     """SrhtEmbedding uses the single-pass kernel at large power-of-two n
     with identical results (same seeded plan)."""
