@@ -13,6 +13,20 @@ def srht_onepass_xla(*args, **kwargs):
     from rla4mor_tpu.ops.srht_pallas import srht_onepass_xla as _impl
 
     return _impl(*args, **kwargs)
+
+
+def srht_onepass_flat(*args, **kwargs):
+    """Lazy import of the blocked-layout flat SRHT (row blocks (m, B, R))."""
+    from rla4mor_tpu.ops.srht_pallas import srht_onepass_flat as _impl
+
+    return _impl(*args, **kwargs)
+
+
+def srht_onepass_flat_cols(*args, **kwargs):
+    """Lazy import of the columns-native flat SRHT ((n, m) snapshots)."""
+    from rla4mor_tpu.ops.srht_pallas import srht_onepass_flat_cols as _impl
+
+    return _impl(*args, **kwargs)
 from rla4mor_tpu.ops.dims import gaussian_dim, srht_dim, resolve_dim
 from rla4mor_tpu.ops.embeddings import (
     Embedding,

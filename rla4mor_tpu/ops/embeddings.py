@@ -234,22 +234,36 @@ class SrhtEmbedding(Embedding):
     # (one HBM read) beats the 3-pass Kronecker FWHT; below it the small
     # fwht path compiles faster and the traffic difference is noise.
     _ONEPASS_MIN_DIM = 1 << 16
+    # wide column blocks (>= one lane tile) go through the columns-native
+    # flat contraction: (n, m) -> (B, R, m) is a tiling-free leading
+    # split, so the sketch streams at the HBM read rate with no transpose
+    # (PERF.md round-2; 389 GB/s vs 119 for transpose+scan at m=128)
+    _COLS_MIN_WIDTH = 128
 
     def apply_random(self, X):
         X = jnp.asarray(X)
         single = X.ndim == 1
         Xm = X[:, None] if single else X
-        n = Xm.shape[0]
+        n, m = Xm.shape
         if n >= self._ONEPASS_MIN_DIM and (n & (n - 1)) == 0:
             # identical plan/scaling to srht for power-of-two n
             # (ops/srht_pallas.py docstring; equality tested in
             # tests/test_srht_pallas.py)
-            from rla4mor_tpu.ops.srht_pallas import srht_onepass_xla
+            from rla4mor_tpu.ops.srht_pallas import (
+                srht_onepass_flat_cols,
+                srht_onepass_xla,
+            )
 
-            out = srht_onepass_xla(
-                Xm.T, self.range_dim, self.key,
-                precision=jax.lax.Precision.HIGHEST,
-            ).T
+            if m >= self._COLS_MIN_WIDTH:
+                out = srht_onepass_flat_cols(
+                    Xm, self.range_dim, self.key,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                out = srht_onepass_xla(
+                    Xm.T, self.range_dim, self.key,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).T
         else:
             out = srht(Xm.T, self.range_dim, self.key).T
         return out[:, 0] if single else out

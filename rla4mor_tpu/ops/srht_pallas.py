@@ -209,6 +209,54 @@ def srht_onepass_flat(
     return (out / math.sqrt(k)).astype(x.dtype)
 
 
+def srht_onepass_flat_cols(
+    x: jax.Array,
+    k: int,
+    key: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+    block: int | None = None,
+) -> jax.Array:
+    """SRHT sketch along AXIS 0 of an ``(n, m)`` column matrix — the
+    framework's snapshot convention — with no transpose: ``(n, m) ->
+    (B, R, m)`` splits the LEADING axis, which is tiling-free on TPU
+    (PERF.md round-2), and the R contraction runs as one ``(K, R) @
+    (B, R, m)`` dot. Same plan/scaling as ``ops.fwht.srht`` on the
+    transposed input: ``srht_onepass_flat_cols(U, k, key) ==
+    srht(U.T, k, key).T`` for power-of-two n.
+
+    ``x`` may also be pre-blocked ``(B, R, m)``. Returns ``(k, m)``.
+    """
+    if x.ndim == 3:
+        B, R, m = x.shape
+        n = B * R
+        assert block is None or block == R
+        x3 = x
+    else:
+        n, m = x.shape
+        R = block if block is not None else 1 << _split_pqr(
+            n.bit_length() - 1)[2]
+        B = n // R
+        x3 = x.reshape(B, R, m)
+    d = n.bit_length() - 1
+    assert 1 << d == n, "srht_onepass_flat_cols requires power-of-two n"
+    assert R & (R - 1) == 0 and R <= n, (R, n)
+    dr = R.bit_length() - 1
+
+    rademacher, sampling, _ = _srht_plan(key, n, k)
+    samp = sampling.astype(jnp.uint32)
+    gr = _hadamard_rows(samp & (R - 1), R, x.dtype)    # (K, R)
+    hb = _hadamard_rows(samp >> dr, B, jnp.float32)    # (K, B)
+
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    xd = x3 * rademacher.reshape(B, R).astype(x.dtype)[:, :, None]
+    w = jax.lax.dot_general(
+        gr, xd, (((1,), (1,)), ((), ())), precision=precision,
+        preferred_element_type=acc_dtype,
+    )  # (K, B, m)
+    out = jnp.sum(w * hb.astype(acc_dtype)[:, :, None], axis=1)  # (K, m)
+    return (out / math.sqrt(k)).astype(x.dtype)
+
+
 def _make_kernel(precision, block_rows):
     def kernel(x_ref, d_ref, gq_ref, gr_ref, hp_ref, out_ref):
         """Grid (M/B, P), p inner. Blocks: x (B, 1, Q, R); d (1, Q, R) int8;

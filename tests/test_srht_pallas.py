@@ -141,14 +141,30 @@ def test_onepass_flat_bf16():
     assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
 
 
+def test_onepass_flat_cols_matches_srht():
+    from rla4mor_tpu.ops.srht_pallas import srht_onepass_flat_cols
+
+    key = jax.random.key(3)
+    n, m, k = 1 << 13, 6, 96
+    U = jnp.asarray(np.random.RandomState(8).normal(size=(n, m)))
+    want = np.asarray(srht(U.T, k, key).T)
+    got2 = np.asarray(srht_onepass_flat_cols(U, k, key, block=256))
+    got3 = np.asarray(srht_onepass_flat_cols(U.reshape(32, 256, m), k, key))
+    scale = np.abs(want).max()
+    assert np.abs(got2 - want).max() / scale < 1e-12
+    assert np.abs(got3 - want).max() / scale < 1e-12
+
+
 def test_srht_embedding_dispatches_onepass():
-    """SrhtEmbedding uses the single-pass kernel at large power-of-two n
-    with identical results (same seeded plan)."""
+    """SrhtEmbedding uses the single-pass kernels at large power-of-two n
+    with identical results (same seeded plan): scan path for skinny
+    blocks, columns-native flat path for wide blocks."""
     from rla4mor_tpu.ops.embeddings import SrhtEmbedding
 
     n = SrhtEmbedding._ONEPASS_MIN_DIM  # smallest dispatching size
     emb = SrhtEmbedding(64, n, seed=9)
-    x = jnp.asarray(np.random.RandomState(4).normal(size=(n, 2)))
-    got = np.asarray(emb.apply(x))
-    want = np.asarray(srht(x.T, 64, emb.key).T)
-    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+    for m in (2, SrhtEmbedding._COLS_MIN_WIDTH):
+        x = jnp.asarray(np.random.RandomState(4).normal(size=(n, m)))
+        got = np.asarray(emb.apply(x))
+        want = np.asarray(srht(x.T, 64, emb.key).T)
+        assert np.allclose(got, want, rtol=1e-9, atol=1e-9), m
