@@ -36,6 +36,7 @@ from rla4mor_tpu.ops.embeddings import (
     SrhtEmbedding,
     IdentityEmbedding,
     BlockGaussianEmbedding,
+    StreamedGaussianEmbedding,
     VectorizedEmbedding,
 )
 
@@ -44,5 +45,6 @@ __all__ = [
     "gaussian_dim", "srht_dim", "resolve_dim",
     "Embedding", "GaussianEmbedding", "RademacherEmbedding",
     "SparseSignEmbedding", "SrhtEmbedding", "IdentityEmbedding",
+    "StreamedGaussianEmbedding",
     "BlockGaussianEmbedding", "VectorizedEmbedding",
 ]

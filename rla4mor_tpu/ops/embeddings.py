@@ -362,6 +362,68 @@ class BlockGaussianEmbedding(Embedding):
 
 
 @dataclass(frozen=True)
+class StreamedGaussianEmbedding(Embedding):
+    """Gaussian embedding applied by streaming COLUMN strips of Omega.
+
+    Fills the big-n gap the reference's ``BlockGaussianEmbedding`` leaves
+    open: its blocks are k-row slices of FULL width n (to bound the
+    reference's RAM, rla/embeddings.py:373-467), so a single block is
+    still O(n) memory — 8.6 GB at n = 1.7e7. Here Omega is generated in
+    ``(k, block_cols)`` strips of the canonical tile grid (ops/seeding.py)
+    inside a ``lax.scan``: peak memory is one strip + the accumulator, so
+    a 1e7-DoF Gaussian sketch runs on ONE chip without ever materializing
+    the 17 GB matrix. Same canonical derivation => literally the same
+    operator as ``GaussianEmbedding`` / ``BlockGaussianEmbedding`` / the
+    mesh-sharded Gaussian at the same seed.
+
+    ``block_cols`` must be a multiple of the seeding column tile
+    (ops/seeding.py TILE_N). Generation dtype is the input's dtype (like
+    the sharded path); pass f64 inputs for f64-canonical draws.
+    """
+
+    block_cols: int = 1 << 16
+
+    @classmethod
+    def make(cls, source_dim, sqrt_product=None, range_dim=None, epsilon=None,
+             delta=None, oblivious_dim=None, seed=0, block_cols=1 << 16,
+             complex_dtype=False):
+        k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
+                     oblivious_dim, complex_dtype)
+        return cls(k, source_dim, seed, sqrt_product, block_cols)
+
+    def apply_random(self, X):
+        from rla4mor_tpu.ops.seeding import TILE_N, gaussian_cols_unscaled
+
+        assert self.block_cols % TILE_N == 0, (self.block_cols, TILE_N)
+        X = jnp.asarray(X)
+        single = X.ndim == 1
+        Xm = X[:, None] if single else X
+        n, m = Xm.shape
+        W = self.block_cols
+        n_pad = -(-n // W) * W
+        if n_pad != n:  # zero-pad: unused canonical columns multiply zeros
+            Xm = jnp.pad(Xm, ((0, n_pad - n), (0, 0)))
+        k, key, dtype = self.range_dim, self.key, Xm.dtype
+
+        def step(acc, b):
+            strip = gaussian_cols_unscaled(key, k, b * W, W, dtype)
+            xb = jax.lax.dynamic_slice(Xm, (b * W, 0), (W, m))
+            return acc + strip @ xb, None
+
+        acc0 = jnp.zeros((k, m), dtype)
+        acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_pad // W))
+        out = acc / math.sqrt(k)
+        return out[:, 0] if single else out
+
+    def random_matrix(self):
+        from rla4mor_tpu.ops.seeding import gaussian_matrix
+
+        return gaussian_matrix(
+            self.key, self.range_dim, self.l2_dim, default_dtype()
+        )
+
+
+@dataclass(frozen=True)
 class VectorizedEmbedding(LinOp):
     """Sketch a whole (rows x cols) matrix by flattening then embedding.
 

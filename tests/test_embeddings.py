@@ -125,3 +125,27 @@ def test_dim_formulas_monotone():
     assert gaussian_dim(0.5, 1e-6, 10, complex_dtype=True) > gaussian_dim(
         0.5, 1e-6, 10
     )
+
+
+def test_streamed_gaussian_equals_gaussian():
+    """StreamedGaussianEmbedding names the same canonical operator as
+    GaussianEmbedding at the same seed, for tile-aligned and padded n."""
+    import jax
+    from rla4mor_tpu.ops import StreamedGaussianEmbedding
+    from rla4mor_tpu.ops.seeding import TILE_N
+
+    k = 16
+    for n in (2 * TILE_N, TILE_N + 123):  # aligned / zero-padded tail
+        dense = GaussianEmbedding(k, n, seed=11)
+        streamed = StreamedGaussianEmbedding(k, n, seed=11,
+                                             block_cols=TILE_N)
+        X = jnp.asarray(np.random.RandomState(n).normal(size=(n, 3)))
+        want = np.asarray(dense.apply(X))
+        got = np.asarray(streamed.apply(X))
+        assert np.allclose(got, want, rtol=1e-12, atol=1e-12), n
+        # 1-D input path
+        got1 = np.asarray(streamed.apply(X[:, 0]))
+        assert np.allclose(got1, want[:, 0], rtol=1e-12, atol=1e-12)
+        # jits (fixed shapes, scan over strips)
+        got_j = np.asarray(jax.jit(streamed.apply)(X))
+        assert np.allclose(got_j, want, rtol=1e-12, atol=1e-12)
