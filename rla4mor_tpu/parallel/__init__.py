@@ -5,6 +5,7 @@ from rla4mor_tpu.parallel.sharded_sketch import (
     gaussian_sketch_sharded,
     srht_blocked,
     srht_sketch_sharded,
+    srht_sketch_sharded_flat,
 )
 from rla4mor_tpu.parallel.driver import (
     GreedyState,
@@ -19,7 +20,7 @@ from rla4mor_tpu.parallel.embeddings import (
 __all__ = [
     "make_mesh", "dof_sharding", "replicated",
     "gaussian_block", "gaussian_sketch_blocked", "gaussian_sketch_sharded",
-    "srht_blocked", "srht_sketch_sharded",
+    "srht_blocked", "srht_sketch_sharded", "srht_sketch_sharded_flat",
     "GreedyState", "init_state", "make_sharded_greedy_step",
     "ShardedGaussianEmbedding", "ShardedSrhtEmbedding",
 ]

@@ -145,3 +145,75 @@ def srht_sketch_sharded(key, k: int, x: jax.Array, mesh: Mesh,
     return jax.shard_map(
         local, mesh=mesh, in_specs=(in_spec,), out_specs=P()
     )(x)
+
+
+def srht_sketch_sharded_flat(key, k: int, x: jax.Array, mesh: Mesh,
+                             axis: str = "dof",
+                             block: int | None = None) -> jax.Array:
+    """Sharded SRHT via the flat-contraction formulation — one psum, no
+    butterfly.
+
+    With H_n = H_B (x) H_R and the DoF axis sharded in contiguous ranges,
+    every shard holds whole R-blocks, contracts them locally against the
+    (R, K) Hadamard factor (srht_onepass_flat's single MXU dot — the
+    ~roofline kernel, PERF.md round-2), recombines with ITS columns of the
+    (K, B) factor, and contributes via one ``psum`` of a (k, m) partial.
+    Communication: one all-reduce of k*m floats, vs log2(n_dev) ppermutes
+    of the full local block for the butterfly version.
+
+    Same canonical plan as ``ops.fwht.srht`` / ``srht_blocked`` (bit-equal
+    up to f32 summation order). Requires power-of-two n with
+    ``n_local % R == 0``; ``block`` overrides R.
+    """
+    n_dev = mesh.shape[axis]
+    n = x.shape[0]
+    d = n.bit_length() - 1
+    assert 1 << d == n and n % n_dev == 0
+    n_local = n // n_dev
+    from rla4mor_tpu.ops.srht_pallas import (
+        _hadamard_rows,
+        _popcount_parity,
+        _split_pqr,
+    )
+
+    if block is None:
+        R = min(1 << _split_pqr(d)[2], n_local)
+    else:
+        R = block
+    assert R & (R - 1) == 0 and n_local % R == 0, (R, n_local)
+    dr = R.bit_length() - 1
+    B_local = n_local // R
+
+    key_d = jax.random.fold_in(key, 0)
+    key_s = jax.random.fold_in(key, 1)
+    sampling = jax.random.randint(key_s, (k,), 0, n)
+    samp_hi = (sampling.astype(jnp.uint32) >> dr)  # B-factor index per sample
+
+    def local(x_local):
+        b = lax.axis_index(axis)
+        single = x_local.ndim == 1
+        xl = x_local[:, None] if single else x_local
+        m = xl.shape[1]
+        D = rademacher_slice(key_d, b * n_local, n_local).astype(xl.dtype)
+        xd = (xl * D[:, None]).reshape(B_local, R, m)
+        gr = _hadamard_rows(
+            sampling.astype(jnp.uint32) & (R - 1), R, xl.dtype
+        )  # (K, R)
+        # this shard's columns of the (K, B) factor: parity(samp_hi & col)
+        cols = (b * B_local + jnp.arange(B_local)).astype(jnp.uint32)
+        hb = _popcount_parity(samp_hi[:, None] & cols[None, :])  # (K, Bl)
+        acc_dtype = jnp.promote_types(xl.dtype, jnp.float32)
+        w = jax.lax.dot_general(
+            gr, xd, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=acc_dtype,
+        )  # (K, B_local, m)
+        part = jnp.sum(w * hb.astype(acc_dtype)[:, :, None], axis=1)
+        out = lax.psum(part, axis_name=axis)
+        out = (out / math.sqrt(k)).astype(xl.dtype)
+        return out[:, 0] if single else out
+
+    in_spec = P(axis) if x.ndim == 1 else P(axis, None)
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(in_spec,), out_specs=P()
+    )(x)

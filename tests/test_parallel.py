@@ -368,3 +368,23 @@ def test_sketched_reductor_with_sharded_embedding(mesh):
     assert np.allclose(
         np.asarray(rom_s.solve(mu)), np.asarray(rom_d.solve(mu)), atol=1e-8
     )
+
+
+def test_srht_sharded_flat_equals_blocked(mesh, rng):
+    """Flat-contraction sharded SRHT (one psum, no butterfly) == the
+    canonical plan, for 2-D and 1-D inputs and an overridden R block.
+
+    Uses SIGN_BLOCK-divisor shards (n_local=512) so the canonical sign
+    slice path is exercised."""
+    from rla4mor_tpu.parallel import srht_sketch_sharded_flat
+
+    key = jax.random.key(9)
+    n, k, m = 4096, 41, 3
+    x = jnp.asarray(rng.normal(size=(n, m)))
+    want = np.asarray(srht_blocked(key, k, x, 8))
+    got = np.asarray(srht_sketch_sharded_flat(key, k, x, mesh))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+    got_b = np.asarray(srht_sketch_sharded_flat(key, k, x, mesh, block=128))
+    assert np.abs(got_b - want).max() / np.abs(want).max() < 1e-12
+    got1 = np.asarray(srht_sketch_sharded_flat(key, k, x[:, 0], mesh))
+    assert np.abs(got1 - want[:, 0]).max() / np.abs(want).max() < 1e-12
