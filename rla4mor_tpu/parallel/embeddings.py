@@ -83,17 +83,25 @@ class ShardedGaussianEmbedding(LinOp):
 
 
 class ShardedSrhtEmbedding(LinOp):
-    """SRHT embedding with local FWHT + cross-chip ppermute butterfly."""
+    """Sharded SRHT embedding (same canonical operator as ``ops.fwht.srht``).
+
+    ``variant="flat"`` (default) applies the flat-contraction kernel with
+    ONE psum of the (k, m) result (srht_sketch_sharded_flat — the
+    roofline kernel, PERF.md round-2); ``variant="butterfly"`` keeps the
+    local-FWHT + cross-chip ppermute butterfly (useful when n_local is
+    not a multiple of an R block)."""
 
     def __init__(self, range_dim: int, source_dim: int, mesh: Mesh,
-                 seed: int = 0, axis: str = "dof"):
+                 seed: int = 0, axis: str = "dof", variant: str = "flat"):
         d = source_dim.bit_length() - 1
         assert 1 << d == source_dim, "sharded SRHT needs power-of-two n"
+        assert variant in ("flat", "butterfly")
         self.range_dim = range_dim
         self.source_dim = source_dim
         self.mesh = mesh
         self.seed = seed
         self.axis = axis
+        self.variant = variant
 
     @property
     def key(self):
@@ -103,10 +111,20 @@ class ShardedSrhtEmbedding(LinOp):
         if seed is None:
             seed = int(np.random.randint(0, 2**31 - 1))
         return ShardedSrhtEmbedding(
-            self.range_dim, self.source_dim, self.mesh, seed, self.axis
+            self.range_dim, self.source_dim, self.mesh, seed, self.axis,
+            self.variant,
         )
 
     def apply(self, U, mu=None):
+        if self.variant == "flat":
+            from rla4mor_tpu.parallel.sharded_sketch import (
+                srht_sketch_sharded_flat,
+            )
+
+            return srht_sketch_sharded_flat(
+                self.key, self.range_dim, jnp.asarray(U), self.mesh,
+                self.axis,
+            )
         return srht_sketch_sharded(
             self.key, self.range_dim, jnp.asarray(U), self.mesh, self.axis
         )
