@@ -26,6 +26,7 @@ from rla4mor_tpu.core.linops import (
     DeviceCholeskyInverse,
     RecycledCGInverseOp,
     ScipyLinearOperator,
+    SparseCholeskyOp,
     sparse_cholesky,
     to_matrix,
 )
@@ -52,7 +53,7 @@ __all__ = [
     "LinOp", "IdentityOp", "DenseOp", "DiagonalOp", "AdjointOp", "ChainOp",
     "ScaledOp", "ZeroOp", "HostSparseOp", "HostLUInverse", "CGInverseOp",
     "DeviceCholeskyInverse", "RecycledCGInverseOp",
-    "ScipyLinearOperator", "sparse_cholesky", "to_matrix",
+    "ScipyLinearOperator", "SparseCholeskyOp", "sparse_cholesky", "to_matrix",
     "AffineOp", "AffineDense", "as_affine", "compose", "project",
     "project_block", "apply2", "materialize", "concat_affine",
     "Product", "gram_schmidt", "pod", "estimate_image",

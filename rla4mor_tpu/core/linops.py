@@ -271,6 +271,79 @@ class HostLUInverse(LinOp):
         return self.operator.apply(U)
 
 
+class SparseCholeskyOp(LinOp):
+    """Sparse Cholesky square-root operator with TRIANGULAR solve paths.
+
+    Parity with the reference's ``CholmodOperator``
+    (utilities/factorization.py:142-247): the operator is Q = G^H P with
+    G = L D^{1/2} lower-triangular from the symmetric-mode SuperLU
+    factorization P^T (L D L^T) P^... = S (so Q^H Q = S), and
+
+    * ``apply(u)          = G^T (P u)``        (ref ``_apply_real``)
+    * ``apply_adjoint(v)  = P^T (G v)``        (ref ``_apply_adjoint_real``)
+    * ``apply_inverse(v)  = P^T solve_Lt(v)``  (ref ``_apply_inverse_real``)
+    * ``apply_inverse_adjoint(u) = solve_L(P u)`` (ref ``:246``)
+
+    where solve_L/solve_Lt are sparse triangular solves (CHOLMOD's
+    ``factor.solve_L/solve_Lt`` replaced by scipy
+    ``spsolve_triangular`` on the SuperLU-derived factor — sksparse is
+    not available in this environment, the factorization trick is the
+    reference's own, utilities/factorization.py:24-52).
+    """
+
+    def __init__(self, S):
+        S = sps.csc_matrix(S)
+        factor = spla.splu(
+            S,
+            permc_spec="MMD_AT_PLUS_A",
+            diag_pivot_thresh=0,
+            options={"SymmetricMode": True},
+        )
+        n = S.shape[0]
+        dsq = np.sqrt(factor.U.diagonal())
+        self._G = sps.csr_matrix(factor.L @ sps.diags(dsq))   # lower
+        self._GT = sps.csr_matrix(self._G.T)                   # upper
+        self._perm = factor.perm_r  # row permutation: (P u) = u[perm]
+        self.source_dim = self.range_dim = n
+
+    def _scatter(self, U):  # P u  with P[perm[j], j] = 1
+        out = np.empty_like(U)
+        out[self._perm] = U
+        return out
+
+    def _gather(self, V):  # P^T v = P^{-1} v
+        return V[self._perm]
+
+    def apply(self, U, mu=None):
+        U = np.asarray(U)
+        return jnp.asarray(self._GT @ self._scatter(U))
+
+    def apply_adjoint(self, V, mu=None):
+        V = np.asarray(V)
+        return jnp.asarray(self._gather(self._G @ V))
+
+    def apply_inverse(self, V, mu=None):
+        """x with Q x = v: solve G^T y = v (upper), x = P^T y."""
+        V = np.asarray(V)
+        y = spla.spsolve_triangular(self._GT, V, lower=False)
+        return jnp.asarray(self._gather(y))
+
+    def apply_inverse_adjoint(self, U, mu=None):
+        """x with Q^H x = u: solve G x = P u (lower)."""
+        U = np.asarray(U)
+        return jnp.asarray(
+            spla.spsolve_triangular(self._G, self._scatter(U), lower=True)
+        )
+
+    def matrix(self) -> sps.csc_matrix:
+        """Explicit Q (reference ``get_matrix``, factorization.py:245-247)."""
+        n = self.source_dim
+        P = sps.csc_matrix(
+            (np.ones(n), (self._perm, np.arange(n))), shape=(n, n)
+        )
+        return sps.csc_matrix(self._GT @ P)
+
+
 def sparse_cholesky(S) -> sps.csc_matrix:
     """Sparse Cholesky-like factor Q with ``Q^H Q = S`` for SPD sparse S.
 

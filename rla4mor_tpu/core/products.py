@@ -20,6 +20,7 @@ from rla4mor_tpu.core.linops import (
     HostSparseOp,
     IdentityOp,
     LinOp,
+    SparseCholeskyOp,
     sparse_cholesky,
 )
 
@@ -41,12 +42,17 @@ class Product:
 
     @classmethod
     def from_sparse(cls, S) -> "Product":
-        """SPD scipy sparse matrix: SuperLU inverse + LU->Cholesky sqrt."""
+        """SPD scipy sparse matrix: SuperLU inverse + LU->Cholesky sqrt.
+
+        The sqrt is a :class:`SparseCholeskyOp`, so ``sqrt.apply_inverse``
+        / ``apply_inverse_adjoint`` are TRIANGULAR solves (the reference's
+        CholmodOperator solve_L/solve_Lt paths,
+        utilities/factorization.py:221-247)."""
         S = sps.csc_matrix(S)
         return cls(
             HostSparseOp(S),
             HostLUInverse(S, symmetric=True),
-            HostSparseOp(sparse_cholesky(S)),
+            SparseCholeskyOp(S),
         )
 
     @classmethod

@@ -337,3 +337,39 @@ def test_device_gram_schmidt_matches_host_loop(rng):
     G = np.asarray(Qc).conj().T @ np.asarray(Qc)
     assert np.abs(G - np.eye(6)).max() < 1e-13
     assert np.abs(np.asarray(Qc @ Rc) - np.asarray(Uc)).max() < 1e-13
+
+
+def test_sparse_cholesky_op_triangular_modes(rng):
+    """CholmodOperator-parity sqrt operator: all four modes via triangular
+    solves (reference utilities/factorization.py:142-247)."""
+    import scipy.sparse as sps
+
+    from rla4mor_tpu.core.linops import SparseCholeskyOp, sparse_cholesky
+
+    n = 35
+    A = rng.normal(size=(n, n))
+    S = sps.csc_matrix(A @ A.T + n * np.eye(n))
+    Q = sparse_cholesky(S).toarray()
+    op = SparseCholeskyOp(S)
+    u = rng.normal(size=(n, 3))
+    assert np.allclose(np.asarray(op.apply(u)), Q @ u)
+    assert np.allclose(np.asarray(op.apply_adjoint(u)), Q.T @ u)
+    assert np.allclose(np.asarray(op.apply_inverse(Q @ u)), u)
+    assert np.allclose(np.asarray(op.apply_inverse_adjoint(Q.T @ u)), u)
+    assert np.allclose(op.matrix().toarray(), Q)
+    # Q^H Q = S (the defining property)
+    assert np.allclose(Q.T @ Q, S.toarray())
+
+
+def test_product_sqrt_has_triangular_inverse(rng):
+    import scipy.sparse as sps
+
+    from rla4mor_tpu.core.products import Product
+
+    n = 30
+    A = rng.normal(size=(n, n))
+    S = sps.csc_matrix(A @ A.T + n * np.eye(n))
+    p = Product.from_sparse(S)
+    u = rng.normal(size=(n, 2))
+    qu = np.asarray(p.sqrt.apply(u))
+    assert np.allclose(np.asarray(p.sqrt.apply_inverse(qu)), u)
