@@ -131,7 +131,7 @@ def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
         "pallas_bf16": (x2, nbytes, t_roof32, t_roof32_a, jax.jit(
             lambda v: jnp.sum(srht_pallas(v, k, key, P.DEFAULT) ** 2))),
     }
-    best = None
+    results = []
     for name, (arr, nb, t_roof, t_roof_a, fn) in candidates.items():
         log(f"compiling + timing {name} ...")
         try:
@@ -147,8 +147,15 @@ def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
             f"(vs_baseline {vs:.3f}); amortized {t_a * 1e3:.1f} ms "
             f"({nb / t_a / 1e9:.1f} GB/s, {nb / t_a / 1e9 / (nb / t_roof_a / 1e9) * 100:.0f}% "
             f"of pipelined roofline, vs_baseline {vs_a:.3f})")
-        if best is None or vs > best[2]:
-            best = (name, gbps, vs)
+        results.append((name, gbps, vs))
+    if not results:
+        return None, 0.0, 0.0
+    # headline: among candidates within 5% of the best vs_baseline (tunnel
+    # noise), report the highest absolute throughput (a bf16-input run
+    # moves half the bytes, so its GB/s is not comparable across rounds)
+    vs_max = max(r[2] for r in results)
+    best = max((r for r in results if r[2] >= 0.95 * vs_max),
+               key=lambda r: r[1])
 
     # correctness spot check at the same n (flat blocked vs canonical srht)
     ref = srht(x2[:2], k, key)

@@ -483,11 +483,18 @@ class RecycledCGInverseOp(LinOp):
         return res.x
 
     def _recycle(self, x):
+        if self.last_iters <= 2:
+            # the deflated start already solved it: x is (numerically) in
+            # span(W) and re-inserting it only burns 3 matvecs per apply
+            return
         W = self._W
         w = jnp.asarray(x, W.dtype)
+        Aw = jnp.asarray(self.matvec(w), W.dtype)
         for _ in range(2):  # A-orthogonalize (one reorthogonalization pass)
-            w = w - W @ (W.conj().T @ jnp.asarray(self.matvec(w), W.dtype))
-        nrm2 = float(jnp.vdot(w, jnp.asarray(self.matvec(w), W.dtype)).real)
+            coeffs = W.conj().T @ Aw
+            w = w - W @ coeffs
+            Aw = jnp.asarray(self.matvec(w), W.dtype)  # refresh for next use
+        nrm2 = float(jnp.vdot(w, Aw).real)  # reuse the last A*w product
         if nrm2 > 1e-28:
             slot = self._count % self.m_max
             self._W = W.at[:, slot].set(w / jnp.sqrt(nrm2))

@@ -140,8 +140,13 @@ class DicRecoveryMap(RecoveryMap):
         super().__init__(*args, **kwargs)
         # requires an orthonormal observation basis (reference :166);
         # tolerance follows the working dtype (f32 on TPU, f64 oracles)
-        tol = max(1e-8, 1e3 * float(np.finfo(
-            np.asarray(self.gramian).dtype).eps))
+        gdtype = np.asarray(self.gramian).dtype
+        tol = max(1e-8, 1e3 * float(np.finfo(gdtype).eps))
+        if gdtype == np.float32 and jax.default_backend() != "cpu":
+            # default TPU matmul truncates f32 inputs to bf16 (measured
+            # gramian deviation ~5e-3 for an exactly R-orthonormal W) —
+            # the check itself carries that error and must tolerate it
+            tol = max(tol, 4 * 2.0**-8)
         assert np.allclose(
             np.asarray(self.gramian), np.eye(self.W.shape[1]), atol=tol
         ), "DicRecoveryMap requires an R-orthonormal observation basis W"
@@ -188,20 +193,19 @@ class DicRecoveryMap(RecoveryMap):
         distances, _ = self.manifold_distance.evaluate(coefs)
         return v[:, int(np.argmin(distances))]
 
-    def compute_state_batched(self, w_batch, alpha=0.0, weights=None,
-                              scale=1e3, ols=True, max_steps: int = 64):
-        """All snapshots at once: device LARS paths, observation-space
-        corrections, manifold distances and path-point selection as ONE
-        jitted vmap over observation columns (m, s) -> (nv, s).
-
-        Replaces the reference's per-snapshot Python loop
-        (inverse_problems/recovery_map.py:241-307 driven per column) with a
-        single fixed-shape device program (VERDICT r1 weak #6)."""
+    def _batched_fn(self, ols: bool, max_steps: int, has_weights: bool):
+        """Per-instance cache of the jitted batched program: jax.jit caches
+        by function identity, so a fresh closure per call would pay a full
+        (minutes-long on the remote-compile TPU) recompile every time."""
+        cache = self.__dict__.setdefault("_batched_cache", {})
+        key = (ols, max_steps, has_weights)
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
         md = self.manifold_distance
-        assert md is not None, "batched recovery needs a manifold distance"
         CG, G = self.cross_gramian, self.gramian
 
-        def one(w):
+        def one(w, alpha, weights, scale):
             v, _, _ = lars_weighted_path_jax(
                 CG, w, alpha, weights, scale, ols, max_steps
             )
@@ -213,14 +217,45 @@ class DicRecoveryMap(RecoveryMap):
             d = md.distances(coefs)
             return jnp.take(v, jnp.argmin(d), axis=1)
 
-        return jax.jit(jax.vmap(one, in_axes=1, out_axes=1))(
-            jnp.asarray(w_batch)
-        )
+        if has_weights:
+            fn = jax.jit(jax.vmap(one, in_axes=(1, None, None, None),
+                                  out_axes=1))
+        else:
+            fn = jax.jit(jax.vmap(
+                lambda w, alpha, scale: one(w, alpha, None, scale),
+                in_axes=(1, None, None), out_axes=1,
+            ))
+        cache[key] = fn
+        return fn
+
+    def compute_state_batched(self, w_batch, alpha=0.0, weights=None,
+                              scale=1e3, ols=True, max_steps: int = 64):
+        """All snapshots at once: device LARS paths, observation-space
+        corrections, manifold distances and path-point selection as ONE
+        jitted vmap over observation columns (m, s) -> (nv, s).
+
+        Replaces the reference's per-snapshot Python loop
+        (inverse_problems/recovery_map.py:241-307 driven per column) with a
+        single fixed-shape device program (VERDICT r1 weak #6)."""
+        md = self.manifold_distance
+        assert md is not None, "batched recovery needs a manifold distance"
+        fn = self._batched_fn(bool(ols), int(max_steps), weights is not None)
+        w_batch = jnp.asarray(w_batch)
+        if weights is not None:
+            return fn(w_batch, alpha, jnp.asarray(weights), scale)
+        return fn(w_batch, alpha, scale)
 
     def compute_state(self, w, solver="jax", **kwargs):
         w = jnp.asarray(w)
         batched_kw = {"alpha", "weights", "scale", "ols", "max_steps"}
-        if solver == "jax" and set(kwargs) <= batched_kw:
+        md = self.manifold_distance
+        # the batched path needs the jittable md.distances (subclasses that
+        # implement only the host evaluate() fall back to per-column)
+        md_batchable = (
+            md is not None
+            and type(md).distances is not ManifoldDistance.distances
+        )
+        if solver == "jax" and set(kwargs) <= batched_kw and md_batchable:
             return self.compute_state_batched(w, **kwargs)
         cols = [
             self._state_single(w[:, i], solver=solver, **kwargs)

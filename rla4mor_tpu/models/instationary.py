@@ -152,9 +152,15 @@ class InstationaryROM:
                     self.est_lhs.stack.dtype), self.est_lhs.stack)
             sb = self.est_rhs.assemble_vec(mu)
 
+        # S is loop-invariant: factorize ONCE outside the scan (an LU per
+        # time step is nt x O(r^3) wasted; S may be nonsymmetric)
+        S_lu = jax.scipy.linalg.lu_factor(S)
+
         def step(carry, _):
             u, acc = carry
-            u_new = jnp.linalg.solve(S, self.mass_r @ u + self.dt * b)
+            u_new = jax.scipy.linalg.lu_solve(
+                S_lu, self.mass_r @ u + self.dt * b
+            )
             if estimating:
                 r = (self.est_mass @ (u_new - u)) / self.dt + sA @ u_new - sb
                 acc = acc + jnp.sum(jnp.abs(r) ** 2)
@@ -172,6 +178,12 @@ class InstationaryROM:
         return traj
 
     def estimate_error(self, mu: Mu) -> jax.Array:
+        if self.est_lhs is None:
+            raise ValueError(
+                "this ROM was reduced without an embedding: the sketched "
+                "space-time residual estimator is unavailable (construct "
+                "InstationaryReductor(..., embedding=...) to enable it)"
+            )
         _, eta = self.solve(mu, return_estimate=True)
         return eta
 
@@ -306,6 +318,10 @@ def pod_greedy(
     from rla4mor_tpu.core.orthonormalize import pod
     from rla4mor_tpu.core.parameters import mu_stack
 
+    assert reductor.embedding is not None, (
+        "pod_greedy drives the greedy by the sketched space-time residual "
+        "estimate: InstationaryReductor needs an embedding"
+    )
     logger = get_logger("mor.pod_greedy", log_level)
     history = {"selected_mus": [], "max_estimates": []}
     mus_batched = mu_stack(list(training_set))

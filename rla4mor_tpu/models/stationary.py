@@ -172,7 +172,9 @@ class StationaryROM:
         if self.ls:
             # least squares via economic SVD (stable under jit)
             U, s, Vh = jnp.linalg.svd(A, full_matrices=False)
-            cutoff = 1e-13 * jnp.max(s)
+            cutoff = jnp.maximum(
+                jnp.asarray(1e-13, s.dtype), 100 * jnp.finfo(s.dtype).eps
+            ) * jnp.max(s)  # dtype-aware: 1e-13 is below f32 noise
             s_inv = jnp.where(s > cutoff, 1.0 / s, 0.0)
             return Vh.conj().T @ (s_inv * (U.conj().T @ b))
         return jnp.linalg.solve(A, b)

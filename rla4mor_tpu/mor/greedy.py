@@ -133,7 +133,11 @@ def rb_greedy_padded(
                 A = phi1 @ res
                 b = phi1 @ rhs
                 U_, s_, Vh_ = jnp.linalg.svd(A, full_matrices=False)
-                s_inv = jnp.where(s_ > 1e-13 * jnp.max(s_), 1.0 / s_, 0.0)
+                rcond = jnp.maximum(
+                    jnp.asarray(1e-13, s_.dtype),
+                    100 * jnp.finfo(s_.dtype).eps,
+                )  # dtype-aware: 1e-13 is f32 noise amplified by 1/s
+                s_inv = jnp.where(s_ > rcond * jnp.max(s_), 1.0 / s_, 0.0)
                 y = Vh_.conj().T @ (s_inv * (U_.conj().T @ b))
             else:
                 A = srb_pad.conj().T @ res

@@ -50,22 +50,46 @@ class _PaddedState(NamedTuple):
 @partial(jax.jit, static_argnames=("r_max",), donate_argnums=(0,))
 def _append_column(state: _PaddedState, su, sres, out_col, u_col,
                    r_max: int) -> _PaddedState:
-    """Masked incremental CGS-2 append (fixed shapes, zero retraces)."""
+    """Masked incremental CGS-2 append (fixed shapes, zero retraces).
+
+    Rank-deficiency guard: a column that keeps less than ~100*eps of its
+    original sketch norm after the two orthogonalization passes is already
+    (numerically) in the basis — it is SKIPPED (zero column written,
+    ``ncols`` unchanged, so the next append overwrites it).  This matches
+    the plain ``SketchedReductor``'s ``pinv(R)`` push-through, which maps
+    such directions to zero, and keeps the masked reduced systems
+    nonsingular when the greedy re-selects a resolved parameter."""
     c = state.ncols
     col_mask = (jnp.arange(r_max) < c).astype(su.dtype)
+    nrm0 = jnp.linalg.norm(su)
     for _ in range(2):  # one re-orthogonalization pass
         coeffs = (state.srb.conj().T @ su) * col_mask
         su = su - state.srb @ coeffs
         sres = sres - jnp.einsum("tkr,r->tk", state.res_lhs, coeffs)
         out_col = out_col - jnp.einsum("oqr,r->oq", state.out, coeffs)
         u_col = u_col - state.rb @ coeffs
-    nrm = jnp.maximum(jnp.linalg.norm(su), 1e-30).astype(su.dtype)
+    nrm = jnp.linalg.norm(su)
+    real_dtype = jnp.real(su).dtype
+    tol = 100 * jnp.finfo(real_dtype).eps * nrm0
+    ok = (nrm > tol) & (c < r_max) & jnp.isfinite(nrm)
+    scale = jnp.where(
+        ok, 1.0 / jnp.maximum(nrm, jnp.finfo(real_dtype).tiny), 0.0
+    ).astype(su.dtype)
+    c_write = jnp.minimum(c, r_max - 1)  # keep the write in bounds when full
+
+    def put(arr, col, axis):
+        old = jnp.take(arr, c_write, axis=axis)
+        new = jnp.where(ok, col, old)  # skipped append leaves state intact
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = c_write
+        return arr.at[tuple(idx)].set(new)
+
     return _PaddedState(
-        srb=state.srb.at[:, c].set(su / nrm),
-        res_lhs=state.res_lhs.at[:, :, c].set(sres / nrm),
-        out=state.out.at[:, :, c].set(out_col / nrm),
-        rb=state.rb.at[:, c].set(u_col / nrm),
-        ncols=c + 1,
+        srb=put(state.srb, su * scale, 1),
+        res_lhs=put(state.res_lhs, sres * scale, 2),
+        out=put(state.out, out_col * scale, 2),
+        rb=put(state.rb, u_col * scale, 1),
+        ncols=c + ok.astype(c.dtype),
     )
 
 
@@ -180,7 +204,11 @@ class PaddedSketchedReductor:
                     A = phi1 @ res
                     b = phi1 @ rhs
                     U_, s_, Vh_ = jnp.linalg.svd(A, full_matrices=False)
-                    s_inv = jnp.where(s_ > 1e-13 * jnp.max(s_), 1.0 / s_, 0.0)
+                    rcond = jnp.maximum(
+                        jnp.asarray(1e-13, s_.dtype),
+                        100 * jnp.finfo(s_.dtype).eps,
+                    )  # dtype-aware (see mor/greedy.py sweep)
+                    s_inv = jnp.where(s_ > rcond * jnp.max(s_), 1.0 / s_, 0.0)
                     y = Vh_.conj().T @ (s_inv * (U_.conj().T @ b))
                 else:
                     A = srb.conj().T @ res

@@ -65,9 +65,17 @@ def load_affine(d, prefix: str) -> Optional[AffineDense]:
     return AffineDense(jnp.asarray(d[f"{prefix}__stack"]), tuple(coeffs))
 
 
+# Version of the canonical seed->operator derivation (ops/seeding.py tile
+# grid + fold_in schedule). Bump whenever the derivation changes: a stored
+# seed then names a DIFFERENT embedding, and resuming would silently mix
+# sketches from two operators (review round-2).
+SEED_DERIVATION = "tile-v1"
+
+
 def save_reductor(reductor, path) -> None:
     """Persist the sketched state of a SketchedReductor."""
     d: dict = {
+        "seed_derivation": SEED_DERIVATION,
         "srb": np.asarray(reductor.srb),
         "rb": np.asarray(reductor.rb),
         "seed_primal": reductor.embedding_primal.seed,
@@ -91,6 +99,14 @@ def load_reductor_state(reductor, path) -> None:
     """Restore sketched state saved by :func:`save_reductor` into a
     freshly-constructed reductor (FOM/embeddings must match)."""
     d = np.load(Path(path), allow_pickle=False)
+    stored = str(d["seed_derivation"]) if "seed_derivation" in d else "pre-v1"
+    if stored != SEED_DERIVATION:
+        raise ValueError(
+            f"checkpoint was written under seed derivation {stored!r} but "
+            f"this build uses {SEED_DERIVATION!r}: the stored seeds would "
+            "regenerate different embeddings than the ones that produced "
+            "the saved sketches; re-run the offline stage"
+        )
     reductor.srb = jnp.asarray(d["srb"])
     reductor.rb = jnp.asarray(d["rb"])
     reductor.residual_lhs = load_affine(d, "residual_lhs")

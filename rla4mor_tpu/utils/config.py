@@ -41,8 +41,18 @@ def force_cpu_devices(n: int = 8) -> None:
     Used by the test-suite to exercise multi-chip sharding without TPUs
     (XLA_FLAGS=--xla_force_host_platform_device_count).
     """
+    import re
+
     flags = os.environ.get("XLA_FLAGS", "")
-    token = f"--xla_force_host_platform_device_count={n}"
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (flags + " " + token).strip()
+    pat = r"--xla_force_host_platform_device_count=(\d+)"
+    m = re.search(pat, flags)
+    if m is None:
+        flags = (flags + f" --xla_force_host_platform_device_count={n}").strip()
+    elif int(m.group(1)) < n:
+        # RAISE a smaller pre-pinned count (an earlier tool/profile export)
+        # instead of silently keeping it; never lower a larger one
+        flags = re.sub(
+            pat, f"--xla_force_host_platform_device_count={n}", flags
+        )
+    os.environ["XLA_FLAGS"] = flags
     os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -355,3 +355,39 @@ def test_extend_basis_streamed_matches_batch(thermal_fom):
     rom_b = red_b.reduce(seed=9)
     mu = fom.parameter_space.sample_randomly(1, key=22)[0]
     assert np.allclose(np.asarray(rom_a.solve(mu)), np.asarray(rom_b.solve(mu)))
+
+
+def test_padded_append_skips_dependent_columns():
+    """A snapshot already (numerically) in the basis is skipped — ncols
+    stays put, the state is untouched, and the masked systems remain
+    nonsingular (review round-2: previously the noise column was
+    normalized by ~1/eps into the residual stack)."""
+    import jax.numpy as jnp
+
+    from rla4mor_tpu.mor.padded_reductor import PaddedSketchedReductor
+    from rla4mor_tpu.models import ThermalBlockFOM
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    fom = ThermalBlockFOM((2, 2), 8)
+    Ru = fom.h1_0_product
+    theta = GaussianEmbedding.make(fom.solution_dim, sqrt_product=Ru.sqrt,
+                                   range_dim=60, seed=0)
+    red = PaddedSketchedReductor(fom, embedding_primal=theta, product=Ru,
+                                 r_max=4, log_level=30)
+    mu = fom.parameter_space.sample_randomly(1, key=0)[0]
+    u = fom.solve(mu)
+    red.extend_basis(u, mu=mu)
+    srb1 = np.asarray(red.state.srb).copy()  # state buffers are donated
+    assert red.basis_size == 1
+    red.extend_basis(u, mu=mu)          # exact duplicate
+    assert red.basis_size == 1
+    assert np.allclose(np.asarray(red.state.srb), srb1)
+    red.extend_basis(1.0000001 * u)     # numerically dependent
+    assert red.basis_size == 1
+    # a genuinely new direction still appends
+    mu2 = fom.parameter_space.sample_randomly(1, key=1)[0]
+    red.extend_basis(fom.solve(mu2), mu=mu2)
+    assert red.basis_size == 2
+    rom = red.reduce(seed=3)
+    est = np.asarray(rom.estimate_error(mu))
+    assert np.isfinite(est)
