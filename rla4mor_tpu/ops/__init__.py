@@ -37,6 +37,7 @@ from rla4mor_tpu.ops.embeddings import (
     IdentityEmbedding,
     BlockGaussianEmbedding,
     StreamedGaussianEmbedding,
+    HwPrngGaussianEmbedding,
     VectorizedEmbedding,
 )
 
@@ -45,6 +46,6 @@ __all__ = [
     "gaussian_dim", "srht_dim", "resolve_dim",
     "Embedding", "GaussianEmbedding", "RademacherEmbedding",
     "SparseSignEmbedding", "SrhtEmbedding", "IdentityEmbedding",
-    "StreamedGaussianEmbedding",
+    "StreamedGaussianEmbedding", "HwPrngGaussianEmbedding",
     "BlockGaussianEmbedding", "VectorizedEmbedding",
 ]

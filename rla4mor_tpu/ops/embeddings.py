@@ -424,6 +424,63 @@ class StreamedGaussianEmbedding(Embedding):
 
 
 @dataclass(frozen=True)
+class HwPrngGaussianEmbedding(Embedding):
+    """Gaussian / Rademacher embedding drawn by the TPU *hardware* PRNG
+    inside a Pallas kernel (ops/gaussian_pallas.py) — Omega only ever
+    exists one VMEM strip at a time.
+
+    Measured on the v5e (PERF.md): the canonical threefry generation caps
+    Gaussian sketches at ~11 GB/s of snapshot read; this kernel's PRNG is
+    free (const-fill == prng-fill timing) so wide sketches (>= 128
+    columns) run at the full ~119 GB/s HBM read roofline (10.8x), and
+    narrow ones at the MXU weight-stream floor (2.2-2.6x).
+
+    LOUD CAVEAT — different bitstream: the operator is determined by
+    ``(seed, range_dim, block_rows, dist)`` under the kernel's own draw
+    order, NOT by the canonical ops/seeding.py derivation, so the same
+    seed names a different Omega than ``GaussianEmbedding`` & friends.
+    It is reproducible on TPU backends but is NOT portable to the CPU
+    zoo; mixing it with canonical embeddings inside one reductor state is
+    fine (each embedding is self-consistent), re-generating its sketches
+    off-TPU is not.  ``dist="rademacher"`` draws +-1 entries (same
+    oblivious-dim guarantees up to constants, reference
+    rla/embeddings.py:148-164 formulas reused unchanged).
+    """
+
+    block_rows: int = 2048
+    dist: str = "normal"
+
+    @classmethod
+    def make(cls, source_dim, sqrt_product=None, range_dim=None, epsilon=None,
+             delta=None, oblivious_dim=None, seed=0, block_rows=2048,
+             dist="normal", complex_dtype=False):
+        k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
+                     oblivious_dim, complex_dtype)
+        return cls(k, source_dim, seed, sqrt_product, block_rows, dist)
+
+    def apply_random(self, X):
+        from rla4mor_tpu.ops.gaussian_pallas import gaussian_sketch
+
+        return gaussian_sketch(
+            jnp.asarray(X), self.range_dim, self.seed,
+            block_rows=self.block_rows, dist=self.dist,
+        )
+
+    def random_matrix(self):
+        from rla4mor_tpu.ops.gaussian_pallas import gaussian_strip
+
+        W = self.block_rows
+        n_blocks = -(-self.l2_dim // W)
+        strips = [
+            gaussian_strip(self.range_dim, self.seed, b, block_rows=W,
+                           dist=self.dist)
+            for b in range(n_blocks)
+        ]
+        full = jnp.concatenate(strips, axis=1)[:, : self.l2_dim]
+        return full / math.sqrt(self.range_dim)
+
+
+@dataclass(frozen=True)
 class VectorizedEmbedding(LinOp):
     """Sketch a whole (rows x cols) matrix by flattening then embedding.
 

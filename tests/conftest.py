@@ -8,21 +8,27 @@ Multi-chip sharding tests use the 8 virtual CPU devices.
 
 import os
 
-# must run before jax initializes
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_ENABLE_X64"] = "1"
+# must run before jax initializes. RLA4MOR_TPU_TESTS=1 leaves the live
+# (TPU) backend alone for the TPU-only kernel tests (test_gaussian_pallas).
+if os.environ.get("RLA4MOR_TPU_TESTS") != "1":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_ENABLE_X64"] = "1"
 
-import jax  # noqa: E402
+    import jax
 
-# jax may already be imported by a pytest plugin with env-derived defaults;
-# force the settings through the config API as well.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    # jax may already be imported by a pytest plugin with env-derived
+    # defaults; force the settings through the config API as well.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+else:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
