@@ -104,50 +104,14 @@ def rb_greedy_padded(
     """
     import jax.numpy as jnp
 
+    from rla4mor_tpu.mor.padded_reductor import build_masked_sweep
+
     minres = reductor.projection == "minres"
     logger = get_logger("mor.greedy", log_level)
     result = GreedyResult(rom=None)
     mus_batched = mu_stack(list(training_set))
     r_max = max_extensions
     k = reductor.embedding_primal.range_dim
-
-    @jax.jit
-    def sweep(srb_pad, lhs_pad, rhs_stack, phi1, phi2, ncols, mus):
-        """Masked solve + Phi-sketched estimate per mu."""
-        col_mask = (jnp.arange(r_max) < ncols).astype(srb_pad.dtype)
-        op_coeffs = reductor.fom.operator.coefficients
-
-        def one(mu):
-            from rla4mor_tpu.core.parameters import eval_coefficients
-
-            theta = eval_coefficients(op_coeffs, mu).astype(srb_pad.dtype)
-            res = jnp.einsum("t,tkr->kr", theta, lhs_pad) * col_mask[None, :]
-            rhs = jnp.einsum(
-                "t,tk->k",
-                eval_coefficients(
-                    reductor.residual_rhs.coefficients, mu
-                ).astype(srb_pad.dtype),
-                rhs_stack,
-            )
-            if minres:
-                A = phi1 @ res
-                b = phi1 @ rhs
-                U_, s_, Vh_ = jnp.linalg.svd(A, full_matrices=False)
-                rcond = jnp.maximum(
-                    jnp.asarray(1e-13, s_.dtype),
-                    100 * jnp.finfo(s_.dtype).eps,
-                )  # dtype-aware: 1e-13 is f32 noise amplified by 1/s
-                s_inv = jnp.where(s_ > rcond * jnp.max(s_), 1.0 / s_, 0.0)
-                y = Vh_.conj().T @ (s_inv * (U_.conj().T @ b))
-            else:
-                A = srb_pad.conj().T @ res
-                A = A * col_mask[:, None] + jnp.diag(1.0 - col_mask)
-                b = (srb_pad.conj().T @ rhs) * col_mask
-                y = jnp.linalg.solve(A, b)
-            est = jnp.linalg.norm(phi2 @ (res @ y - rhs))
-            return est
-
-        return jax.vmap(one)(mus)
 
     def padded_state():
         r = reductor.basis_size
@@ -164,6 +128,12 @@ def rb_greedy_padded(
     reductor.extend_basis(fom.solve(mu0), mu=mu0)
     result.extension_times.append(time.perf_counter() - t0)
     result.selected_mus.append(mu0)
+
+    # residual_rhs exists only after the bootstrap extension
+    sweep = build_masked_sweep(
+        r_max, minres, reductor.fom.operator.coefficients,
+        reductor.residual_rhs.coefficients,
+    )
 
     first_max = None
     for it in range(1, max_extensions):

@@ -93,6 +93,53 @@ def _append_column(state: _PaddedState, su, sres, out_col, u_col,
     )
 
 
+def build_masked_sweep(r_max: int, minres: bool, op_coeffs, rhs_coeffs):
+    """Jitted masked (solve + Phi-sketched estimate) sweep over a mu batch.
+
+    The ONE compile shared by the whole no-retrace greedy run: reduced
+    systems are padded to ``r_max`` columns and masked by the live column
+    count. ``minres`` solves the Phi1-sketched system by masked min-norm
+    least squares (zeroed pad columns give zero coefficients under the
+    SVD pseudo-inverse); galerkin solves the square masked system with an
+    identity filler on the dead diagonal. Shared by
+    ``PaddedSketchedReductor.sweep`` and ``mor.greedy.rb_greedy_padded``.
+    """
+
+    @jax.jit
+    def sweep(srb, res_lhs, rhs_stack, phi1, phi2, ncols, mus):
+        col_mask = (jnp.arange(r_max) < ncols).astype(srb.dtype)
+
+        def one(mu):
+            theta = eval_coefficients(op_coeffs, mu).astype(srb.dtype)
+            res = jnp.einsum("t,tkr->kr", theta, res_lhs) * col_mask
+            rhs = jnp.einsum(
+                "t,tk->k",
+                eval_coefficients(rhs_coeffs, mu).astype(srb.dtype),
+                rhs_stack,
+            )
+            if minres:
+                A = phi1 @ res
+                b = phi1 @ rhs
+                U_, s_, Vh_ = jnp.linalg.svd(A, full_matrices=False)
+                rcond = jnp.maximum(
+                    jnp.asarray(1e-13, s_.dtype),
+                    100 * jnp.finfo(s_.dtype).eps,
+                )  # dtype-aware: 1e-13 is f32 noise amplified by 1/s
+                s_inv = jnp.where(s_ > rcond * jnp.max(s_), 1.0 / s_, 0.0)
+                y = Vh_.conj().T @ (s_inv * (U_.conj().T @ b))
+            else:
+                A = srb.conj().T @ res
+                A = A * col_mask[:, None] + jnp.diag(1.0 - col_mask)
+                b = (srb.conj().T @ rhs) * col_mask
+                y = jnp.linalg.solve(A, b)
+            est = jnp.linalg.norm(phi2 @ (res @ y - rhs))
+            return est
+
+        return jax.vmap(one)(mus)
+
+    return sweep
+
+
 class PaddedSketchedReductor:
     """Sketched RB reductor with preallocated r_max-column state."""
 
@@ -183,44 +230,12 @@ class PaddedSketchedReductor:
 
     # ------------------------------------------------------------------ sweep
     def _build_sweep(self):
-        r_max = self.r_max
-        minres = self.projection == "minres"
-        op_coeffs = self.fom.operator.coefficients
-        rhs_coeffs = self.residual_rhs.coefficients
-
-        @jax.jit
-        def sweep(srb, res_lhs, rhs_stack, phi1, phi2, ncols, mus):
-            col_mask = (jnp.arange(r_max) < ncols).astype(srb.dtype)
-
-            def one(mu):
-                theta = eval_coefficients(op_coeffs, mu).astype(srb.dtype)
-                res = jnp.einsum("t,tkr->kr", theta, res_lhs) * col_mask
-                rhs = jnp.einsum(
-                    "t,tk->k",
-                    eval_coefficients(rhs_coeffs, mu).astype(srb.dtype),
-                    rhs_stack,
-                )
-                if minres:
-                    A = phi1 @ res
-                    b = phi1 @ rhs
-                    U_, s_, Vh_ = jnp.linalg.svd(A, full_matrices=False)
-                    rcond = jnp.maximum(
-                        jnp.asarray(1e-13, s_.dtype),
-                        100 * jnp.finfo(s_.dtype).eps,
-                    )  # dtype-aware (see mor/greedy.py sweep)
-                    s_inv = jnp.where(s_ > rcond * jnp.max(s_), 1.0 / s_, 0.0)
-                    y = Vh_.conj().T @ (s_inv * (U_.conj().T @ b))
-                else:
-                    A = srb.conj().T @ res
-                    A = A * col_mask[:, None] + jnp.diag(1.0 - col_mask)
-                    b = (srb.conj().T @ rhs) * col_mask
-                    y = jnp.linalg.solve(A, b)
-                est = jnp.linalg.norm(phi2 @ (res @ y - rhs))
-                return est
-
-            return jax.vmap(one)(mus)
-
-        return sweep
+        return build_masked_sweep(
+            self.r_max,
+            self.projection == "minres",
+            self.fom.operator.coefficients,
+            self.residual_rhs.coefficients,
+        )
 
     def sweep(self, mus_batched: Mu, seed: int) -> np.ndarray:
         """Masked ROM solve + sketched-error estimate over a batch (one
