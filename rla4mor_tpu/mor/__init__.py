@@ -1,6 +1,11 @@
 from rla4mor_tpu.mor.sketched_reductor import SketchedReductor
 from rla4mor_tpu.mor.classical_reductor import ClassicalReductor
-from rla4mor_tpu.mor.greedy import rb_greedy, rb_greedy_padded, GreedyResult
+from rla4mor_tpu.mor.greedy import (
+    rb_greedy,
+    rb_greedy_padded,
+    rb_greedy_strong,
+    GreedyResult,
+)
 from rla4mor_tpu.mor.padded_reductor import (
     PaddedSketchedReductor,
     rb_greedy_no_retrace,
@@ -9,6 +14,7 @@ from rla4mor_tpu.mor.serialization import save_reductor, load_reductor_state
 
 __all__ = [
     "SketchedReductor", "ClassicalReductor", "rb_greedy", "rb_greedy_padded",
+    "rb_greedy_strong",
     "GreedyResult",
     "PaddedSketchedReductor", "rb_greedy_no_retrace",
     "save_reductor", "load_reductor_state",

@@ -82,6 +82,88 @@ def rb_greedy(
     return result
 
 
+def rb_greedy_strong(
+    fom,
+    reductor: SketchedReductor,
+    training_set: Sequence[Mu],
+    max_extensions: int = 20,
+    atol: float = 0.0,
+    rtol: float = 0.0,
+    relative: bool = False,
+    online_seed: int = 0,
+    log_level: int = 20,
+    snapshots=None,
+) -> GreedyResult:
+    """Strong greedy: select by the TRUE model error against precomputed
+    training snapshots (pyMOR's ``rb_greedy(use_error_estimator=False)``
+    analog; the reference leaves greedy loops to user scripts entirely,
+    SURVEY §3.1).
+
+    All training FOM solutions are computed (or passed via ``snapshots``,
+    an (n, len(training_set)) column matrix) up front, so this is the
+    small-training-set tool; use :func:`rb_greedy` /
+    :func:`rb_greedy_no_retrace` when only estimates are affordable.
+    Per iteration ONE jitted vmapped (ROM solve + lift + R-norm error)
+    sweep runs over the whole snapshot batch; the selected snapshot is
+    reused for the extension (no second FOM solve). Requires
+    ``save_rb=True`` on the reductor (the lift needs the stored basis).
+    """
+    assert reductor.save_rb, "strong greedy lifts errors: needs save_rb=True"
+    logger = get_logger("mor.greedy", log_level)
+    result = GreedyResult(rom=None)
+    mus_batched = mu_stack(list(training_set))
+    product = reductor.product
+
+    if snapshots is None:
+        snapshots = fom.solve_many(list(training_set))
+    U = jnp.asarray(snapshots)
+    assert U.shape[1] == len(training_set)
+    denom = (
+        np.maximum(np.asarray(product.norm(U)), 1e-300)
+        if relative
+        else np.ones(U.shape[1])
+    )
+
+    @jax.jit
+    def lift_batch(rom, rb, mus):
+        """Batched ROM solve + lift to FOM space (the R-norm runs outside:
+        products may wrap host sparse operators)."""
+        return rb @ rom.solve_batch(mus).T  # (n, M)
+
+    mu0 = training_set[0]
+    t0 = time.perf_counter()
+    reductor.extend_basis(U[:, 0], mu=mu0)
+    result.extension_times.append(time.perf_counter() - t0)
+    result.selected_mus.append(mu0)
+
+    first_max = None
+    for it in range(1, max_extensions):
+        rom = reductor.reduce(seed=online_seed + it)
+        diff = U - lift_batch(rom, reductor.rb, mus_batched)
+        errors = np.asarray(product.norm(diff)) / denom
+        imax = int(np.argmax(errors))
+        emax = float(errors[imax])
+        result.max_estimates.append(emax)
+        if first_max is None:
+            first_max = emax
+        logger.info("greedy(strong) it=%d basis=%d max_err=%.3e", it,
+                    reductor.basis_size, emax)
+        if emax <= atol or (rtol and emax <= rtol * first_max):
+            logger.info("greedy converged")
+            result.rom = rom
+            result.iterations = it
+            return result
+        mu = training_set[imax]
+        t0 = time.perf_counter()
+        reductor.extend_basis(U[:, imax], mu=mu)
+        result.extension_times.append(time.perf_counter() - t0)
+        result.selected_mus.append(mu)
+
+    result.rom = reductor.reduce(seed=online_seed + max_extensions)
+    result.iterations = max_extensions
+    return result
+
+
 def rb_greedy_padded(
     fom,
     reductor: SketchedReductor,

@@ -391,3 +391,37 @@ def test_padded_append_skips_dependent_columns():
     rom = red.reduce(seed=3)
     est = np.asarray(rom.estimate_error(mu))
     assert np.isfinite(est)
+
+
+def test_greedy_strong(thermal_fom):
+    """Strong greedy drives the TRUE training error down; reusing the
+    precomputed snapshots must give the same trajectory as letting the
+    driver solve them itself."""
+    from rla4mor_tpu.mor import rb_greedy_strong
+
+    fom = thermal_fom
+    red, _ = _setup(fom, GaussianEmbedding, k=200, orthonormalize=True)
+    training = fom.parameter_space.sample_randomly(20, key=11)
+    U = fom.solve_many(list(training))
+    result = rb_greedy_strong(fom, red, training, max_extensions=6,
+                              snapshots=U, log_level=30)
+    assert red.basis_size == 6
+    assert result.max_estimates[-1] < result.max_estimates[0]
+    # the reported max TRUE error matches an independent recomputation
+    Ru = fom.h1_0_product
+    rom = result.rom
+    errs = []
+    for i, mu in enumerate(training):
+        u_rom = red.rb @ jnp.asarray(rom.solve(mu))
+        errs.append(float(Ru.norm(jnp.asarray(U[:, i]) - u_rom)))
+    # last sweep ran before the final extension, so just check the final
+    # rom beats the last recorded max estimate on the training set
+    assert max(errs) <= result.max_estimates[-1] * 1.5
+
+    # same trajectory when the driver computes snapshots itself
+    red2, _ = _setup(fom, GaussianEmbedding, k=200, orthonormalize=True)
+    result2 = rb_greedy_strong(fom, red2, training, max_extensions=6,
+                               log_level=30)
+    assert [m.values for m in result2.selected_mus] == [
+        m.values for m in result.selected_mus
+    ] or np.allclose(result2.max_estimates, result.max_estimates)
