@@ -214,6 +214,86 @@ class SketchedReductor:
             ls=True,
         )
 
+    def reduce_adaptive(
+        self,
+        mus_batched,
+        seed=None,
+        tol: float = 0.2,
+        max_rounds: int = 3,
+        ls_rcond: float = 1e-13,
+    ):
+        """Adaptive online-sketch refresh: emit the ROM, cross-validate its
+        error estimator against an INDEPENDENT online sketch over a
+        parameter batch, and double the online sketch size until the two
+        agree to relative ``tol`` (or the online dim reaches the primal
+        sketch dim, where the sketch is exact up to the epsilon of the
+        primal embedding).
+
+        Rationale: the reference draws one online Phi per ``reduce`` with a
+        user-guessed size (mor/sketched_reductor.py:128-136) — if k_online
+        is too small the estimator is silently unreliable.  Two
+        independent draws both concentrate around the true sketched
+        residual norm, so their spread is a computable a-posteriori proxy
+        for the embedding quality. Accepted sizes persist in
+        ``self.embedding_online`` (the "refresh"), so later plain
+        ``reduce`` calls keep the certified size.
+
+        Returns ``(rom, info)`` with ``info = {"online_dim", "max_rel_dev",
+        "rounds", "certified"}``.
+        """
+        import dataclasses
+
+        assert self.basis_size > 0, "adaptive reduce needs a nonempty basis"
+        base_seed = 0 if seed is None else int(seed)
+        k_max = self.embedding_primal.range_dim
+
+        @jax.jit
+        def rel_dev(rom, est2, mus):
+            def one(mu):
+                u = rom.solve(mu)
+                e1 = rom.error_estimator.estimate_error(u, mu)
+                e2 = est2.estimate_error(u, mu)
+                return jnp.abs(e1 - e2) / jnp.maximum(
+                    jnp.maximum(e1, e2), jnp.finfo(e1.dtype).tiny
+                )
+
+            return jnp.max(jax.vmap(one)(mus))
+
+        info = {}
+        for rnd in range(max_rounds + 1):
+            s = base_seed + 2 * rnd
+            rom = self.reduce(seed=s, ls_rcond=ls_rcond)
+            # check sketch on a disjoint seed stream (minres reduce() uses
+            # (s, s+1) itself)
+            est2 = ResidualErrorEstimator(
+                *self._sketch_residual(
+                    self.embedding_online.with_seed(base_seed + 100003 + rnd)
+                )
+            )
+            dev = float(rel_dev(rom, est2, mus_batched))
+            k_now = self.embedding_online.range_dim
+            info = {
+                "online_dim": k_now,
+                "max_rel_dev": dev,
+                "rounds": rnd + 1,
+                "certified": dev <= tol,
+            }
+            self.logger.info(
+                "adaptive online sketch: k_online=%d max_rel_dev=%.3e",
+                k_now, dev,
+            )
+            if dev <= tol or k_now >= k_max:
+                if dev > tol:
+                    self.logger.warning(
+                        "online sketch at primal size %d still deviates "
+                        "%.2e > tol %.2e", k_now, dev, tol
+                    )
+                return rom, info
+            self.embedding_online = dataclasses.replace(
+                self.embedding_online, range_dim=min(2 * k_now, k_max)
+            )
+        return rom, info
+
     def _reduce_empty(self) -> StationaryROM:
         """Classical fallback for the empty basis (reference
         mor/sketched_reductor.py:189-208): project with the empty basis and

@@ -425,3 +425,36 @@ def test_greedy_strong(thermal_fom):
     assert [m.values for m in result2.selected_mus] == [
         m.values for m in result.selected_mus
     ] or np.allclose(result2.max_estimates, result.max_estimates)
+
+
+def test_reduce_adaptive_refreshes_online_sketch(thermal_fom):
+    """A deliberately undersized online sketch (k_online=4) fails the
+    two-independent-draw cross-check and is doubled until certified; the
+    accepted size persists on the reductor. A comfortable sketch passes
+    in one round."""
+    from rla4mor_tpu.core.parameters import mu_stack
+
+    fom = thermal_fom
+    red, _ = _setup(fom, GaussianEmbedding, k=160, orthonormalize=True,
+                    k_online=4)
+    mus, U = _snapshots(fom, count=5)
+    red.extend_basis(U)
+    mus_b = mu_stack(fom.parameter_space.sample_randomly(20, key=77))
+
+    rom, info = red.reduce_adaptive(mus_b, seed=5, tol=0.15, max_rounds=6)
+    assert info["certified"]
+    assert info["online_dim"] > 4            # it actually grew
+    assert red.embedding_online.range_dim == info["online_dim"]  # persists
+    assert info["max_rel_dev"] <= 0.15
+    # the certified estimator still brackets the true residual
+    mu = mus[0]
+    est = float(np.asarray(rom.estimate_error(mu)))
+    assert np.isfinite(est)
+
+    red2, _ = _setup(fom, GaussianEmbedding, k=160, orthonormalize=True,
+                     k_online=150)
+    mus2, U2 = _snapshots(fom, count=5)
+    red2.extend_basis(U2)
+    _, info2 = red2.reduce_adaptive(mus_b, seed=5, tol=0.15, max_rounds=6)
+    assert info2["certified"] and info2["rounds"] == 1
+    assert red2.embedding_online.range_dim == 150
