@@ -237,7 +237,19 @@ class InstationaryReductor:
         coeffs = V.conj().T @ jnp.asarray(self.product.op.apply(traj))
         return jnp.asarray(traj) - V @ coeffs
 
-    def reduce(self) -> InstationaryROM:
+    def reduce(self, pad_to: Optional[int] = None) -> InstationaryROM:
+        """Emit the reduced model.
+
+        ``pad_to=r_max`` pads every reduced quantity to a FIXED r_max
+        columns (identity filler on the dead mass diagonal, zeros
+        elsewhere), so the ROM's jitted solve/estimate compiles once for a
+        whole POD-greedy run regardless of the live basis size — the
+        instationary analog of mor/padded_reductor.py.  Dead coordinates
+        provably stay zero: u0 is zero there, the padded implicit-Euler
+        matrix S = M + dt A has a unit dead diagonal, and the dead rows of
+        the rhs are zero, so the trajectory and the sketched estimate are
+        EXACTLY those of the unpadded ROM (equivalence-tested).
+        """
         fom = self.fom
         V = self.rb
         r = V.shape[1]
@@ -285,6 +297,35 @@ class InstationaryReductor:
                 jnp.einsum("tqn,nr->tqr", of.stack, V), of.coefficients
             ) if isinstance(of, AffineDense) else None
 
+        if pad_to is not None:
+            R = int(pad_to)
+            assert R >= r, (R, r)
+            p = R - r
+            eye_dead = jnp.zeros((R, R), mass_r.dtype).at[
+                jnp.arange(r, R), jnp.arange(r, R)
+            ].set(1.0)
+            mass_r = jnp.pad(mass_r, ((0, p), (0, p))) + eye_dead
+            lhs = AffineDense(
+                jnp.pad(lhs.stack, ((0, 0), (0, p), (0, p))),
+                lhs.coefficients,
+            )
+            rhs_r = AffineDense(
+                jnp.pad(rhs_r.stack, ((0, 0), (0, p), (0, 0))),
+                rhs_r.coefficients,
+            )
+            u0_r = jnp.pad(u0_r, (0, p))
+            if est_mass is not None:
+                est_mass = jnp.pad(est_mass, ((0, 0), (0, p)))
+                est_lhs = AffineDense(
+                    jnp.pad(est_lhs.stack, ((0, 0), (0, 0), (0, p))),
+                    est_lhs.coefficients,
+                )
+            if out is not None:
+                out = AffineDense(
+                    jnp.pad(out.stack, ((0, 0), (0, 0), (0, p))),
+                    out.coefficients,
+                )
+
         return InstationaryROM(
             mass_r, lhs, rhs_r, u0_r, fom.dt, fom.nt,
             est_mass=est_mass, est_lhs=est_lhs, est_rhs=est_rhs,
@@ -301,6 +342,14 @@ def _materialize_rhs(rhs: AffineOp) -> AffineDense:
     return materialize(rhs)
 
 
+@jax.jit
+def _estimate_sweep(rom: InstationaryROM, mus_batched: Mu) -> jax.Array:
+    """Module-level jitted sweep: jax.jit caches on the ROM pytree
+    structure + shapes, so with a padded ROM the whole POD-greedy run
+    compiles once."""
+    return jax.vmap(rom.estimate_error)(mus_batched)
+
+
 def pod_greedy(
     fom: InstationaryFOM,
     reductor: InstationaryReductor,
@@ -309,12 +358,17 @@ def pod_greedy(
     modes_per_extension: int = 1,
     atol: float = 0.0,
     rtol: float = 0.0,
+    pad_to: Optional[int] = None,
     log_level: int = 20,
 ) -> Tuple[InstationaryROM, dict]:
     """POD-greedy (Haasdonk/Ohlberger): greedy over mu by the sketched
     space-time residual estimate; each extension appends the leading POD
     mode(s) of the R-orthogonal projection-error trajectory at the worst
-    mu.  The estimator sweep is one jitted vmap over the training set."""
+    mu.  The estimator sweep is one jitted vmap over the training set.
+
+    ``pad_to=r_max`` runs the sweep on r_max-padded ROMs: ONE compile for
+    the whole greedy run (use on the remote-compile TPU platform; the
+    stationary analog is mor.greedy.rb_greedy_no_retrace)."""
     from rla4mor_tpu.core.orthonormalize import pod
     from rla4mor_tpu.core.parameters import mu_stack
 
@@ -322,6 +376,10 @@ def pod_greedy(
         "pod_greedy drives the greedy by the sketched space-time residual "
         "estimate: InstationaryReductor needs an embedding"
     )
+    if pad_to is not None:
+        assert pad_to >= max_extensions * modes_per_extension, (
+            "pad_to must hold the full final basis", pad_to
+        )
     logger = get_logger("mor.pod_greedy", log_level)
     history = {"selected_mus": [], "max_estimates": []}
     mus_batched = mu_stack(list(training_set))
@@ -335,11 +393,9 @@ def pod_greedy(
     history["selected_mus"].append(mu0)
 
     first_max = None
-    rom = reductor.reduce()
+    rom = reductor.reduce(pad_to=pad_to)
     for _it in range(1, max_extensions):
-        estimates = np.asarray(
-            jax.jit(jax.vmap(rom.estimate_error))(mus_batched)
-        )
+        estimates = np.asarray(_estimate_sweep(rom, mus_batched))
         imax = int(np.argmax(estimates))
         emax = float(estimates[imax])
         history["max_estimates"].append(emax)
@@ -359,8 +415,10 @@ def pod_greedy(
             break
         reductor.extend_basis(modes)
         history["selected_mus"].append(mu)
-        rom = reductor.reduce()
+        rom = reductor.reduce(pad_to=pad_to)
 
+    if pad_to is not None:
+        rom = reductor.reduce()  # hand back the live-size ROM
     return rom, history
 
 

@@ -110,3 +110,55 @@ def test_pod_greedy(pfom):
     batch = mu_stack(pfom.parameter_space.sample_randomly(4, key=8))
     ests = jax.jit(jax.vmap(rom.estimate_error))(batch)
     assert ests.shape == (4,) and bool(jnp.all(jnp.isfinite(ests)))
+
+
+def test_reduce_padded_equals_unpadded(pfom):
+    """pad_to fixes all ROM shapes; dead coordinates stay zero, so the
+    trajectory and estimate equal the live-size ROM exactly."""
+    Ru = pfom.products["h1_0"]
+    theta = GaussianEmbedding.make(
+        pfom.solution_dim, sqrt_product=Ru.sqrt, range_dim=80, seed=5
+    )
+    red = InstationaryReductor(pfom, embedding=theta, product=Ru,
+                               log_level=30)
+    mus = pfom.parameter_space.sample_randomly(3, key=9)
+    for mu in mus[:2]:
+        traj = pfom.solve(mu)
+        from rla4mor_tpu.core.orthonormalize import pod
+        modes, _ = pod(red.project_trajectory(traj), product=Ru, modes=2)
+        red.extend_basis(modes)
+    r = red.basis_size
+    rom = red.reduce()
+    rom_p = red.reduce(pad_to=r + 5)
+
+    mu = mus[2]
+    t1, e1 = rom.solve(mu, return_estimate=True)
+    t2, e2 = rom_p.solve(mu, return_estimate=True)
+    assert t2.shape[0] == r + 5
+    assert np.allclose(np.asarray(t2[r:]), 0.0)          # dead coords stay 0
+    assert np.allclose(np.asarray(t2[:r]), np.asarray(t1), atol=1e-12)
+    assert np.isclose(float(e2), float(e1), rtol=1e-12)
+
+
+def test_pod_greedy_padded_matches_plain(pfom):
+    """pad_to changes compilation strategy only: same selected mus, same
+    estimate trajectory."""
+    Ru = pfom.products["h1_0"]
+
+    def run(pad_to):
+        theta = GaussianEmbedding.make(
+            pfom.solution_dim, sqrt_product=Ru.sqrt, range_dim=80, seed=5
+        )
+        red = InstationaryReductor(pfom, embedding=theta, product=Ru,
+                                   log_level=30)
+        train = pfom.parameter_space.sample_randomly(10, key=16)
+        return pod_greedy(pfom, red, train, max_extensions=5,
+                          pad_to=pad_to, log_level=30)
+
+    rom_a, hist_a = run(None)
+    rom_b, hist_b = run(8)
+    assert [tuple(np.asarray(m["diffusion"])) for m in hist_a["selected_mus"]] == \
+        [tuple(np.asarray(m["diffusion"])) for m in hist_b["selected_mus"]]
+    assert np.allclose(hist_a["max_estimates"], hist_b["max_estimates"],
+                       rtol=1e-10)
+    assert rom_b.dim == rom_a.dim  # final ROM handed back unpadded
