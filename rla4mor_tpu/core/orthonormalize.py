@@ -137,6 +137,12 @@ def pod(
     inverse_problems/example.py:64. ``rtol`` is relative on singular values;
     the method-of-snapshots noise floor is ~sqrt(eps), hence the 1e-7
     default.
+
+    ``rtol=None`` (requires ``modes``) keeps exactly ``modes`` modes with no
+    data-dependent truncation — the call then jits (and shards: with a
+    DoF-sharded U every n-axis contraction becomes per-shard partials +
+    psum under GSPMD, so this is the sharded tall-skinny factorization of
+    SURVEY §5). Sub-threshold modes are the caller's concern in that mode.
     """
     U = jnp.asarray(U)
     G = U.conj().T @ (U if product is None else jnp.asarray(product.op.apply(U)))
@@ -146,10 +152,17 @@ def pod(
     lam = lam[::-1]
     V = V[:, ::-1]
     svals = jnp.sqrt(jnp.maximum(lam, 0.0))
-    keep = int(jnp.sum(svals > rtol * (svals[0] if svals.shape[0] else 1.0)))
-    if modes is not None:
-        keep = min(keep, modes)
+    if rtol is None:
+        assert modes is not None, "rtol=None (jittable pod) requires modes"
+        keep = min(modes, int(svals.shape[0]))
+    else:
+        keep = int(
+            jnp.sum(svals > rtol * (svals[0] if svals.shape[0] else 1.0))
+        )
+        if modes is not None:
+            keep = min(keep, modes)
     V = V[:, :keep]
     svals_k = svals[:keep]
-    modes_mat = U @ (V / svals_k[None, :])
+    safe = jnp.maximum(svals_k, jnp.finfo(jnp.real(U).dtype).tiny)
+    modes_mat = U @ (V / safe[None, :])
     return modes_mat, svals_k

@@ -388,3 +388,36 @@ def test_srht_sharded_flat_equals_blocked(mesh, rng):
     assert np.abs(got_b - want).max() / np.abs(want).max() < 1e-12
     got1 = np.asarray(srht_sketch_sharded_flat(key, k, x[:, 0], mesh))
     assert np.abs(got1 - want[:, 0]).max() / np.abs(want).max() < 1e-12
+
+
+def test_gram_schmidt_and_pod_shard_over_dof(mesh, rng):
+    """SURVEY §5's "sharded Gram-Schmidt / tall-skinny factorization": the
+    jitted device CGS-2 and the method-of-snapshots POD are pure XLA
+    programs whose n-axis contractions GSPMD turns into per-shard partials
+    + psum — placing a DoF-sharded input gives the same factors with the
+    tall outputs still sharded (no gather to one device)."""
+    from rla4mor_tpu.core.orthonormalize import gram_schmidt, pod
+    from rla4mor_tpu.parallel import dof_sharding
+
+    n, r = 1024, 7
+    U = jnp.asarray(rng.normal(size=(n, r)))
+    Q_ref, R_ref = gram_schmidt(U, return_R=True)
+
+    sh = dof_sharding(mesh)
+    U_s = jax.device_put(U, sh)
+    gs = jax.jit(lambda A: gram_schmidt(A, return_R=True))
+    with mesh:
+        Q_s, R_s = gs(U_s)
+    assert np.abs(np.asarray(Q_s) - np.asarray(Q_ref)).max() < 1e-10
+    assert np.abs(np.asarray(R_s) - np.asarray(R_ref)).max() < 1e-10
+    # the orthonormal basis stays DoF-sharded
+    assert not Q_s.sharding.is_fully_replicated
+
+    modes_ref, sv_ref = pod(U, modes=4, rtol=None)
+    pod_j = jax.jit(lambda A: pod(A, modes=4, rtol=None))
+    with mesh:
+        modes_s, sv_s = pod_j(U_s)
+    assert np.abs(np.asarray(sv_s) - np.asarray(sv_ref)).max() < 1e-10
+    assert np.abs(np.abs(np.asarray(modes_s)) -
+                  np.abs(np.asarray(modes_ref))).max() < 1e-9
+    assert not modes_s.sharding.is_fully_replicated
