@@ -10,7 +10,12 @@ from rla4mor_tpu.mor.padded_reductor import (
     PaddedSketchedReductor,
     rb_greedy_no_retrace,
 )
-from rla4mor_tpu.mor.serialization import save_reductor, load_reductor_state
+from rla4mor_tpu.mor.serialization import (
+    save_reductor,
+    load_reductor_state,
+    save_instationary_reductor,
+    load_instationary_reductor_state,
+)
 
 __all__ = [
     "SketchedReductor", "ClassicalReductor", "rb_greedy", "rb_greedy_padded",
@@ -18,4 +23,5 @@ __all__ = [
     "GreedyResult",
     "PaddedSketchedReductor", "rb_greedy_no_retrace",
     "save_reductor", "load_reductor_state",
+    "save_instationary_reductor", "load_instationary_reductor_state",
 ]

@@ -95,10 +95,36 @@ def save_reductor(reductor, path) -> None:
     np.savez_compressed(path, **d)
 
 
-def load_reductor_state(reductor, path) -> None:
-    """Restore sketched state saved by :func:`save_reductor` into a
-    freshly-constructed reductor (FOM/embeddings must match)."""
+def save_instationary_reductor(reductor, path) -> None:
+    """Persist an ``InstationaryReductor``: its whole resumable state is
+    the R-orthonormal basis plus the embedding seed (``reduce()`` rebuilds
+    everything else from the FOM), so a POD-greedy run can resume."""
+    d: dict = {
+        "seed_derivation": SEED_DERIVATION,
+        "rb": np.asarray(reductor.rb),
+    }
+    if reductor.embedding is not None:
+        d["seed_embedding"] = reductor.embedding.seed
+    np.savez_compressed(path, **d)
+
+
+def load_instationary_reductor_state(reductor, path) -> None:
+    """Restore state saved by :func:`save_instationary_reductor` into a
+    freshly-constructed reductor over the same FOM."""
     d = np.load(Path(path), allow_pickle=False)
+    _check_seed_derivation(d)
+    if "seed_embedding" in d and reductor.embedding is not None:
+        stored = int(d["seed_embedding"])
+        if stored != reductor.embedding.seed:
+            raise ValueError(
+                f"checkpoint embedding seed {stored} != reductor's "
+                f"{reductor.embedding.seed}: estimates would come from a "
+                "different sketch operator"
+            )
+    reductor.rb = jnp.asarray(d["rb"])
+
+
+def _check_seed_derivation(d) -> None:
     stored = str(d["seed_derivation"]) if "seed_derivation" in d else "pre-v1"
     if stored != SEED_DERIVATION:
         raise ValueError(
@@ -107,6 +133,13 @@ def load_reductor_state(reductor, path) -> None:
             "regenerate different embeddings than the ones that produced "
             "the saved sketches; re-run the offline stage"
         )
+
+
+def load_reductor_state(reductor, path) -> None:
+    """Restore sketched state saved by :func:`save_reductor` into a
+    freshly-constructed reductor (FOM/embeddings must match)."""
+    d = np.load(Path(path), allow_pickle=False)
+    _check_seed_derivation(d)
     reductor.srb = jnp.asarray(d["srb"])
     reductor.rb = jnp.asarray(d["rb"])
     reductor.residual_lhs = load_affine(d, "residual_lhs")

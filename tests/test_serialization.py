@@ -64,3 +64,46 @@ def test_scipy_linear_operator_adapter(thermal_fom):
     x, info = spla.gmres(A, b, M=P, rtol=1e-10, maxiter=20)
     assert info == 0
     assert np.linalg.norm(A @ x - b) < 1e-8 * np.linalg.norm(b)
+
+
+def test_instationary_reductor_roundtrip(tmp_path):
+    """POD-greedy resume: save rb + embedding seed, restore into a fresh
+    reductor, identical ROM estimates; mismatched seed refuses."""
+    import pytest
+
+    from rla4mor_tpu.models import (
+        InstationaryReductor, instationary_thermal_block,
+    )
+    from rla4mor_tpu.mor import (
+        load_instationary_reductor_state, save_instationary_reductor,
+    )
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    pfom = instationary_thermal_block((2, 2), 12, nt=20)
+    Ru = pfom.products["h1_0"]
+    theta = GaussianEmbedding.make(
+        pfom.solution_dim, sqrt_product=Ru.sqrt, range_dim=60, seed=4
+    )
+    red = InstationaryReductor(pfom, embedding=theta, product=Ru,
+                               log_level=30)
+    mu = pfom.parameter_space.sample_randomly(1, key=0)[0]
+    from rla4mor_tpu.core.orthonormalize import pod
+    traj = pfom.solve(mu)
+    modes, _ = pod(red.project_trajectory(traj), product=Ru, modes=3)
+    red.extend_basis(modes)
+    path = tmp_path / "ired.npz"
+    save_instationary_reductor(red, path)
+
+    red2 = InstationaryReductor(pfom, embedding=theta, product=Ru,
+                                log_level=30)
+    load_instationary_reductor_state(red2, path)
+    mu_t = pfom.parameter_space.sample_randomly(1, key=1)[0]
+    e1 = float(red.reduce().estimate_error(mu_t))
+    e2 = float(red2.reduce().estimate_error(mu_t))
+    assert np.isclose(e1, e2, rtol=1e-12)
+
+    bad = InstationaryReductor(
+        pfom, embedding=theta.with_seed(9), product=Ru, log_level=30
+    )
+    with pytest.raises(ValueError, match="seed"):
+        load_instationary_reductor_state(bad, path)
