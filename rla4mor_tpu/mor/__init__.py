@@ -15,6 +15,8 @@ from rla4mor_tpu.mor.serialization import (
     load_reductor_state,
     save_instationary_reductor,
     load_instationary_reductor_state,
+    save_padded_reductor,
+    load_padded_reductor_state,
 )
 
 __all__ = [
@@ -24,4 +26,5 @@ __all__ = [
     "PaddedSketchedReductor", "rb_greedy_no_retrace",
     "save_reductor", "load_reductor_state",
     "save_instationary_reductor", "load_instationary_reductor_state",
+    "save_padded_reductor", "load_padded_reductor_state",
 ]

@@ -95,6 +95,68 @@ def save_reductor(reductor, path) -> None:
     np.savez_compressed(path, **d)
 
 
+def save_padded_reductor(reductor, path) -> None:
+    """Persist a ``PaddedSketchedReductor``'s fixed-shape offline state
+    (the TPU no-retrace mode): the padded buffers, fill counter, seeds and
+    basis parameters — a greedy run on the remote-compile platform can
+    stop and resume without losing its one compiled program's cache."""
+    st = reductor.state
+    d: dict = {
+        "seed_derivation": SEED_DERIVATION,
+        "pad__srb": np.asarray(st.srb),
+        "pad__res_lhs": np.asarray(st.res_lhs),
+        "pad__out": np.asarray(st.out),
+        "pad__rb": np.asarray(st.rb),
+        "pad__ncols": np.asarray(st.ncols),
+        "seed_primal": reductor.embedding_primal.seed,
+        "seed_online": reductor.embedding_online.seed,
+        "projection": reductor.projection,
+    }
+    save_affine(d, "residual_rhs", reductor.residual_rhs)
+    if reductor.mu_basis:
+        keys = sorted(reductor.mu_basis[0].keys())
+        d["mu_basis_keys"] = json.dumps(keys)
+        for kname in keys:
+            d[f"mu_basis__{kname}"] = np.stack(
+                [np.asarray(m[kname]) for m in reductor.mu_basis]
+            )
+    np.savez_compressed(path, **d)
+
+
+def load_padded_reductor_state(reductor, path) -> None:
+    """Restore state saved by :func:`save_padded_reductor` into a
+    freshly-constructed ``PaddedSketchedReductor`` (same FOM, embeddings
+    and r_max)."""
+    d = np.load(Path(path), allow_pickle=False)
+    _check_seed_derivation(d)
+    for name, seed in (("seed_primal", reductor.embedding_primal.seed),
+                       ("seed_online", reductor.embedding_online.seed)):
+        stored = int(d[name])
+        if stored != seed:
+            raise ValueError(
+                f"checkpoint {name}={stored} != reductor's {seed}: the "
+                "stored sketches came from a different embedding"
+            )
+    st = reductor.state
+    assert d["pad__srb"].shape == st.srb.shape, (
+        "r_max / sketch dims mismatch", d["pad__srb"].shape, st.srb.shape
+    )
+    reductor.state = type(st)(
+        srb=jnp.asarray(d["pad__srb"]),
+        res_lhs=jnp.asarray(d["pad__res_lhs"]),
+        out=jnp.asarray(d["pad__out"]),
+        rb=jnp.asarray(d["pad__rb"]),
+        ncols=jnp.asarray(d["pad__ncols"]),
+    )
+    if "mu_basis_keys" in d:
+        keys = json.loads(str(d["mu_basis_keys"]))
+        count = d[f"mu_basis__{keys[0]}"].shape[0]
+        reductor.mu_basis = [
+            {k: jnp.asarray(d[f"mu_basis__{k}"][i]) for k in keys}
+            for i in range(count)
+        ]
+
+
 def save_instationary_reductor(reductor, path) -> None:
     """Persist an ``InstationaryReductor``: its whole resumable state is
     the R-orthonormal basis plus the embedding seed (``reduce()`` rebuilds

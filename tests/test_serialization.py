@@ -107,3 +107,48 @@ def test_instationary_reductor_roundtrip(tmp_path):
     )
     with pytest.raises(ValueError, match="seed"):
         load_instationary_reductor_state(bad, path)
+
+
+def test_padded_reductor_roundtrip(tmp_path, thermal_fom):
+    """No-retrace offline resume: save mid-greedy padded state, restore
+    into a fresh PaddedSketchedReductor, continue extending, identical
+    ROM; seed mismatch refuses."""
+    import pytest
+
+    from rla4mor_tpu.mor import (
+        PaddedSketchedReductor, load_padded_reductor_state,
+        save_padded_reductor,
+    )
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+
+    def make(seed=0):
+        theta = GaussianEmbedding.make(
+            fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=80, seed=seed
+        )
+        return PaddedSketchedReductor(fom, embedding_primal=theta,
+                                      product=Ru, r_max=5, log_level=30)
+
+    red = make()
+    mus = fom.parameter_space.sample_randomly(3, key=2)
+    for mu in mus[:2]:
+        red.extend_basis(fom.solve(mu), mu=mu)
+    path = tmp_path / "pad.npz"
+    save_padded_reductor(red, path)
+
+    red2 = make()
+    load_padded_reductor_state(red2, path)
+    assert red2.basis_size == 2
+    for r in (red, red2):
+        r.extend_basis(fom.solve(mus[2]), mu=mus[2])
+    mu_t = fom.parameter_space.sample_randomly(1, key=3)[0]
+    u1 = np.asarray(red.reduce(seed=7).solve(mu_t))
+    u2 = np.asarray(red2.reduce(seed=7).solve(mu_t))
+    assert np.allclose(u1, u2, atol=1e-12)
+    assert [tuple(np.asarray(a["diffusion"])) for a in red2.mu_basis] == \
+        [tuple(np.asarray(a["diffusion"])) for a in red.mu_basis]
+
+    with pytest.raises(ValueError, match="seed_primal"):
+        load_padded_reductor_state(make(seed=5), path)
