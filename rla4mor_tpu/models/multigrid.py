@@ -14,12 +14,50 @@ XLA inserts halo exchanges for sharded grids).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rla4mor_tpu.models.stencil import interior_mask, stencil_apply
+
+# Grid transfers run as SEPARABLE DENSE MXU CONTRACTIONS (R f R^T and
+# P e P^T with banded constant 1-D matrices), not as strided slices or
+# strided scatters: stride-2 minor-axis access is a physical re-tile on
+# TPU and measured 10.4 ms (restrict) / 22.3 ms (prolong) at 2049^2 vs
+# 0.78 / 0.77 ms for the matmul form (benchmarks; 13-29x). HIGHEST
+# precision keeps P = 2 R^T exact so the V-cycle stays a symmetric
+# preconditioner; the matrices' entries (1, 1/2, 1/4) are exact in bf16
+# anyway, so only the data would be truncated at default precision.
+
+
+@lru_cache(maxsize=32)
+def _restrict_1d(n_fine: int, dtype_name: str) -> jax.Array:
+    """(nc, nf) full-weighting rows: [1/4, 1/2, 1/4] at stride 2."""
+    nc = (n_fine - 1) // 2 + 1
+    R = np.zeros((nc, n_fine), np.dtype(dtype_name))
+    for off, w in ((-1, 0.25), (0, 0.5), (1, 0.25)):
+        i = np.arange(nc)
+        j = 2 * i + off
+        ok = (j >= 0) & (j < n_fine)
+        R[i[ok], j[ok]] = w
+    return jnp.asarray(R)
+
+
+@lru_cache(maxsize=32)
+def _prolong_1d(n_fine: int, dtype_name: str) -> jax.Array:
+    """(nf, nc) bilinear columns: even rows copy, odd rows average."""
+    nc = (n_fine - 1) // 2 + 1
+    P = np.zeros((n_fine, nc), np.dtype(dtype_name))
+    i = np.arange(nc)
+    P[2 * i, i] = 1.0
+    odd = 2 * i + 1 < n_fine
+    P[2 * i[odd] + 1, i[odd]] = 0.5
+    right = odd & (i + 1 < nc)
+    P[2 * i[right] + 1, i[right] + 1] = 0.5
+    return jnp.asarray(P)
 
 
 def coarsen_kappa(kappa: jax.Array) -> jax.Array:
@@ -31,27 +69,18 @@ def coarsen_kappa(kappa: jax.Array) -> jax.Array:
 def restrict_full_weighting(r: jax.Array) -> jax.Array:
     """Node-grid full-weighting: coarse nodes = even fine nodes, 9-point
     [1/4, 1/2, 1/4] (x) [1/4, 1/2, 1/4] stencil. r: (N+1, N+1), N even."""
-    w = jnp.asarray([0.25, 0.5, 0.25], r.dtype)
-    rp = jnp.pad(r, 1)
-    # separable: convolve rows then columns, then subsample even nodes
-    rows = w[0] * rp[:-2, :] + w[1] * rp[1:-1, :] + w[2] * rp[2:, :]
-    full = w[0] * rows[:, :-2] + w[1] * rows[:, 1:-1] + w[2] * rows[:, 2:]
-    coarse = full[::2, ::2]
+    R = _restrict_1d(r.shape[0], r.dtype.name)
+    coarse = jnp.einsum(
+        "cf,fg,dg->cd", R, r, R, precision=jax.lax.Precision.HIGHEST
+    )
     return coarse * interior_mask(coarse.shape[0], r.dtype)
 
 
 def prolong_bilinear(e: jax.Array, n_fine: int) -> jax.Array:
     """Bilinear interpolation from ((N/2)+1)^2 coarse nodes to (N+1)^2."""
-    nc = e.shape[0]
-    out = jnp.zeros((n_fine, n_fine), e.dtype)
-    out = out.at[::2, ::2].set(e)
-    # horizontal midpoints
-    out = out.at[::2, 1::2].set(0.5 * (e[:, :-1] + e[:, 1:]))
-    # vertical midpoints
-    out = out.at[1::2, ::2].set(0.5 * (e[:-1, :] + e[1:, :]))
-    # cell centers
-    out = out.at[1::2, 1::2].set(
-        0.25 * (e[:-1, :-1] + e[:-1, 1:] + e[1:, :-1] + e[1:, 1:])
+    P = _prolong_1d(n_fine, e.dtype.name)
+    out = jnp.einsum(
+        "fc,cd,gd->fg", P, e, P, precision=jax.lax.Precision.HIGHEST
     )
     return out * interior_mask(n_fine, e.dtype)
 
