@@ -86,13 +86,9 @@ def prolong_bilinear(e: jax.Array, n_fine: int) -> jax.Array:
 
 
 def _jacobi_diag(kappa: jax.Array, dtype) -> jax.Array:
-    n = kappa.shape[0] + 1
-    d = jnp.zeros((n, n), dtype)
-    w = 2.0 / 3.0
-    d = d.at[:-1, :-1].add(kappa * w)
-    d = d.at[:-1, 1:].add(kappa * w)
-    d = d.at[1:, :-1].add(kappa * w)
-    d = d.at[1:, 1:].add(kappa * w)
+    from rla4mor_tpu.models.stencil import _four_element_sum
+
+    d = (2.0 / 3.0) * _four_element_sum(kappa).astype(dtype)
     return jnp.where(d > 0, d, 1.0)
 
 

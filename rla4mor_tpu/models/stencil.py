@@ -54,6 +54,13 @@ def block_masks(num_intervals: int, grid_shape: Tuple[int, int],
     return jnp.asarray(masks, dtype=dtype)
 
 
+def _four_element_sum(kappa_el: jax.Array) -> jax.Array:
+    """Per-node sum of the four adjacent elements' coefficients, in
+    gather form (shifted views of the padded grid; see stencil_apply)."""
+    kp = jnp.pad(kappa_el, 1)
+    return kp[1:, 1:] + kp[1:, :-1] + kp[:-1, 1:] + kp[:-1, :-1]
+
+
 def stencil_apply(u: jax.Array, kappa_el: jax.Array) -> jax.Array:
     """A(kappa) u for the Q1 Laplacian with per-element coefficient.
 
@@ -136,11 +143,7 @@ class StencilThermalBlock:
         """Diagonal of A(mu) for Jacobi preconditioning: node n gets
         sum_{adjacent elements} kappa_e * K[a,a] with K[a,a] = 2/3."""
         kap = self.kappa(mu)
-        d = jnp.zeros(self.solution_shape, dtype=self.dtype)
-        d = d.at[:-1, :-1].add(kap * (2.0 / 3.0))
-        d = d.at[:-1, 1:].add(kap * (2.0 / 3.0))
-        d = d.at[1:, :-1].add(kap * (2.0 / 3.0))
-        d = d.at[1:, 1:].add(kap * (2.0 / 3.0))
+        d = (2.0 / 3.0) * _four_element_sum(kap)
         return jnp.where(d > 0, d, 1.0)
 
     def solve_cg(self, mu, tol=1e-8, maxiter=2000, precond="jacobi"):

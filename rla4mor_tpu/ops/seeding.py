@@ -62,11 +62,12 @@ def gaussian_cols_unscaled(key: jax.Array, k: int, c0, width: int,
                            dtype) -> jax.Array:
     """Columns [c0, c0+width) of the UNSCALED canonical (k, n) Gaussian.
 
-    ``c0`` may be traced (shard offset); ``width`` is static.  The strip
-    must align with the tile grid: either ``width % TILE_N == 0`` (whole
-    tiles, c0 tile-aligned) or ``TILE_N % width == 0`` (strip inside one
-    tile, c0 a multiple of width) — both hold in the power-of-two sharding
-    worlds this is used in.
+    ``c0`` may be traced (shard offset); ``width`` is static.  Aligned
+    strips (``width % TILE_N == 0`` with tile-aligned c0, or a strip
+    inside one tile) take the direct paths; ANY other (c0, width) falls
+    back to drawing the ``(width-1)//TILE_N + 2`` covering tiles and
+    dynamic-slicing — one extra tile of generation, identical values
+    (everything is a slice of the same canonical matrix).
     """
     ni = -(-k // TILE_K)
     if width % TILE_N == 0:
@@ -88,11 +89,18 @@ def gaussian_cols_unscaled(key: jax.Array, k: int, c0, width: int,
                 (TILE_K, width),
             )
 
-    else:
-        raise ValueError(
-            f"column strip width {width} must be a multiple or a divisor of "
-            f"TILE_N={TILE_N} (got an unaligned shard layout)"
-        )
+    else:  # general unaligned strip: covering tiles + dynamic slice
+        nj = (width - 1) // TILE_N + 2
+        j0 = c0 // TILE_N
+        off = jnp.asarray(c0 % TILE_N, jnp.int32)
+
+        def block(i):
+            t = jax.vmap(lambda j: _tile(key, i, j, dtype))(j0 + jnp.arange(nj))
+            row = jnp.moveaxis(t, 0, 1).reshape(TILE_K, nj * TILE_N)
+            return jax.lax.dynamic_slice(
+                row, (jnp.zeros_like(off), off), (TILE_K, width)
+            )
+
     out = jnp.concatenate([block(i) for i in range(ni)], axis=0)
     return out[:k]
 
@@ -133,7 +141,14 @@ def rademacher_slice(key: jax.Array, c0, width: int) -> jax.Array:
             jax.random.fold_in(key, b0), (SIGN_BLOCK,), dtype=jnp.int8
         )
         return jax.lax.dynamic_slice(s, (c0 % SIGN_BLOCK,), (width,))
-    raise ValueError(
-        f"sign slice width {width} must be a multiple or a divisor of "
-        f"SIGN_BLOCK={SIGN_BLOCK}"
+    # general unaligned slice: covering blocks + dynamic slice
+    nb = (width - 1) // SIGN_BLOCK + 2
+    b0 = c0 // SIGN_BLOCK
+    s = jax.vmap(
+        lambda b: jax.random.rademacher(
+            jax.random.fold_in(key, b), (SIGN_BLOCK,), dtype=jnp.int8
+        )
+    )(b0 + jnp.arange(nb))
+    return jax.lax.dynamic_slice(
+        s.reshape(-1), (jnp.asarray(c0 % SIGN_BLOCK, jnp.int32),), (width,)
     )

@@ -149,3 +149,31 @@ def test_streamed_gaussian_equals_gaussian():
         # jits (fixed shapes, scan over strips)
         got_j = np.asarray(jax.jit(streamed.apply)(X))
         assert np.allclose(got_j, want, rtol=1e-12, atol=1e-12)
+
+
+def test_seeding_unaligned_strips_are_canonical_slices():
+    """Any (c0, width) — tile-aligned or not — returns literally a slice
+    of the canonical matrix / sign vector (the general covering-tile
+    fallback added for non-power-of-two DoF counts, e.g. the (2^k + 1)^2
+    node grids multigrid needs)."""
+    import jax
+
+    from rla4mor_tpu.ops.seeding import (
+        TILE_N, gaussian_cols_unscaled, gaussian_matrix, gaussian_rows,
+        rademacher_slice, rademacher_vector,
+    )
+
+    key = jax.random.key(7)
+    k, n = 40, 2 * TILE_N + 513
+    full = np.asarray(gaussian_rows(key, n, 0, k, jnp.float64))
+    for c0, width in [(0, n), (513, 777), (TILE_N - 1, TILE_N + 3),
+                      (4097, 4095), (0, TILE_N + 1)]:
+        strip = np.asarray(
+            gaussian_cols_unscaled(key, k, c0, width, jnp.float64)
+        )
+        assert np.array_equal(strip, full[:, c0:c0 + width]), (c0, width)
+
+    sfull = np.asarray(rademacher_vector(key, n))
+    for c0, width in [(0, n), (513, 777), (4095, 4099)]:
+        s = np.asarray(rademacher_slice(key, c0, width))
+        assert np.array_equal(s, sfull[c0:c0 + width]), (c0, width)
