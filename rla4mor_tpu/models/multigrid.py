@@ -33,8 +33,14 @@ from rla4mor_tpu.models.stencil import interior_mask, stencil_apply
 # anyway, so only the data would be truncated at default precision.
 
 
+# NOTE: the caches hold NUMPY arrays; jnp.asarray happens per call so
+# that inside a jit trace the matrix enters as a fresh constant (caching
+# a jnp array created under trace would leak the tracer into later
+# traces — UnexpectedTracerError).
+
+
 @lru_cache(maxsize=32)
-def _restrict_1d(n_fine: int, dtype_name: str) -> jax.Array:
+def _restrict_1d_np(n_fine: int, dtype_name: str) -> np.ndarray:
     """(nc, nf) full-weighting rows: [1/4, 1/2, 1/4] at stride 2."""
     nc = (n_fine - 1) // 2 + 1
     R = np.zeros((nc, n_fine), np.dtype(dtype_name))
@@ -43,11 +49,11 @@ def _restrict_1d(n_fine: int, dtype_name: str) -> jax.Array:
         j = 2 * i + off
         ok = (j >= 0) & (j < n_fine)
         R[i[ok], j[ok]] = w
-    return jnp.asarray(R)
+    return R
 
 
 @lru_cache(maxsize=32)
-def _prolong_1d(n_fine: int, dtype_name: str) -> jax.Array:
+def _prolong_1d_np(n_fine: int, dtype_name: str) -> np.ndarray:
     """(nf, nc) bilinear columns: even rows copy, odd rows average."""
     nc = (n_fine - 1) // 2 + 1
     P = np.zeros((n_fine, nc), np.dtype(dtype_name))
@@ -57,7 +63,7 @@ def _prolong_1d(n_fine: int, dtype_name: str) -> jax.Array:
     P[2 * i[odd] + 1, i[odd]] = 0.5
     right = odd & (i + 1 < nc)
     P[2 * i[right] + 1, i[right] + 1] = 0.5
-    return jnp.asarray(P)
+    return P
 
 
 def coarsen_kappa(kappa: jax.Array) -> jax.Array:
@@ -69,7 +75,7 @@ def coarsen_kappa(kappa: jax.Array) -> jax.Array:
 def restrict_full_weighting(r: jax.Array) -> jax.Array:
     """Node-grid full-weighting: coarse nodes = even fine nodes, 9-point
     [1/4, 1/2, 1/4] (x) [1/4, 1/2, 1/4] stencil. r: (N+1, N+1), N even."""
-    R = _restrict_1d(r.shape[0], r.dtype.name)
+    R = jnp.asarray(_restrict_1d_np(r.shape[0], r.dtype.name))
     coarse = jnp.einsum(
         "cf,fg,dg->cd", R, r, R, precision=jax.lax.Precision.HIGHEST
     )
@@ -78,7 +84,7 @@ def restrict_full_weighting(r: jax.Array) -> jax.Array:
 
 def prolong_bilinear(e: jax.Array, n_fine: int) -> jax.Array:
     """Bilinear interpolation from ((N/2)+1)^2 coarse nodes to (N+1)^2."""
-    P = _prolong_1d(n_fine, e.dtype.name)
+    P = jnp.asarray(_prolong_1d_np(n_fine, e.dtype.name))
     out = jnp.einsum(
         "fc,cd,gd->fg", P, e, P, precision=jax.lax.Precision.HIGHEST
     )
