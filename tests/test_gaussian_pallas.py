@@ -73,3 +73,37 @@ def test_embedding_jl_and_matrix():
     assert np.linalg.norm(Y - M @ np.asarray(X)) < 1e-2 * np.linalg.norm(Y)
     ratio = np.linalg.norm(Y, axis=0) / np.linalg.norm(np.asarray(X), axis=0)
     assert np.all(np.abs(ratio - 1.0) < 0.2)  # k=512 -> ~1/sqrt(k) spread
+
+
+def test_hwprng_embedding_in_sketched_reductor():
+    """Integration: the hardware-PRNG embedding drives a SketchedReductor
+    end-to-end on the chip — estimator tracks the true residual within
+    the usual sketch distortion."""
+    from rla4mor_tpu.models import ThermalBlockFOM
+    from rla4mor_tpu.mor import SketchedReductor
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    fom = ThermalBlockFOM((2, 2), 16)
+    Ru = fom.h1_0_product
+    theta = HwPrngGaussianEmbedding.make(
+        fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=256, seed=1,
+        dist="rademacher",
+    )
+    phi = GaussianEmbedding.make(256, range_dim=128, seed=7)
+    red = SketchedReductor(fom, embedding_primal=theta,
+                           embedding_online=phi, product=Ru,
+                           orthonormalize=True, log_level=30)
+    mus = fom.parameter_space.sample_randomly(5, key=3)
+    red.extend_basis(fom.solve_many(mus))
+    rom = red.reduce(seed=11)
+    mu_t = fom.parameter_space.sample_randomly(1, key=4)[0]
+    u_r = rom.solve(mu_t)
+    est = float(np.asarray(rom.estimate_error(mu_t)))
+    # true Riesz residual norm of the lifted solution
+    u = red.rb @ jnp.asarray(u_r)
+    A = fom.assemble_sparse(mu_t)
+    b = np.asarray(fom.assemble_rhs(mu_t))
+    r = A @ np.asarray(u, np.float64) - b
+    true = float(np.sqrt(r @ np.asarray(Ru.inv.apply(jnp.asarray(r)))))
+    assert est > 0 and np.isfinite(est)
+    assert 0.3 * true < est < 3.0 * true
