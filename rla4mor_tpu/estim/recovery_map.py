@@ -81,6 +81,11 @@ class RecoveryMap:
     def _replace(self, **kw):
         out = object.__new__(type(self))
         out.__dict__.update(self.__dict__)
+        # never share the jitted-program cache: its closures bake in THIS
+        # instance's gramians/manifold distance, so a restricted copy
+        # hitting the parent's cache would silently recover with the
+        # parent's operators (round-2 review finding, repro'd)
+        out.__dict__.pop("_batched_cache", None)
         out.__dict__.update(kw)
         return out
 

@@ -145,11 +145,7 @@ class InstationaryROM:
         S = self.mass_r + self.dt * A
         estimating = return_estimate and self.est_lhs is not None
         if estimating:
-            sA = self.est_lhs.apply_stacked(mu) if hasattr(
-                self.est_lhs, "apply_stacked") else jnp.einsum(
-                "t,tkr->kr",
-                eval_coefficients(self.est_lhs.coefficients, mu).astype(
-                    self.est_lhs.stack.dtype), self.est_lhs.stack)
+            sA = self.est_lhs.assemble(mu)
             sb = self.est_rhs.assemble_vec(mu)
 
         # S is loop-invariant: factorize ONCE outside the scan (an LU per

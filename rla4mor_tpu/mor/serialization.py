@@ -137,6 +137,7 @@ def load_padded_reductor_state(reductor, path) -> None:
                 f"checkpoint {name}={stored} != reductor's {seed}: the "
                 "stored sketches came from a different embedding"
             )
+    _check_projection(d, reductor)
     st = reductor.state
     assert d["pad__srb"].shape == st.srb.shape, (
         "r_max / sketch dims mismatch", d["pad__srb"].shape, st.srb.shape
@@ -186,6 +187,16 @@ def load_instationary_reductor_state(reductor, path) -> None:
     reductor.rb = jnp.asarray(d["rb"])
 
 
+def _check_projection(d, reductor) -> None:
+    stored = str(d["projection"]) if "projection" in d else None
+    if stored is not None and stored != reductor.projection:
+        raise ValueError(
+            f"checkpoint was written under projection={stored!r} but the "
+            f"reductor uses {reductor.projection!r}: resuming would switch "
+            "the solve/estimate rule and online-seed schedule mid-run"
+        )
+
+
 def _check_seed_derivation(d) -> None:
     stored = str(d["seed_derivation"]) if "seed_derivation" in d else "pre-v1"
     if stored != SEED_DERIVATION:
@@ -202,6 +213,7 @@ def load_reductor_state(reductor, path) -> None:
     freshly-constructed reductor (FOM/embeddings must match)."""
     d = np.load(Path(path), allow_pickle=False)
     _check_seed_derivation(d)
+    _check_projection(d, reductor)
     reductor.srb = jnp.asarray(d["srb"])
     reductor.rb = jnp.asarray(d["rb"])
     reductor.residual_lhs = load_affine(d, "residual_lhs")

@@ -289,10 +289,19 @@ class SketchedReductor:
                         "%.2e > tol %.2e", k_now, dev, tol
                     )
                 return rom, info
+            if rnd == max_rounds:
+                # rounds exhausted: do NOT double — keep embedding_online
+                # at the size that produced the returned (uncertified) ROM
+                self.logger.warning(
+                    "adaptive online sketch: rounds exhausted at "
+                    "k_online=%d with max_rel_dev=%.2e > tol %.2e",
+                    k_now, dev, tol,
+                )
+                return rom, info
             self.embedding_online = dataclasses.replace(
                 self.embedding_online, range_dim=min(2 * k_now, k_max)
             )
-        return rom, info
+        raise AssertionError("unreachable")
 
     def _reduce_empty(self) -> StationaryROM:
         """Classical fallback for the empty basis (reference

@@ -75,10 +75,13 @@ def _rademacher_tile(shape):
 
 
 def _fill_strip(omega_ref, k: int, block_rows: int, dist: str):
-    """Fill the (k, block_rows) scratch strip chunk by chunk (bounds the
-    live VPU temporaries; a full-strip Box-Muller OOMs scoped VMEM)."""
+    """Fill the (k, block_rows) scratch strip chunk by chunk — chunks are
+    ALWAYS bounded (<= 4*CHUNK_K rows of live temporaries) regardless of
+    k: a full-strip Box-Muller (or a large sign draw) OOMs scoped VMEM."""
     if dist == "rademacher":
-        omega_ref[:] = _rademacher_tile((k, block_rows))
+        for r0 in range(0, k, 4 * CHUNK_K):
+            c = min(4 * CHUNK_K, k - r0)
+            omega_ref[r0:r0 + c, :] = _rademacher_tile((c, block_rows))
         return
     assert dist == "normal", dist
     if k % (2 * CHUNK_K) == 0:
@@ -87,9 +90,9 @@ def _fill_strip(omega_ref, k: int, block_rows: int, dist: str):
             omega_ref[r0:r0 + CHUNK_K, :] = zc
             omega_ref[r0 + CHUNK_K:r0 + 2 * CHUNK_K, :] = zs
     else:  # odd-shaped k: cos half only (separate bitstream family)
-        chunk = CHUNK_K if k % CHUNK_K == 0 else k
-        for r0 in range(0, k, chunk):
-            omega_ref[r0:r0 + chunk, :] = _normal_pair((chunk, block_rows))[0]
+        for r0 in range(0, k, CHUNK_K):
+            c = min(CHUNK_K, k - r0)
+            omega_ref[r0:r0 + c, :] = _normal_pair((c, block_rows))[0]
 
 
 def _sketch_kernel(seed_ref, x_ref, o_ref, omega_ref, *, block_rows, dist):

@@ -58,19 +58,34 @@ def gaussian_matrix(key: jax.Array, k: int, n: int, dtype) -> jax.Array:
     return gaussian_rows(key, n, 0, k, dtype) / math.sqrt(k)
 
 
+def _is_static_multiple(c0, width: int) -> bool:
+    """True when c0 is a static python/numpy int divisible by width."""
+    import numpy as np
+
+    return isinstance(c0, (int, np.integer)) and int(c0) % width == 0
+
+
 def gaussian_cols_unscaled(key: jax.Array, k: int, c0, width: int,
-                           dtype) -> jax.Array:
+                           dtype, aligned: bool = False) -> jax.Array:
     """Columns [c0, c0+width) of the UNSCALED canonical (k, n) Gaussian.
 
-    ``c0`` may be traced (shard offset); ``width`` is static.  Aligned
-    strips (``width % TILE_N == 0`` with tile-aligned c0, or a strip
-    inside one tile) take the direct paths; ANY other (c0, width) falls
-    back to drawing the ``(width-1)//TILE_N + 2`` covering tiles and
-    dynamic-slicing — one extra tile of generation, identical values
-    (everything is a slice of the same canonical matrix).
+    ``c0`` may be traced (shard offset); ``width`` is static.  The fast
+    tile-exact paths are ONLY valid when ``c0 % width == 0`` (then a
+    width-multiple-of-TILE_N strip starts tile-aligned, and a
+    width-dividing-TILE_N strip cannot cross a tile boundary).  They are
+    taken when that is statically known — ``c0`` a static int, or the
+    caller asserting ``aligned=True`` for a traced offset it constructs
+    as ``shard_index * width`` (all in-repo sharded callers).  Any other
+    (c0, width) uses the general path: draw the ``(width-1)//TILE_N + 2``
+    covering tiles and dynamic-slice — one extra tile of generation,
+    values identical (everything is a slice of the same canonical
+    matrix).  A boundary-crossing strip MUST take the general path:
+    ``dynamic_slice`` clamps its start index and would silently return
+    the wrong columns (round-2 review finding, repro'd).
     """
     ni = -(-k // TILE_K)
-    if width % TILE_N == 0:
+    c0_ok = aligned or _is_static_multiple(c0, width)
+    if width % TILE_N == 0 and c0_ok:
         nj = width // TILE_N
         j0 = c0 // TILE_N
 
@@ -78,7 +93,7 @@ def gaussian_cols_unscaled(key: jax.Array, k: int, c0, width: int,
             t = jax.vmap(lambda j: _tile(key, i, j, dtype))(j0 + jnp.arange(nj))
             return jnp.moveaxis(t, 0, 1).reshape(TILE_K, nj * TILE_N)
 
-    elif TILE_N % width == 0:
+    elif TILE_N % width == 0 and c0_ok:
         j0 = c0 // TILE_N
         off = jnp.asarray(c0 % TILE_N, jnp.int32)
 
@@ -89,7 +104,7 @@ def gaussian_cols_unscaled(key: jax.Array, k: int, c0, width: int,
                 (TILE_K, width),
             )
 
-    else:  # general unaligned strip: covering tiles + dynamic slice
+    else:  # general strip: covering tiles + dynamic slice
         nj = (width - 1) // TILE_N + 2
         j0 = c0 // TILE_N
         off = jnp.asarray(c0 % TILE_N, jnp.int32)
@@ -105,9 +120,12 @@ def gaussian_cols_unscaled(key: jax.Array, k: int, c0, width: int,
     return out[:k]
 
 
-def gaussian_cols(key: jax.Array, k: int, c0, width: int, dtype) -> jax.Array:
+def gaussian_cols(key: jax.Array, k: int, c0, width: int, dtype,
+                  aligned: bool = False) -> jax.Array:
     """Scaled (k, width) column strip of the canonical N(0, 1/k) Omega."""
-    return gaussian_cols_unscaled(key, k, c0, width, dtype) / math.sqrt(k)
+    return gaussian_cols_unscaled(
+        key, k, c0, width, dtype, aligned=aligned
+    ) / math.sqrt(k)
 
 
 def rademacher_vector(key: jax.Array, n: int) -> jax.Array:
@@ -121,12 +139,17 @@ def rademacher_vector(key: jax.Array, n: int) -> jax.Array:
     return s.reshape(-1)[:n]
 
 
-def rademacher_slice(key: jax.Array, c0, width: int) -> jax.Array:
+def rademacher_slice(key: jax.Array, c0, width: int,
+                     aligned: bool = False) -> jax.Array:
     """Entries [c0, c0+width) of the canonical sign vector (traced c0 ok).
 
-    Same alignment rule as ``gaussian_cols_unscaled`` w.r.t. SIGN_BLOCK.
+    Same alignment contract as ``gaussian_cols_unscaled`` w.r.t.
+    SIGN_BLOCK: fast paths require ``c0 % width == 0`` (static or
+    asserted via ``aligned=True``); anything else takes the
+    covering-block general path.
     """
-    if width % SIGN_BLOCK == 0:
+    c0_ok = aligned or _is_static_multiple(c0, width)
+    if width % SIGN_BLOCK == 0 and c0_ok:
         b0 = c0 // SIGN_BLOCK
         nb = width // SIGN_BLOCK
         s = jax.vmap(
@@ -135,13 +158,13 @@ def rademacher_slice(key: jax.Array, c0, width: int) -> jax.Array:
             )
         )(b0 + jnp.arange(nb))
         return s.reshape(-1)
-    if SIGN_BLOCK % width == 0:
+    if SIGN_BLOCK % width == 0 and c0_ok:
         b0 = c0 // SIGN_BLOCK
         s = jax.random.rademacher(
             jax.random.fold_in(key, b0), (SIGN_BLOCK,), dtype=jnp.int8
         )
         return jax.lax.dynamic_slice(s, (c0 % SIGN_BLOCK,), (width,))
-    # general unaligned slice: covering blocks + dynamic slice
+    # general slice: covering blocks + dynamic slice
     nb = (width - 1) // SIGN_BLOCK + 2
     b0 = c0 // SIGN_BLOCK
     s = jax.vmap(

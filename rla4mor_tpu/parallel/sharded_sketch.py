@@ -38,7 +38,9 @@ def gaussian_block(key, k: int, block_size: int, block_index,
     """(k, block_size) column-block of the canonical Omega, scaled
     1/sqrt(k). The full Omega is the column-concatenation over block_index
     — equal to ``GaussianEmbedding(key...).random_matrix()`` columns."""
-    return gaussian_cols(key, k, block_index * block_size, block_size, dtype)
+    # c0 = block_index * block_size is width-aligned by construction
+    return gaussian_cols(key, k, block_index * block_size, block_size, dtype,
+                         aligned=True)
 
 
 def gaussian_sketch_blocked(key, k: int, x: jax.Array, n_blocks: int) -> jax.Array:
@@ -119,7 +121,7 @@ def srht_sketch_sharded(key, k: int, x: jax.Array, mesh: Mesh,
         xl = x_local[:, None] if single else x_local
         # D multiply — the shard regenerates its slice of the CANONICAL
         # sign vector (same derivation as srht_blocked / ops.fwht.srht)
-        D = rademacher_slice(key_d, b * n_local, n_local).astype(xl.dtype)
+        D = rademacher_slice(key_d, b * n_local, n_local, aligned=True).astype(xl.dtype)
         y = xl * D[:, None]
         # local FWHT stages (normalized by 2^{-d_local/2})
         y = fwht(y.T, normalize=True).T
@@ -194,7 +196,7 @@ def srht_sketch_sharded_flat(key, k: int, x: jax.Array, mesh: Mesh,
         single = x_local.ndim == 1
         xl = x_local[:, None] if single else x_local
         m = xl.shape[1]
-        D = rademacher_slice(key_d, b * n_local, n_local).astype(xl.dtype)
+        D = rademacher_slice(key_d, b * n_local, n_local, aligned=True).astype(xl.dtype)
         xd = (xl * D[:, None]).reshape(B_local, R, m)
         gr = _hadamard_rows(
             sampling.astype(jnp.uint32) & (R - 1), R, xl.dtype

@@ -167,13 +167,18 @@ def test_seeding_unaligned_strips_are_canonical_slices():
     k, n = 40, 2 * TILE_N + 513
     full = np.asarray(gaussian_rows(key, n, 0, k, jnp.float64))
     for c0, width in [(0, n), (513, 777), (TILE_N - 1, TILE_N + 3),
-                      (4097, 4095), (0, TILE_N + 1)]:
+                      (4097, 4095), (0, TILE_N + 1),
+                      # tile-crossing strips whose WIDTH matches a fast
+                      # path but whose offset is unaligned (review
+                      # round-2: dynamic_slice clamps -> wrong columns)
+                      (TILE_N - 100, 512), (100, TILE_N)]:
         strip = np.asarray(
             gaussian_cols_unscaled(key, k, c0, width, jnp.float64)
         )
         assert np.array_equal(strip, full[:, c0:c0 + width]), (c0, width)
 
     sfull = np.asarray(rademacher_vector(key, n))
-    for c0, width in [(0, n), (513, 777), (4095, 4099)]:
+    for c0, width in [(0, n), (513, 777), (4095, 4099),
+                      (TILE_N - 100, 512), (100, TILE_N)]:
         s = np.asarray(rademacher_slice(key, c0, width))
         assert np.array_equal(s, sfull[c0:c0 + width]), (c0, width)

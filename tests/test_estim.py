@@ -7,7 +7,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rla4mor_tpu.core import ChainOp, compose, materialize, project, gram_schmidt, pod
+from rla4mor_tpu.core import (
+    AffineDense, ChainOp, ProjectionCoefficient, compose, gram_schmidt,
+    materialize, pod, project,
+)
 from rla4mor_tpu.estim import (
     DicRecoveryMap,
     PbdwRecoveryMap,
@@ -305,3 +308,40 @@ def test_dic_recovery_batched_matches_loop(thermal_fom_3x3):
     err_dev = np.asarray(Ru.norm(jnp.asarray(u_dev - np.asarray(u_test))))
     err_host = np.asarray(Ru.norm(jnp.asarray(u_host - np.asarray(u_test))))
     assert (err_dev <= 1.5 * err_host + 1e-12).all()
+
+
+def test_restricted_recovery_map_does_not_reuse_parent_cache():
+    """Review round-2 (repro'd): the jitted batched-recovery cache must
+    NOT travel through project_background/_observation — its closures
+    bake in the parent's gramians, so a restricted copy hitting it
+    returned the parent's recovery."""
+    rng = np.random.RandomState(0)
+    n, nv, m = 40, 6, 8
+    V, _ = np.linalg.qr(rng.normal(size=(n, nv)))
+    W, _ = np.linalg.qr(rng.normal(size=(n, m)))
+    mus = [
+        {"p": jnp.asarray(rng.uniform(0.5, 2.0, size=2))} for _ in range(4)
+    ]
+    lhs = AffineDense(
+        jnp.asarray(rng.normal(size=(2, 12, nv + m))),
+        (ProjectionCoefficient("p", 0), ProjectionCoefficient("p", 1)),
+    )
+    rhs = AffineDense(
+        jnp.asarray(rng.normal(size=(2, 12, 1))),
+        (ProjectionCoefficient("p", 0), ProjectionCoefficient("p", 1)),
+    )
+    md = ResidualDistanceDiscrete(lhs, rhs, mus)
+    rm = DicRecoveryMap(jnp.asarray(V), jnp.asarray(W),
+                        manifold_distance=md, log_level=30)
+    w = jnp.asarray(rng.normal(size=(m, 3)))
+    full = np.asarray(rm.compute_state(w))          # populates the cache
+    assert full.shape == (nv, 3)
+
+    sub = rm.project_background(jnp.arange(3))
+    out = np.asarray(sub.compute_state(w))
+    assert out.shape == (3, 3)                       # restricted dimension
+    # and the restriction is consistent with restricting AFTER a fresh map
+    rm2 = DicRecoveryMap(jnp.asarray(V), jnp.asarray(W),
+                         manifold_distance=md, log_level=30)
+    out2 = np.asarray(rm2.project_background(jnp.arange(3)).compute_state(w))
+    assert np.allclose(out, out2, atol=1e-12)

@@ -458,3 +458,20 @@ def test_reduce_adaptive_refreshes_online_sketch(thermal_fom):
     _, info2 = red2.reduce_adaptive(mus_b, seed=5, tol=0.15, max_rounds=6)
     assert info2["certified"] and info2["rounds"] == 1
     assert red2.embedding_online.range_dim == 150
+
+
+def test_reduce_adaptive_rounds_exhausted_keeps_state(thermal_fom):
+    """Review round-2: when rounds run out uncertified, embedding_online
+    must stay at the size that produced the returned ROM (no final
+    untested doubling)."""
+    fom = thermal_fom
+    red, _ = _setup(fom, GaussianEmbedding, k=160, orthonormalize=True,
+                    k_online=4)
+    from rla4mor_tpu.core.parameters import mu_stack
+
+    mus, U = _snapshots(fom, count=4)
+    red.extend_basis(U)
+    mus_b = mu_stack(fom.parameter_space.sample_randomly(10, key=5))
+    rom, info = red.reduce_adaptive(mus_b, seed=1, tol=1e-12, max_rounds=2)
+    assert not info["certified"]
+    assert red.embedding_online.range_dim == info["online_dim"]
