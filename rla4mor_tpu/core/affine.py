@@ -41,8 +41,20 @@ from rla4mor_tpu.core.parameters import (
     ConstantCoefficient,
     Mu,
     as_coefficient,
+    conj_coefficient,
     eval_coefficients,
 )
+
+
+def _cast_theta(theta: jax.Array, stack: jax.Array):
+    """Cast (theta, stack) for contraction: keep the stack's precision,
+    but NEVER drop a complex coefficient's imaginary part onto a real
+    stack (the old ``theta.astype(stack.dtype)`` silently truncated e.g.
+    a 1j*mu frequency coefficient to 0 — round-2 review finding)."""
+    if jnp.iscomplexobj(theta) and not jnp.iscomplexobj(stack):
+        dt = jnp.promote_types(stack.dtype, jnp.complex64)
+        return theta.astype(dt), stack.astype(dt)
+    return theta.astype(stack.dtype), stack
 
 
 class AffineOp:
@@ -90,7 +102,10 @@ class AffineOp:
 
     @property
     def H(self) -> "AffineOp":
-        return AffineOp(tuple(t.H for t in self.terms), self.coefficients)
+        return AffineOp(
+            tuple(t.H for t in self.terms),
+            tuple(conj_coefficient(c) for c in self.coefficients),
+        )
 
     def with_(self, terms=None, coefficients=None) -> "AffineOp":
         return AffineOp(
@@ -152,8 +167,10 @@ class AffineDense:
     # algebra ----------------------------------------------------------------
     def assemble(self, mu: Mu | None = None) -> jax.Array:
         """(k, m) matrix at parameter mu — one einsum, jittable."""
-        theta = eval_coefficients(self.coefficients, mu).astype(self.stack.dtype)
-        return jnp.einsum("t,tkm->km", theta, self.stack)
+        theta, stack = _cast_theta(
+            eval_coefficients(self.coefficients, mu), self.stack
+        )
+        return jnp.einsum("t,tkm->km", theta, stack)
 
     def assemble_vec(self, mu: Mu | None = None) -> jax.Array:
         """(k,) vector for m==1 operators (rhs / functionals)."""
@@ -163,26 +180,27 @@ class AffineDense:
         U = jnp.asarray(U)
         single = U.ndim == 1
         Um = U[:, None] if single else U
-        out = jnp.einsum(
-            "t,tkm,mb->kb",
-            eval_coefficients(self.coefficients, mu).astype(self.stack.dtype),
-            self.stack,
-            Um,
+        theta, stack = _cast_theta(
+            eval_coefficients(self.coefficients, mu), self.stack
         )
+        out = jnp.einsum("t,tkm,mb->kb", theta, stack, Um)
         return out[:, 0] if single else out
 
     def apply_adjoint(self, V, mu: Mu | None = None):
         V = jnp.asarray(V)
         single = V.ndim == 1
         Vm = V[:, None] if single else V
-        theta = eval_coefficients(self.coefficients, mu).astype(self.stack.dtype)
-        out = jnp.einsum("t,tkm,kb->mb", jnp.conj(theta), jnp.conj(self.stack), Vm)
+        theta, stack = _cast_theta(
+            eval_coefficients(self.coefficients, mu), self.stack
+        )
+        out = jnp.einsum("t,tkm,kb->mb", jnp.conj(theta), jnp.conj(stack), Vm)
         return out[:, 0] if single else out
 
     @property
     def H(self) -> "AffineDense":
         return AffineDense(
-            jnp.conj(jnp.swapaxes(self.stack, 1, 2)), self.coefficients
+            jnp.conj(jnp.swapaxes(self.stack, 1, 2)),
+            tuple(conj_coefficient(c) for c in self.coefficients),
         )
 
     def lmul(self, M) -> "AffineDense":
@@ -365,16 +383,21 @@ def project_block(
     """
     if max_block_size is None or (V is None and W is None):
         return project(op, V, W, product=product)
+    # apply the product to the test basis ONCE up front (also fixes the
+    # range-side path, which recurses with V on the W slot where project
+    # would never apply it — round-2 review finding, repro'd)
+    if product is not None and V is not None:
+        V = jnp.asarray(product.apply(V))
+        product = None
     if W is not None:
         W = jnp.asarray(W)
         nb = -(-W.shape[1] // max_block_size)
         parts = [
-            project(op, V, W[:, i * max_block_size : (i + 1) * max_block_size],
-                    product=product)
+            project(op, V, W[:, i * max_block_size : (i + 1) * max_block_size])
             for i in range(nb)
         ]
         return concat_affine(parts, axis=1)
     # range-side blocking via the adjoint
     return project_block(
-        as_affine(op).H, None, V, product=product, max_block_size=max_block_size
+        as_affine(op).H, None, V, max_block_size=max_block_size
     ).H

@@ -46,7 +46,10 @@ def estimate_image(
         X = jnp.asarray(product.inv.apply(X))
     if not orthonormalize:
         return X
-    Q = gram_schmidt(X, product=product)
-    # drop zero columns (rank deficiency)
-    norms = jnp.linalg.norm(Q, axis=0)
-    return Q[:, norms > 0.5]
+    Q, R = gram_schmidt(X, product=product, return_R=True)
+    # drop the columns gram_schmidt zeroed (rank deficiency): R[j, j] == 0
+    # marks them regardless of the product scaling, whereas an l2-norm
+    # test misjudges R-normalized columns of a scaled product (round-2
+    # review finding, repro'd with R = 1e4 * I)
+    keep = jnp.abs(jnp.diagonal(R)) > 0.0
+    return Q[:, keep]

@@ -335,13 +335,22 @@ class SparseCholeskyOp(LinOp):
             spla.spsolve_triangular(self._G, self._scatter(U), lower=True)
         )
 
-    def matrix(self) -> sps.csc_matrix:
-        """Explicit Q (reference ``get_matrix``, factorization.py:245-247)."""
+    def sparse_matrix(self) -> sps.csc_matrix:
+        """Explicit sparse Q (reference ``get_matrix``,
+        factorization.py:245-247)."""
         n = self.source_dim
         P = sps.csc_matrix(
             (np.ones(n), (self._perm, np.arange(n))), shape=(n, n)
         )
         return sps.csc_matrix(self._GT @ P)
+
+    def matrix(self) -> jax.Array:
+        """Dense Q — the LinOp.matrix() contract is a dense jnp array
+        (materialize/assemble_dense call jnp.asarray on it; returning the
+        scipy matrix here crashed every generic affine path over a
+        sparse sqrt factor — round-2 review finding). Use
+        :meth:`sparse_matrix` for the sparse form."""
+        return jnp.asarray(self.sparse_matrix().toarray())
 
 
 def sparse_cholesky(S) -> sps.csc_matrix:

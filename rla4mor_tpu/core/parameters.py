@@ -189,13 +189,55 @@ class ProductCoefficient(Coefficient):
 
 @dataclass(frozen=True)
 class ExpressionCoefficient(Coefficient):
-    """theta(mu) = fn(mu) for an arbitrary jittable fn (hash by name)."""
+    """theta(mu) = fn(mu) for an arbitrary jittable fn.
 
-    fn: Callable[[Mu], jax.Array] = field(compare=False)
-    name: str = "expr"
+    ``fn`` participates in equality/hash BY IDENTITY: two coefficients
+    holding different functions must never compare equal, because
+    coefficient tuples are static jit-cache keys (an fn-blind comparison
+    let a program traced for one coefficient silently serve another —
+    round-2 review finding, repro'd). Reuse the same function object when
+    you want cache hits; ``name`` is display-only.
+    """
+
+    fn: Callable[[Mu], jax.Array]
+    name: str = field(default="expr", compare=False)
 
     def __call__(self, mu):
         return jnp.asarray(self.fn(mu))
+
+
+@dataclass(frozen=True)
+class ConjugateCoefficient(Coefficient):
+    """conj(inner(mu)) — used by the affine ``.H`` so the adjoint
+    conjugates complex-valued coefficients."""
+
+    inner: Coefficient
+
+    def __call__(self, mu):
+        return jnp.conj(self.inner(mu))
+
+    @property
+    def parametric(self):
+        return self.inner.parametric
+
+
+def conj_coefficient(c: Coefficient) -> Coefficient:
+    """Conjugate of a coefficient, unwrapping/simplifying where the value
+    is known real (Mu leaves are real box parameters, so projections are
+    their own conjugates; conj of conj unwraps, keeping ``.H.H``'s
+    coefficient tuple identical to the original)."""
+    if isinstance(c, ConjugateCoefficient):
+        return c.inner
+    if isinstance(c, ProjectionCoefficient):
+        return c
+    if isinstance(c, ConstantCoefficient):
+        v = complex(c.value)
+        return c if v.imag == 0 else ConstantCoefficient(v.conjugate())
+    if isinstance(c, ProductCoefficient):
+        return ProductCoefficient(
+            tuple(conj_coefficient(f) for f in c.factors)
+        )
+    return ConjugateCoefficient(c)
 
 
 def as_coefficient(c: Union[Coefficient, float, int]) -> Coefficient:

@@ -57,8 +57,6 @@ def make_sharded_greedy_step(
     """Build (init_state, step) for the sharded greedy. ``step(state, mu,
     mu_batch)`` solves the FOM at mu, extends the sketched state, and
     returns ROM error estimates over the (mu-sharded) batch."""
-    n_nodes = fom.n_nodes
-    n = n_nodes * n_nodes
     grid_sharding = NamedSharding(mesh, P("dof", None))
     key_theta = jax.random.fold_in(key, 0)
 
@@ -129,10 +127,19 @@ def make_sharded_greedy_step(
                 "tkr,r->kt", state.res_lhs, coeffs
             )
         nrm = jnp.maximum(jnp.linalg.norm(su), 1e-30)
+        # saturate at r_max: JAX drops out-of-bounds scatters SILENTLY, so
+        # without the guard an extra step would keep incrementing ncols
+        # against a stale basis (round-2 review finding)
+        ok = c < r_max
+        c_write = jnp.minimum(c, r_max - 1)
+        su_col = jnp.where(ok, su / nrm, state.srb[:, c_write])
+        res_col = jnp.where(
+            ok, s_terms.T / nrm, state.res_lhs[:, :, c_write]
+        )
         state = state._replace(
-            srb=state.srb.at[:, c].set(su / nrm),
-            res_lhs=state.res_lhs.at[:, :, c].set(s_terms.T / nrm),
-            ncols=c + 1,
+            srb=state.srb.at[:, c_write].set(su_col),
+            res_lhs=state.res_lhs.at[:, :, c_write].set(res_col),
+            ncols=c + ok.astype(c.dtype),
         )
 
         # 4) error sweep over the mu batch (sharded over 'mu')

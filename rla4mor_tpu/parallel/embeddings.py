@@ -10,7 +10,9 @@ chip.
 
 from __future__ import annotations
 
-from typing import Optional
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,22 +28,28 @@ from rla4mor_tpu.parallel.sharded_sketch import (
 )
 
 
+@dataclass(frozen=True)
 class ShardedGaussianEmbedding(LinOp):
-    """Gaussian l2->l2 embedding applied across a ('dof', ...) mesh."""
+    """Gaussian l2->l2 embedding applied across a ('dof', ...) mesh.
 
-    def __init__(self, range_dim: int, source_dim: int, mesh: Mesh,
-                 seed: int = 0, axis: str = "dof", dtype=None):
-        self.range_dim = range_dim
-        self.source_dim = source_dim
-        self.mesh = mesh
-        self.seed = seed
-        self.axis = axis
-        # the drawn values depend on the generation dtype, so the operator
-        # identity fixes it (inputs are cast)
-        from rla4mor_tpu.utils.config import default_dtype
+    Frozen dataclass like the rest of the zoo (CLAUDE.md convention): a
+    pure function of its fields; ``dtype`` is part of the operator
+    identity because the drawn values depend on the generation dtype
+    (inputs are cast)."""
 
-        self.dtype = dtype if dtype is not None else default_dtype()
-        assert source_dim % mesh.shape[axis] == 0
+    range_dim: int
+    source_dim: int
+    mesh: Mesh
+    seed: int = 0
+    axis: str = "dof"
+    dtype: Any = None
+
+    def __post_init__(self):
+        if self.dtype is None:
+            from rla4mor_tpu.utils.config import default_dtype
+
+            object.__setattr__(self, "dtype", default_dtype())
+        assert self.source_dim % self.mesh.shape[self.axis] == 0
 
     @property
     def key(self):
@@ -50,10 +58,7 @@ class ShardedGaussianEmbedding(LinOp):
     def with_seed(self, seed: Optional[int]):
         if seed is None:
             seed = int(np.random.randint(0, 2**31 - 1))
-        return ShardedGaussianEmbedding(
-            self.range_dim, self.source_dim, self.mesh, seed, self.axis,
-            self.dtype,
-        )
+        return dataclasses.replace(self, seed=seed)
 
     def apply(self, U, mu=None):
         return gaussian_sketch_sharded(
@@ -79,9 +84,33 @@ class ShardedGaussianEmbedding(LinOp):
         )
 
     def apply_adjoint(self, V, mu=None):
-        return self.matrix().conj().T @ jnp.asarray(V)
+        """Omega^H V, DoF-sharded: each shard generates ITS block of
+        Omega and emits its rows of the result — Omega is never
+        materialized (the previous matrix()-based adjoint concatenated
+        the full (k, n) Omega, defeating the class's whole purpose at
+        big n — round-2 review finding)."""
+        from jax.sharding import PartitionSpec as P
+
+        from rla4mor_tpu.parallel.sharded_sketch import gaussian_block
+
+        V = jnp.asarray(V, dtype=self.dtype)
+        single = V.ndim == 1
+        Vm = V[:, None] if single else V
+        bs = self.source_dim // self.mesh.shape[self.axis]
+
+        def local(v):
+            b = jax.lax.axis_index(self.axis)
+            Ob = gaussian_block(self.key, self.range_dim, bs, b, self.dtype)
+            return Ob.conj().T @ v  # (bs, cols)
+
+        out = jax.shard_map(
+            local, mesh=self.mesh, in_specs=(P(),),
+            out_specs=P(self.axis, None),
+        )(Vm)
+        return out[:, 0] if single else out
 
 
+@dataclass(frozen=True)
 class ShardedSrhtEmbedding(LinOp):
     """Sharded SRHT embedding (same canonical operator as ``ops.fwht.srht``).
 
@@ -91,17 +120,17 @@ class ShardedSrhtEmbedding(LinOp):
     local-FWHT + cross-chip ppermute butterfly (useful when n_local is
     not a multiple of an R block)."""
 
-    def __init__(self, range_dim: int, source_dim: int, mesh: Mesh,
-                 seed: int = 0, axis: str = "dof", variant: str = "flat"):
-        d = source_dim.bit_length() - 1
-        assert 1 << d == source_dim, "sharded SRHT needs power-of-two n"
-        assert variant in ("flat", "butterfly")
-        self.range_dim = range_dim
-        self.source_dim = source_dim
-        self.mesh = mesh
-        self.seed = seed
-        self.axis = axis
-        self.variant = variant
+    range_dim: int
+    source_dim: int
+    mesh: Mesh
+    seed: int = 0
+    axis: str = "dof"
+    variant: str = "flat"
+
+    def __post_init__(self):
+        d = self.source_dim.bit_length() - 1
+        assert 1 << d == self.source_dim, "sharded SRHT needs power-of-two n"
+        assert self.variant in ("flat", "butterfly")
 
     @property
     def key(self):
@@ -110,10 +139,7 @@ class ShardedSrhtEmbedding(LinOp):
     def with_seed(self, seed: Optional[int]):
         if seed is None:
             seed = int(np.random.randint(0, 2**31 - 1))
-        return ShardedSrhtEmbedding(
-            self.range_dim, self.source_dim, self.mesh, seed, self.axis,
-            self.variant,
-        )
+        return dataclasses.replace(self, seed=seed)
 
     def apply(self, U, mu=None):
         if self.variant == "flat":

@@ -127,7 +127,6 @@ def srht_sketch_sharded(key, k: int, x: jax.Array, mesh: Mesh,
         y = fwht(y.T, normalize=True).T
         # cross-chip butterfly stages (normalize by 2^{-c/2} at the end)
         for s in range(c):
-            partner = b ^ (1 << s)
             pairs = [(i, i ^ (1 << s)) for i in range(n_dev)]
             other = lax.ppermute(y, axis_name=axis, perm=pairs)
             bit = (b >> s) & 1

@@ -14,7 +14,7 @@ the sketched HS error matrix for key (Vs, Vr) is
 
 with:
   * Vs is None : SourceCols = R^-1 Sigma^H            (n, k_sigma)
-    Vs given   : SourceCols = Vs Sigma_mat^T          ("sketched source")
+    Vs given   : SourceCols = Vs Sigma_mat^H          ("sketched source")
   * Vr is None : RangeMap(X) = Omega_emb(X)           (U -> l2 embedding)
     Vr given   : RangeMap(X) = Omega (Vr^H R X)       (sketched range basis)
 
@@ -107,7 +107,12 @@ class PreconditionedReductor:
                 if isinstance(S, IdentityEmbedding):
                     self._source_cols[key] = Vs
                 else:
-                    self._source_cols[key] = Vs @ jnp.asarray(S.matrix()).T
+                    # conjugate transpose: same adjoint convention as the
+                    # Vs=None branch (source_array = Sigma^H) and the
+                    # range side — .T alone diverges for complex Sigma
+                    self._source_cols[key] = (
+                        Vs @ jnp.asarray(S.matrix()).conj().T
+                    )
 
             Vr = range_bases[key]
             Om = range_embeddings[key]

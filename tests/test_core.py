@@ -356,7 +356,8 @@ def test_sparse_cholesky_op_triangular_modes(rng):
     assert np.allclose(np.asarray(op.apply_adjoint(u)), Q.T @ u)
     assert np.allclose(np.asarray(op.apply_inverse(Q @ u)), u)
     assert np.allclose(np.asarray(op.apply_inverse_adjoint(Q.T @ u)), u)
-    assert np.allclose(op.matrix().toarray(), Q)
+    assert np.allclose(op.sparse_matrix().toarray(), Q)
+    assert np.allclose(np.asarray(op.matrix()), Q)  # dense LinOp contract
     # Q^H Q = S (the defining property)
     assert np.allclose(Q.T @ Q, S.toarray())
 
@@ -373,3 +374,88 @@ def test_product_sqrt_has_triangular_inverse(rng):
     u = rng.normal(size=(n, 2))
     qu = np.asarray(p.sqrt.apply(u))
     assert np.allclose(np.asarray(p.sqrt.apply_inverse(qu)), u)
+
+
+def test_project_block_range_side_with_product(rng):
+    """Review round-2 (repro'd): range-side (W=None) blocked projection
+    must apply the product — it was silently dropped in the adjoint
+    recursion."""
+    from rla4mor_tpu.core.affine import AffineOp, project, project_block
+    from rla4mor_tpu.core.linops import DenseOp, DiagonalOp
+    from rla4mor_tpu.core.parameters import ProjectionCoefficient
+
+    n, m, kv = 8, 7, 5
+    op = AffineOp(
+        (DenseOp(jnp.asarray(rng.normal(size=(n, m)))),
+         DenseOp(jnp.asarray(rng.normal(size=(n, m))))),
+        (ProjectionCoefficient("p", 0), ProjectionCoefficient("p", 1)),
+    )
+    V = jnp.asarray(rng.normal(size=(n, kv)))
+    R = DiagonalOp(jnp.asarray(rng.uniform(1.0, 3.0, size=n)))
+    ref = project(op, V, None, product=R)
+    blocked = project_block(op, V, None, product=R, max_block_size=2)
+    assert np.allclose(np.asarray(blocked.stack), np.asarray(ref.stack),
+                       atol=1e-12)
+
+
+def test_expression_coefficients_compare_by_fn_identity():
+    """Review round-2 (repro'd): distinct fns must not compare equal —
+    coefficient tuples are static jit-cache keys."""
+    from rla4mor_tpu.core.affine import AffineDense
+    from rla4mor_tpu.core.parameters import ExpressionCoefficient
+
+    c1 = ExpressionCoefficient(lambda mu: mu["a"][0])
+    c2 = ExpressionCoefficient(lambda mu: 10 * mu["a"][0])
+    assert c1 != c2
+    stack = jnp.ones((1, 2, 2))
+    op1 = AffineDense(stack, (c1,))
+    op2 = AffineDense(stack, (c2,))
+
+    @jax.jit
+    def f(op, mu):
+        return op.assemble(mu)[0, 0]
+
+    mu = {"a": jnp.asarray([3.0])}
+    assert float(f(op1, mu)) == 3.0
+    assert float(f(op2, mu)) == 30.0  # was 3.0 when cache keys collided
+
+
+def test_estimate_image_scaled_product(rng):
+    """Review round-2 (repro'd): rank test must be product-aware — with
+    R = 1e4 I every valid column was discarded by the l2-norm check."""
+    from rla4mor_tpu.core.image import estimate_image
+    from rla4mor_tpu.core.affine import AffineOp
+    from rla4mor_tpu.core.linops import DenseOp
+    from rla4mor_tpu.core.products import Product
+
+    n = 6
+    prod = Product.from_dense(jnp.asarray(1e4 * np.eye(n)))
+    op = AffineOp((DenseOp(jnp.asarray(rng.normal(size=(n, 2)))),))
+    basis = jnp.eye(2)
+    Q = estimate_image(operators=[op], basis=basis, product=prod)
+    assert Q.shape[1] == 2  # both independent columns kept
+    G = np.asarray(prod.inner(Q, Q))
+    assert np.allclose(G, np.eye(2), atol=1e-8)
+
+
+def test_complex_coefficient_on_real_stack():
+    """Review round-2 (repro'd): a 1j-valued coefficient over a real
+    stack must not be truncated to 0; and .H must conjugate
+    coefficients so it agrees with apply_adjoint."""
+    from rla4mor_tpu.core.affine import AffineDense
+    from rla4mor_tpu.core.parameters import ExpressionCoefficient
+
+    c = ExpressionCoefficient(lambda mu: 1j * mu["w"][0], name="j*w")
+    stack = jnp.asarray(np.eye(3))[None, :, :]
+    op = AffineDense(stack, (c,))
+    mu = {"w": jnp.asarray([3.0])}
+    A = np.asarray(op.assemble(mu))
+    assert np.allclose(A, 3j * np.eye(3))
+    v = jnp.asarray(np.arange(3.0))
+    # two public adjoint paths agree (conj(theta) A^H v)
+    a1 = np.asarray(op.apply_adjoint(v, mu))
+    a2 = np.asarray(op.H.apply(v, mu))
+    assert np.allclose(a1, a2)
+    assert np.allclose(a1, -3j * np.asarray(v))
+    # double adjoint round-trips the coefficient tuple exactly
+    assert op.H.H.coefficients == op.coefficients

@@ -421,3 +421,20 @@ def test_gram_schmidt_and_pod_shard_over_dof(mesh, rng):
     assert np.abs(np.abs(np.asarray(modes_s)) -
                   np.abs(np.asarray(modes_ref))).max() < 1e-9
     assert not modes_s.sharding.is_fully_replicated
+
+
+def test_sharded_gaussian_adjoint_blockwise(mesh, rng):
+    """apply_adjoint is computed shard-wise (Omega never materialized —
+    review round-2) and equals the explicit-matrix adjoint."""
+    from rla4mor_tpu.parallel import ShardedGaussianEmbedding
+
+    n, k = 512, 9
+    emb = ShardedGaussianEmbedding(k, n, mesh, seed=6)
+    V = jnp.asarray(rng.normal(size=(k, 3)), emb.dtype)
+    with mesh:
+        out = np.asarray(emb.apply_adjoint(V))
+    ref = np.asarray(emb.matrix()).conj().T @ np.asarray(V)
+    assert np.abs(out - ref).max() < 1e-12 * max(1.0, np.abs(ref).max())
+    # frozen-dataclass zoo convention: with_seed is a pure replace
+    emb2 = emb.with_seed(7)
+    assert emb2.seed == 7 and emb2.mesh is emb.mesh
