@@ -142,23 +142,26 @@ class StationaryROM:
         output_functional: Optional[AffineDense] = None,
         error_estimator: Optional[ResidualErrorEstimator] = None,
         ls: bool = False,
+        ls_rcond: float = 1e-13,
     ):
         self.lhs = lhs
         self.rhs = rhs
         self.output_functional = output_functional
         self.error_estimator = error_estimator
         self.ls = ls
+        self.ls_rcond = float(ls_rcond)
 
     def tree_flatten(self):
         return (self.lhs, self.rhs, self.output_functional, self.error_estimator), (
             self.ls,
+            self.ls_rcond,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.lhs, obj.rhs, obj.output_functional, obj.error_estimator = children
-        (obj.ls,) = aux
+        obj.ls, obj.ls_rcond = aux
         return obj
 
     @property
@@ -173,7 +176,8 @@ class StationaryROM:
             # least squares via economic SVD (stable under jit)
             U, s, Vh = jnp.linalg.svd(A, full_matrices=False)
             cutoff = jnp.maximum(
-                jnp.asarray(1e-13, s.dtype), 100 * jnp.finfo(s.dtype).eps
+                jnp.asarray(self.ls_rcond, s.dtype),
+                100 * jnp.finfo(s.dtype).eps,
             ) * jnp.max(s)  # dtype-aware: 1e-13 is below f32 noise
             s_inv = jnp.where(s > cutoff, 1.0 / s, 0.0)
             return Vh.conj().T @ (s_inv * (U.conj().T @ b))

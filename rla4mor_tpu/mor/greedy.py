@@ -118,11 +118,12 @@ def rb_greedy_strong(
         snapshots = fom.solve_many(list(training_set))
     U = jnp.asarray(snapshots)
     assert U.shape[1] == len(training_set)
-    denom = (
-        np.maximum(np.asarray(product.norm(U)), 1e-300)
-        if relative
-        else np.ones(U.shape[1])
-    )
+    if relative:
+        norms = np.asarray(product.norm(U))
+        # dtype-aware floor: a 1e-300 literal underflows to 0 in f32
+        denom = np.maximum(norms, np.finfo(norms.dtype).tiny)
+    else:
+        denom = np.ones(U.shape[1])
 
     @jax.jit
     def lift_batch(rom, rb, mus):

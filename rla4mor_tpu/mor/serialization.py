@@ -72,6 +72,69 @@ def load_affine(d, prefix: str) -> Optional[AffineDense]:
 SEED_DERIVATION = "tile-v1"
 
 
+def _embedding_fingerprint(e) -> str:
+    """Stable descriptor of an embedding OPERATOR identity: class name +
+    every scalar dataclass field (seed, range/source dims, block sizes,
+    dist, ...). The seed alone is not enough — e.g. the hardware-PRNG
+    embedding is determined by (seed, range_dim, block_rows, dist), so a
+    resume with a different block_rows regenerates a different Omega
+    under the same seed (round-2 review finding)."""
+    import dataclasses as _dc
+
+    fields = {}
+    if _dc.is_dataclass(e):
+        for f in _dc.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, (int, float, str, bool)):
+                fields[f.name] = v
+    else:  # non-dataclass embeddings: fall back to the seed
+        fields["seed"] = getattr(e, "seed", None)
+    return json.dumps({"class": type(e).__name__, **dict(sorted(
+        fields.items()))})
+
+
+def _save_mu_basis(d: dict, mu_basis) -> None:
+    if not mu_basis:
+        return
+    keys = sorted(mu_basis[0].keys())
+    d["mu_basis_keys"] = json.dumps(keys)
+    for kname in keys:
+        d[f"mu_basis__{kname}"] = np.stack(
+            [np.asarray(m[kname]) for m in mu_basis]
+        )
+
+
+def _load_mu_basis(d) -> list:
+    if "mu_basis_keys" not in d:
+        return []
+    keys = json.loads(str(d["mu_basis_keys"]))
+    count = d[f"mu_basis__{keys[0]}"].shape[0]
+    return [
+        {k: jnp.asarray(d[f"mu_basis__{k}"][i]) for k in keys}
+        for i in range(count)
+    ]
+
+
+def _check_embeddings(d, reductor) -> None:
+    """Seed + fingerprint guards shared by the plain and padded loaders."""
+    for name, emb in (("primal", reductor.embedding_primal),
+                      ("online", reductor.embedding_online)):
+        if f"seed_{name}" in d and int(d[f"seed_{name}"]) != emb.seed:
+            raise ValueError(
+                f"checkpoint seed_{name}={int(d[f'seed_{name}'])} != "
+                f"reductor's {emb.seed}: the stored sketches came from a "
+                "different embedding"
+            )
+        fkey = f"fingerprint_{name}"
+        if fkey in d and str(d[fkey]) != _embedding_fingerprint(emb):
+            raise ValueError(
+                f"checkpoint {name} embedding {str(d[fkey])} does not "
+                f"match the reductor's {_embedding_fingerprint(emb)}: "
+                "same-seed operators with different structural parameters "
+                "are different operators"
+            )
+
+
 def save_reductor(reductor, path) -> None:
     """Persist the sketched state of a SketchedReductor."""
     d: dict = {
@@ -80,18 +143,16 @@ def save_reductor(reductor, path) -> None:
         "rb": np.asarray(reductor.rb),
         "seed_primal": reductor.embedding_primal.seed,
         "seed_online": reductor.embedding_online.seed,
+        "fingerprint_primal": _embedding_fingerprint(
+            reductor.embedding_primal),
+        "fingerprint_online": _embedding_fingerprint(
+            reductor.embedding_online),
         "projection": reductor.projection,
     }
     save_affine(d, "residual_lhs", reductor.residual_lhs)
     save_affine(d, "residual_rhs", reductor.residual_rhs)
     save_affine(d, "output", reductor.output_functional)
-    if reductor.mu_basis:
-        keys = sorted(reductor.mu_basis[0].keys())
-        d["mu_basis_keys"] = json.dumps(keys)
-        for kname in keys:
-            d[f"mu_basis__{kname}"] = np.stack(
-                [np.asarray(m[kname]) for m in reductor.mu_basis]
-            )
+    _save_mu_basis(d, reductor.mu_basis)
     np.savez_compressed(path, **d)
 
 
@@ -110,16 +171,14 @@ def save_padded_reductor(reductor, path) -> None:
         "pad__ncols": np.asarray(st.ncols),
         "seed_primal": reductor.embedding_primal.seed,
         "seed_online": reductor.embedding_online.seed,
+        "fingerprint_primal": _embedding_fingerprint(
+            reductor.embedding_primal),
+        "fingerprint_online": _embedding_fingerprint(
+            reductor.embedding_online),
         "projection": reductor.projection,
     }
     save_affine(d, "residual_rhs", reductor.residual_rhs)
-    if reductor.mu_basis:
-        keys = sorted(reductor.mu_basis[0].keys())
-        d["mu_basis_keys"] = json.dumps(keys)
-        for kname in keys:
-            d[f"mu_basis__{kname}"] = np.stack(
-                [np.asarray(m[kname]) for m in reductor.mu_basis]
-            )
+    _save_mu_basis(d, reductor.mu_basis)
     np.savez_compressed(path, **d)
 
 
@@ -129,14 +188,7 @@ def load_padded_reductor_state(reductor, path) -> None:
     and r_max)."""
     d = np.load(Path(path), allow_pickle=False)
     _check_seed_derivation(d)
-    for name, seed in (("seed_primal", reductor.embedding_primal.seed),
-                       ("seed_online", reductor.embedding_online.seed)):
-        stored = int(d[name])
-        if stored != seed:
-            raise ValueError(
-                f"checkpoint {name}={stored} != reductor's {seed}: the "
-                "stored sketches came from a different embedding"
-            )
+    _check_embeddings(d, reductor)
     _check_projection(d, reductor)
     st = reductor.state
     assert d["pad__srb"].shape == st.srb.shape, (
@@ -149,13 +201,9 @@ def load_padded_reductor_state(reductor, path) -> None:
         rb=jnp.asarray(d["pad__rb"]),
         ncols=jnp.asarray(d["pad__ncols"]),
     )
-    if "mu_basis_keys" in d:
-        keys = json.loads(str(d["mu_basis_keys"]))
-        count = d[f"mu_basis__{keys[0]}"].shape[0]
-        reductor.mu_basis = [
-            {k: jnp.asarray(d[f"mu_basis__{k}"][i]) for k in keys}
-            for i in range(count)
-        ]
+    mu_basis = _load_mu_basis(d)
+    if mu_basis:
+        reductor.mu_basis = mu_basis
 
 
 def save_instationary_reductor(reductor, path) -> None:
@@ -213,16 +261,13 @@ def load_reductor_state(reductor, path) -> None:
     freshly-constructed reductor (FOM/embeddings must match)."""
     d = np.load(Path(path), allow_pickle=False)
     _check_seed_derivation(d)
+    _check_embeddings(d, reductor)
     _check_projection(d, reductor)
     reductor.srb = jnp.asarray(d["srb"])
     reductor.rb = jnp.asarray(d["rb"])
     reductor.residual_lhs = load_affine(d, "residual_lhs")
     reductor.residual_rhs = load_affine(d, "residual_rhs")
     reductor.output_functional = load_affine(d, "output")
-    if "mu_basis_keys" in d:
-        keys = json.loads(str(d["mu_basis_keys"]))
-        count = d[f"mu_basis__{keys[0]}"].shape[0]
-        reductor.mu_basis = [
-            {k: jnp.asarray(d[f"mu_basis__{k}"][i]) for k in keys}
-            for i in range(count)
-        ]
+    mu_basis = _load_mu_basis(d)
+    if mu_basis:
+        reductor.mu_basis = mu_basis

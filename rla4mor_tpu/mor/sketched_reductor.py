@@ -46,6 +46,24 @@ from rla4mor_tpu.ops.embeddings import Embedding, IdentityEmbedding
 from rla4mor_tpu.utils.logger import get_logger
 
 
+@jax.jit
+def _adaptive_rel_dev(rom, est2, mus):
+    """Max relative deviation between the ROM's estimator and an
+    independent check estimator over a mu batch. Module-level so jax.jit
+    caches across ``reduce_adaptive`` calls (a per-call closure would
+    recompile every invocation — minutes on the remote-compile TPU)."""
+
+    def one(mu):
+        u = rom.solve(mu)
+        e1 = rom.error_estimator.estimate_error(u, mu)
+        e2 = est2.estimate_error(u, mu)
+        return jnp.abs(e1 - e2) / jnp.maximum(
+            jnp.maximum(e1, e2), jnp.finfo(e1.dtype).tiny
+        )
+
+    return jnp.max(jax.vmap(one)(mus))
+
+
 class SketchedReductor:
     """Online-efficient sketched RB with Galerkin / minres projection."""
 
@@ -187,7 +205,7 @@ class SketchedReductor:
                 self.embedding_online.with_seed(seed[0]),
                 self.embedding_online.with_seed(seed[1]),
             )
-        return self._reduce_minres(embedding)
+        return self._reduce_minres(embedding, ls_rcond)
 
     def _reduce_galerkin(self, embedding: Embedding) -> StationaryROM:
         est_lhs, est_rhs = self._sketch_residual(embedding)
@@ -202,7 +220,8 @@ class SketchedReductor:
             ls=False,
         )
 
-    def _reduce_minres(self, embeddings) -> StationaryROM:
+    def _reduce_minres(self, embeddings,
+                       ls_rcond: float = 1e-13) -> StationaryROM:
         sys_lhs, sys_rhs = self._sketch_residual(embeddings[0])
         est_lhs, est_rhs = self._sketch_residual(embeddings[1])
         estimator = ResidualErrorEstimator(est_lhs, est_rhs)
@@ -212,6 +231,7 @@ class SketchedReductor:
             output_functional=self.output_functional,
             error_estimator=estimator,
             ls=True,
+            ls_rcond=ls_rcond,
         )
 
     def reduce_adaptive(
@@ -246,19 +266,7 @@ class SketchedReductor:
         assert self.basis_size > 0, "adaptive reduce needs a nonempty basis"
         base_seed = 0 if seed is None else int(seed)
         k_max = self.embedding_primal.range_dim
-
-        @jax.jit
-        def rel_dev(rom, est2, mus):
-            def one(mu):
-                u = rom.solve(mu)
-                e1 = rom.error_estimator.estimate_error(u, mu)
-                e2 = est2.estimate_error(u, mu)
-                return jnp.abs(e1 - e2) / jnp.maximum(
-                    jnp.maximum(e1, e2), jnp.finfo(e1.dtype).tiny
-                )
-
-            return jnp.max(jax.vmap(one)(mus))
-
+        rel_dev = _adaptive_rel_dev
         info = {}
         for rnd in range(max_rounds + 1):
             s = base_seed + 2 * rnd

@@ -406,7 +406,10 @@ class StreamedGaussianEmbedding(Embedding):
         k, key, dtype = self.range_dim, self.key, Xm.dtype
 
         def step(acc, b):
-            strip = gaussian_cols_unscaled(key, k, b * W, W, dtype)
+            # c0 = b*W is width-aligned by construction (traced b, so the
+            # static check can't see it): keep the tile-exact fast path
+            strip = gaussian_cols_unscaled(key, k, b * W, W, dtype,
+                                           aligned=True)
             xb = jax.lax.dynamic_slice(Xm, (b * W, 0), (W, m))
             return acc + strip @ xb, None
 
@@ -454,6 +457,10 @@ class HwPrngGaussianEmbedding(Embedding):
     def make(cls, source_dim, sqrt_product=None, range_dim=None, epsilon=None,
              delta=None, oblivious_dim=None, seed=0, block_rows=2048,
              dist="normal", complex_dtype=False):
+        assert not complex_dtype, (
+            "HwPrngGaussianEmbedding is real-only (the kernel draws real "
+            "f32 strips); use GaussianEmbedding for complex data"
+        )
         k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
                      oblivious_dim, complex_dtype)
         return cls(k, source_dim, seed, sqrt_product, block_rows, dist)

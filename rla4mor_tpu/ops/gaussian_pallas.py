@@ -128,12 +128,29 @@ def gaussian_sketch(
     HBM read roofline where the normal draw is VPU-bound.
 
     ``X`` is f32 (bf16 input is upcast — the normals and the accumulator
-    are f32 either way).  n is zero-padded to a multiple of
+    are f32 either way; complex input is rejected, the hardware-PRNG
+    path is real-only).  n is zero-padded to a multiple of
     ``block_rows``; padded rows multiply zeros, so the result does not
     depend on the padding, and strips always draw full-width so the
     bitstream does not depend on n.
+
+    PRECISION CONTRACT: the in-kernel MXU dot runs at the platform
+    default (f32 operands truncated to bf16, ~2e-3 relative) — a
+    DELIBERATE choice: the kernel is MXU-weight-stream-bound below ~128
+    columns, so HIGHEST (3 passes) would triple its floor, and 2e-3 is
+    far below sketch distortion.  Consequence: results differ from the
+    exact ``gaussian_strip``-matrix oracle product at the bf16 level;
+    compare with tolerance ~1e-2, and prefer the canonical
+    ``GaussianEmbedding`` where exact cross-path reproducibility matters.
     """
-    X = jnp.asarray(X, jnp.float32)
+    X = jnp.asarray(X)
+    if jnp.iscomplexobj(X):
+        raise TypeError(
+            "gaussian_sketch is real-only (the hardware-PRNG kernel draws "
+            "real strips and casting would silently drop the imaginary "
+            "part); use the canonical GaussianEmbedding for complex data"
+        )
+    X = X.astype(jnp.float32)
     single = X.ndim == 1
     Xm = X[:, None] if single else X
     n, m = Xm.shape

@@ -152,3 +152,39 @@ def test_padded_reductor_roundtrip(tmp_path, thermal_fom):
 
     with pytest.raises(ValueError, match="seed_primal"):
         load_padded_reductor_state(make(seed=5), path)
+
+
+def test_plain_loader_refuses_wrong_seed_and_fingerprint(thermal_fom):
+    """Review round-2: the PLAIN loader must guard seeds (it stored them
+    but never checked); and structurally-different same-seed embeddings
+    (fingerprint) must refuse too."""
+    import pytest
+
+    from rla4mor_tpu.mor import (
+        SketchedReductor, load_reductor_state, save_reductor,
+    )
+    from rla4mor_tpu.ops import GaussianEmbedding, SrhtEmbedding
+
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+
+    def make(emb_cls=GaussianEmbedding, seed=0):
+        theta = emb_cls.make(fom.solution_dim, sqrt_product=Ru.sqrt,
+                             range_dim=64, seed=seed)
+        return SketchedReductor(fom, embedding_primal=theta, product=Ru,
+                                log_level=30)
+
+    red = make()
+    mu = fom.parameter_space.sample_randomly(1, key=0)[0]
+    red.extend_basis(fom.solve(mu), mu=mu)
+    path = "/tmp/plain_guard.npz"
+    save_reductor(red, path)
+
+    with pytest.raises(ValueError, match="seed_primal"):
+        load_reductor_state(make(seed=3), path)
+    with pytest.raises(ValueError, match="does not match"):
+        load_reductor_state(make(emb_cls=SrhtEmbedding), path)
+    # matching construction loads fine
+    red2 = make()
+    load_reductor_state(red2, path)
+    assert red2.basis_size == 1
