@@ -174,6 +174,12 @@ def main():
     else:
         name, gbps, vs = bench_srht(d=18, rows=8, k=128, iters=3)
 
+    if name is None:
+        # every candidate failed (e.g. remote compile service down): FAIL
+        # loudly instead of emitting a success-shaped 0 GB/s datapoint
+        log("ERROR: all bench candidates failed")
+        sys.exit(1)
+
     print(json.dumps({
         "metric": f"srht_sketch_throughput_1e7dof_{name}",
         "value": round(gbps, 2),

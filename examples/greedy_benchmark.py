@@ -21,6 +21,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -20,6 +20,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -67,10 +69,11 @@ def main():
     test = pfom.parameter_space.sample_randomly(5, key=2)
     rels, ests = [], []
     for mu in test:
-        rec = red.reconstruct(rom.solve(mu))        # (n, nt+1)
+        traj_r, eta = rom.solve(mu, return_estimate=True)  # one time loop
+        rec = red.reconstruct(traj_r)               # (n, nt+1)
         tr = pfom.solve(mu)
         rels.append(float(jnp.linalg.norm(rec - tr) / jnp.linalg.norm(tr)))
-        ests.append(float(rom.estimate_error(mu)))
+        ests.append(float(eta))
     print("true trajectory rel errors:",
           " ".join(f"{e:.2e}" for e in rels))
     print("space-time residual estimates:",

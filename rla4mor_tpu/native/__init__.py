@@ -92,7 +92,20 @@ def fht_cpu(a: np.ndarray, n_threads: int = 0, normalize: bool = True
     a = np.ascontiguousarray(a)
     n = a.shape[-1]
     d = n.bit_length() - 1
-    assert 1 << d == n, "fht_cpu requires a power-of-two last axis"
+    if (1 << d) != n:
+        # explicit raise, not assert: this also guards the C++ butterfly's
+        # memory safety (it indexes up to the next power of two) and must
+        # survive python -O
+        raise ValueError(
+            f"fht_cpu requires a power-of-two last axis, got {n}"
+        )
+    if np.iscomplexobj(a):
+        # FWHT is real-linear: transform the real and imaginary parts
+        # separately (a float64 cast would silently drop the imaginary
+        # part — the complex embeddings use this as the host oracle)
+        return fht_cpu(a.real, n_threads, normalize) + 1j * fht_cpu(
+            a.imag, n_threads, normalize
+        )
     orig_dtype = a.dtype
     if a.dtype not in (np.float32, np.float64):
         a = a.astype(np.float64)

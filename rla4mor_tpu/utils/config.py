@@ -56,3 +56,7 @@ def force_cpu_devices(n: int = 8) -> None:
         )
     os.environ["XLA_FLAGS"] = flags
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # the env var alone is NOT enough: the shell ships JAX_PLATFORMS=axon
+    # (setdefault keeps it) and that plugin ignores the env var anyway
+    # (CLAUDE.md) — the config API is the only reliable switch
+    jax.config.update("jax_platforms", "cpu")

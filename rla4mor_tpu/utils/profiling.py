@@ -15,6 +15,22 @@ from collections import defaultdict
 from typing import Dict, Iterator, List
 
 import jax
+import jax.numpy as jnp
+
+
+def device_fence() -> None:
+    """Block the host until all previously-enqueued device work finishes.
+
+    A tiny program is enqueued AFTER the pending work and its result is
+    transferred to the host: device streams execute in enqueue order, so
+    the transfer cannot complete early. This is the only sync that is
+    honest on the axon platform, where ``jax.block_until_ready`` returns
+    before the device is done and ``jax.effects_barrier`` only waits for
+    effectful computations (see bench.py's measurement methodology).
+    """
+    import numpy as np
+
+    np.asarray(jnp.zeros(()) + 0.0)
 
 
 class Timers:
@@ -31,8 +47,7 @@ class Timers:
             yield
         finally:
             if sync:
-                # flush pending device work so the timing is honest
-                jax.effects_barrier()
+                device_fence()  # flush device work: honest timing
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
@@ -55,13 +70,16 @@ def device_trace(logdir: str = "/tmp/rla4mor_trace") -> Iterator[None]:
 
 
 def timed_block_until_ready(fn, *args, iters: int = 5, warmup: int = 1):
-    """Median wall time of ``fn(*args)`` with device sync."""
+    """Median wall time of ``fn(*args)`` with device sync (a host fence,
+    because block_until_ready does not synchronize on the axon platform)."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
+        device_fence()
     times: List[float] = []
     for _ in range(iters):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
+        device_fence()
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
