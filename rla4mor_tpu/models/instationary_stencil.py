@@ -1,0 +1,118 @@
+"""Device-native big-n parabolic FOM: matrix-free implicit Euler.
+
+``InstationaryFOM`` (models/instationary.py) time-steps with ONE host
+SuperLU factorization per mu — right for moderate n, impossible at the
+4M-DoF scale of the stencil world.  Here the whole trajectory is one
+jitted ``lax.scan``: each implicit-Euler step solves
+
+    (M + dt A(mu)) u_{k+1} = M u_k + dt b
+
+by preconditioned CG on the matrix-free stencil operators — warm-started
+at ``u_k`` (consecutive steps differ by O(dt), so after the first step CG
+converges in a few iterations), with either the Jacobi diagonal of
+``M + dt A`` or the mass-shifted geometric V-cycle
+(models/multigrid.py ``make_vcycle(mass_dt=dt)``) as the preconditioner.
+
+The FOM is beyond-reference scope (the reference is stationary-only and
+host-bound); it closes the gap between the big-n stationary path
+(models/stencil.py + CG/MG) and the parabolic MOR layer.  Trajectories
+equal the host-LU ``InstationaryFOM`` on the same mesh to CG tolerance
+(tested via the interior-index mapping).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rla4mor_tpu.core.parameters import ParameterSpace
+from rla4mor_tpu.models.stencil import (
+    StencilThermalBlock,
+    mass_apply,
+    mass_diag,
+    stencil_apply,
+)
+
+
+class InstationaryStencilFOM:
+    """Implicit-Euler heat equation over a :class:`StencilThermalBlock`.
+
+    State lives on the (N+1, N+1) node grid (Dirichlet ring zero); the
+    diffusion blocks parameterize A(mu) exactly like the stationary
+    stencil FOM; f = 1, u0 = 0 (matching ``instationary_thermal_block``).
+    """
+
+    def __init__(
+        self,
+        stencil: StencilThermalBlock,
+        T: float = 1.0,
+        nt: int = 50,
+        u0: Optional[jax.Array] = None,
+        parameter_range=(0.1, 1.0),
+    ):
+        self.stencil = stencil
+        self.T = float(T)
+        self.nt = int(nt)
+        self.dt = self.T / self.nt
+        self.h = stencil.h
+        shape = stencil.solution_shape
+        self.u0 = jnp.zeros(shape, stencil.dtype) if u0 is None else u0
+        bx, by = stencil.grid_shape
+        self.parameter_space = ParameterSpace.make(
+            {"diffusion": bx * by}, *parameter_range
+        )
+
+    @property
+    def solution_shape(self):
+        return self.stencil.solution_shape
+
+    @partial(jax.jit, static_argnames=(
+        "self", "tol", "maxiter", "precond", "store_every"))
+    def solve(self, mu, tol: float = 1e-7, maxiter: int = 200,
+              precond: str = "jacobi", store_every: int = 1) -> jax.Array:
+        """(N+1, N+1, n_stored) trajectory including u0.
+
+        ``store_every=s`` keeps every s-th step (memory control at big n:
+        a 2048^2 grid stores 16.8 MB per kept step). ``precond``:
+        'jacobi' (diagonal of M + dt A) or 'mg' (mass-shifted V-cycle,
+        mesh-independent; needs power-of-two element counts).
+        """
+        from rla4mor_tpu.core.solvers import cg
+
+        st = self.stencil
+        dt, h = self.dt, self.h
+        kappa = st.kappa(mu)
+        b = st.rhs()
+
+        def B(v):
+            return mass_apply(v, h) + dt * stencil_apply(v, kappa)
+
+        if precond == "mg":
+            from rla4mor_tpu.models.multigrid import make_vcycle
+
+            M_pre = make_vcycle(kappa, mass_dt=dt)
+        else:
+            dia = mass_diag(st.n_nodes, h, st.dtype) + dt * st.jacobi_diag(mu)
+            M_pre = lambda r: r / dia  # noqa: E731
+
+        assert self.nt % store_every == 0
+
+        def outer(u, _):
+            def step(u, _):
+                rhs = mass_apply(u, h) + dt * b
+                u_new = cg(B, rhs, x0=u, precond=M_pre, tol=tol,
+                           maxiter=maxiter).x
+                return u_new, None
+
+            u, _ = jax.lax.scan(step, u, None, length=store_every)
+            return u, u
+
+        _, stored = jax.lax.scan(
+            outer, self.u0, None, length=self.nt // store_every
+        )
+        return jnp.concatenate(
+            [self.u0[None], stored], axis=0
+        ).transpose(1, 2, 0)

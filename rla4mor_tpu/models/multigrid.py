@@ -105,13 +105,26 @@ def make_vcycle(
     nu_post: int = 2,
     omega: float = 0.8,
     nu_coarse: int = 40,
+    mass_dt: float | None = None,
 ):
-    """Build ``vcycle(b) -> approximate A^-1 b`` for A = stencil(kappa).
+    """Build ``vcycle(b) -> approximate B^-1 b``.
+
+    ``mass_dt=None``: B = A = stencil(kappa) (elliptic solves).
+    ``mass_dt=dt``:   B = M + dt A with M the consistent Q1 mass on each
+    level's own grid (rediscretized geometrically) — the implicit-Euler
+    system of the device-native parabolic FOM
+    (models/instationary_stencil.py).
 
     ``kappa``: (N, N) element coefficients, N a power of two. Levels coarsen
     down to 8x8 elements (or ``n_levels``). The returned closure is a fixed
     linear operation (static iteration counts) — a valid CG preconditioner.
     """
+    from rla4mor_tpu.models.stencil import (
+        _four_element_sum,
+        interior_mask,
+        mass_apply,
+    )
+
     N = kappa.shape[0]
     assert N & (N - 1) == 0, "multigrid needs power-of-two element counts"
     kappas: List[jax.Array] = [kappa]
@@ -119,12 +132,33 @@ def make_vcycle(
         n_levels is None or len(kappas) < n_levels
     ):
         kappas.append(coarsen_kappa(kappas[-1]))
-    diags = [_jacobi_diag(k, kappa.dtype) for k in kappas]
+    hs = [1.0 / k.shape[0] for k in kappas]
+    if mass_dt is None:
+        diags = [_jacobi_diag(k, kappa.dtype) for k in kappas]
+
+        def op(level, u):
+            return stencil_apply(u, kappas[level])
+
+    else:
+        dt = float(mass_dt)
+        diags = []
+        for k, h in zip(kappas, hs):
+            dA = (2.0 / 3.0) * _four_element_sum(k).astype(kappa.dtype)
+            dM = (16.0 * h * h / 36.0) * interior_mask(
+                k.shape[0] + 1, kappa.dtype
+            )
+            d = dM + dt * dA
+            diags.append(jnp.where(d > 0, d, 1.0))
+
+        def op(level, u):
+            return mass_apply(u, hs[level]) + dt * stencil_apply(
+                u, kappas[level]
+            )
 
     def smooth(level, u, b, steps):
-        kap, dia = kappas[level], diags[level]
+        dia = diags[level]
         for _ in range(steps):
-            r = b - stencil_apply(u, kap)
+            r = b - op(level, u)
             u = u + omega * r / dia
         return u
 
@@ -132,7 +166,7 @@ def make_vcycle(
         u = smooth(level, jnp.zeros_like(b), b, nu_pre)
         if level == len(kappas) - 1:
             return smooth(level, u, b, nu_coarse)
-        r = b - stencil_apply(u, kappas[level])
+        r = b - op(level, u)
         e_c = cycle(level + 1, restrict_full_weighting(r))
         u = u + prolong_bilinear(e_c, b.shape[0])
         return smooth(level, u, b, nu_post)

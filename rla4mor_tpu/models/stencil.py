@@ -54,6 +54,38 @@ def block_masks(num_intervals: int, grid_shape: Tuple[int, int],
     return jnp.asarray(masks, dtype=dtype)
 
 
+def mass_apply(u: jax.Array, h: float) -> jax.Array:
+    """Consistent Q1 mass-matrix apply on the uniform grid, gather form.
+
+    Element mass matrix (h^2/36) [[4,2,2,1],...] summed over the four
+    elements around each node gives the 9-point kernel
+    (h^2/36) [[1,4,1],[4,16,4],[1,4,1]] on interior nodes (every interior
+    node touches 4 elements); Dirichlet ring zeroed like
+    :func:`stencil_apply`. Validated against the scipy-assembled
+    ``ThermalBlockFOM.l2_product`` (tests).
+    """
+    mask = interior_mask(u.shape[0], u.dtype)
+    u = u * mask
+    M = u.shape[0]
+    up = jnp.pad(u, 1)
+    w = ((1.0, 4.0, 1.0), (4.0, 16.0, 4.0), (1.0, 4.0, 1.0))
+    out = sum(
+        w[dy][dx] * up[dy:dy + M, dx:dx + M]
+        for dy in range(3)
+        for dx in range(3)
+    )
+    return out * (h * h / 36.0) * mask
+
+
+def mass_diag(n_nodes: int, h: float, dtype=jnp.float32) -> jax.Array:
+    """Diagonal of the consistent Q1 mass matrix: 16 h^2/36 on every
+    interior node (all interior nodes touch 4 elements), 1 on the
+    Dirichlet ring (identity filler for Jacobi division)."""
+    mask = interior_mask(n_nodes, dtype)
+    d = (16.0 * h * h / 36.0) * mask
+    return jnp.where(d > 0, d, 1.0)
+
+
 def _four_element_sum(kappa_el: jax.Array) -> jax.Array:
     """Per-node sum of the four adjacent elements' coefficients, in
     gather form (shifted views of the padded grid; see stencil_apply)."""

@@ -162,3 +162,58 @@ def test_pod_greedy_padded_matches_plain(pfom):
     assert np.allclose(hist_a["max_estimates"], hist_b["max_estimates"],
                        rtol=1e-10)
     assert rom_b.dim == rom_a.dim  # final ROM handed back unpadded
+
+
+def test_mass_apply_matches_assembled():
+    """Gather-form consistent Q1 mass stencil == the scipy-assembled
+    l2 product (same interior-index mapping as the stiffness test)."""
+    from rla4mor_tpu.models import ThermalBlockFOM
+    from rla4mor_tpu.models.stencil import mass_apply, mass_diag
+
+    nx = 12
+    fom = ThermalBlockFOM((2, 2), nx)
+    rngl = np.random.RandomState(3)
+    u_int = rngl.normal(size=fom.solution_dim)
+    grid = np.zeros((nx + 1) * (nx + 1))
+    grid[fom.interior] = u_int
+    grid = jnp.asarray(grid.reshape(nx + 1, nx + 1))
+    want = fom.l2_product.op.S @ u_int
+    got = np.asarray(mass_apply(grid, 1.0 / nx)).reshape(-1)[fom.interior]
+    assert np.allclose(got, want, atol=1e-12)
+    d = np.asarray(mass_diag(nx + 1, 1.0 / nx, jnp.float64)).reshape(-1)
+    assert np.allclose(d[fom.interior], fom.l2_product.op.S.diagonal(),
+                       atol=1e-14)
+
+
+def test_instationary_stencil_matches_host_lu():
+    """Device-native implicit-Euler trajectory (CG per step inside one
+    scan) == the host-LU InstationaryFOM on the same mesh; the
+    mass-shifted MG preconditioner gives the same trajectory."""
+    from rla4mor_tpu.models import (
+        InstationaryStencilFOM, instationary_thermal_block,
+    )
+    from rla4mor_tpu.models.stencil import StencilThermalBlock
+
+    nx, nt = 16, 10
+    host = instationary_thermal_block((2, 2), nx, T=0.5, nt=nt)
+    st = StencilThermalBlock((2, 2), nx, dtype=jnp.float64)
+    dev = InstationaryStencilFOM(st, T=0.5, nt=nt)
+    mu = host.parameter_space.sample_randomly(1, key=4)[0]
+
+    traj_host = np.asarray(host.solve(mu))  # (n_int, nt+1)
+    traj_dev = np.asarray(dev.solve(mu, tol=1e-12, maxiter=500))
+    # map grid trajectory to interior indices
+    from rla4mor_tpu.models import ThermalBlockFOM
+
+    interior = ThermalBlockFOM((2, 2), nx).interior
+    flat = traj_dev.reshape(-1, traj_dev.shape[-1])[interior]
+    scale = np.abs(traj_host).max()
+    assert np.abs(flat - traj_host).max() < 1e-8 * scale
+
+    traj_mg = np.asarray(dev.solve(mu, tol=1e-12, maxiter=200, precond="mg"))
+    assert np.abs(traj_mg - traj_dev).max() < 1e-8 * scale
+
+    # store_every subsamples consistently
+    traj_s = np.asarray(dev.solve(mu, tol=1e-12, maxiter=500, store_every=5))
+    assert traj_s.shape[-1] == nt // 5 + 1
+    assert np.abs(traj_s[:, :, 1] - traj_dev[:, :, 5]).max() < 1e-10 * scale
