@@ -5,7 +5,7 @@ from rla4mor_tpu.models.stationary import (
 )
 from rla4mor_tpu.models.thermal_block import ThermalBlockFOM
 from rla4mor_tpu.models.advection_diffusion import AdvectionDiffusionFOM
-from rla4mor_tpu.models.instationary_stencil import InstationaryStencilFOM
+from rla4mor_tpu.models.instationary_stencil import InstationaryStencilFOM, MassStencilOp
 from rla4mor_tpu.models.instationary import (
     InstationaryFOM,
     InstationaryROM,
@@ -21,5 +21,5 @@ __all__ = [
     "ThermalBlockFOM",
     "AdvectionDiffusionFOM",
     "InstationaryFOM", "InstationaryROM", "InstationaryReductor",
-    "instationary_thermal_block", "pod_greedy", "InstationaryStencilFOM",
+    "instationary_thermal_block", "pod_greedy", "InstationaryStencilFOM", "MassStencilOp",
 ]

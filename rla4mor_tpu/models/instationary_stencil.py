@@ -116,3 +116,71 @@ class InstationaryStencilFOM:
         return jnp.concatenate(
             [self.u0[None], stored], axis=0
         ).transpose(1, 2, 0)
+
+    def solve_flat(self, mu, **kw) -> jax.Array:
+        """(n, n_stored) flat-column view of :meth:`solve`."""
+        traj = self.solve(mu, **kw)
+        return traj.reshape(-1, traj.shape[-1])
+
+    def as_reductor_fom(self, **solve_kw) -> "_FlatParabolicView":
+        """Drop-in FOM view for ``InstationaryReductor`` / ``pod_greedy``:
+        flat-vector trajectories + the affine stencil operator, rhs and
+        mass as LinOps — big-n POD-greedy runs entirely on device (the
+        host-LU path never sees the 4M-DoF system).  ``solve_kw`` (tol,
+        maxiter, precond, store_every) are baked into every greedy FOM
+        solve."""
+        return _FlatParabolicView(self, solve_kw)
+
+
+class MassStencilOp:
+    """LinOp view of the consistent Q1 mass matrix on flat vectors."""
+
+    def __init__(self, fom: InstationaryStencilFOM):
+        self.fom = fom
+        n = fom.stencil.n_nodes
+        self.source_dim = self.range_dim = n * n
+
+    def _one(self, u_flat):
+        grid = u_flat.reshape(self.fom.solution_shape)
+        return mass_apply(grid, self.fom.h).reshape(-1)
+
+    def apply(self, U, mu=None):
+        U = jnp.asarray(U)
+        if U.ndim == 1:
+            return self._one(U)
+        return jax.vmap(self._one, in_axes=1, out_axes=1)(U)
+
+    apply_adjoint = apply  # symmetric
+
+    @property
+    def H(self):
+        return self
+
+
+class _FlatParabolicView:
+    """The ``InstationaryFOM``-shaped interface of an
+    :class:`InstationaryStencilFOM` (flat columns, affine LinOps)."""
+
+    def __init__(self, fom: InstationaryStencilFOM, solve_kw):
+        from rla4mor_tpu.core.affine import AffineOp
+        from rla4mor_tpu.core.linops import DenseOp
+        from rla4mor_tpu.core.parameters import ONE
+
+        self._fom = fom
+        self._solve_kw = dict(solve_kw)
+        st = fom.stencil
+        self.operator = st.affine_operator()
+        self.rhs = AffineOp((DenseOp(st.rhs().reshape(-1, 1)),), (ONE,))
+        self.mass = MassStencilOp(fom)
+        self.solution_dim = st.n_nodes * st.n_nodes
+        self.u0 = fom.u0.reshape(-1)
+        self.T, self.nt, self.dt = fom.T, fom.nt, fom.dt
+        self.parameter_space = fom.parameter_space
+        self.products = {}
+        self.output_functional = None
+
+    def solve(self, mu) -> jax.Array:
+        return self._fom.solve_flat(mu, **self._solve_kw)
+
+    def solve_many(self, mus) -> jax.Array:
+        return jnp.stack([self.solve(mu) for mu in mus], axis=0)

@@ -217,3 +217,31 @@ def test_instationary_stencil_matches_host_lu():
     traj_s = np.asarray(dev.solve(mu, tol=1e-12, maxiter=500, store_every=5))
     assert traj_s.shape[-1] == nt // 5 + 1
     assert np.abs(traj_s[:, :, 1] - traj_dev[:, :, 5]).max() < 1e-10 * scale
+
+
+def test_pod_greedy_on_device_stencil_fom():
+    """Big-n path end-to-end: POD-greedy drives the device-native
+    parabolic stencil FOM through InstationaryReductor (estimates decay;
+    final ROM trajectory accurate against the device FOM truth)."""
+    from rla4mor_tpu.models import (
+        InstationaryReductor, InstationaryStencilFOM, pod_greedy,
+    )
+    from rla4mor_tpu.models.stencil import StencilThermalBlock
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    st = StencilThermalBlock((2, 2), 16, dtype=jnp.float64)
+    dev = InstationaryStencilFOM(st, T=0.5, nt=10)
+    view = dev.as_reductor_fom(tol=1e-11, maxiter=500)
+    theta = GaussianEmbedding.make(view.solution_dim, range_dim=80, seed=2)
+    red = InstationaryReductor(view, embedding=theta, log_level=30)
+    train = view.parameter_space.sample_randomly(8, key=7)
+    rom, hist = pod_greedy(view, red, train, max_extensions=5,
+                           pad_to=6, log_level=30)
+    est = hist["max_estimates"]
+    assert est[-1] < est[0]
+
+    mu_t = view.parameter_space.sample_randomly(1, key=9)[0]
+    rec = red.reconstruct(rom.solve(mu_t))
+    truth = np.asarray(view.solve(mu_t))
+    rel = np.linalg.norm(rec - truth) / np.linalg.norm(truth)
+    assert rel < 0.1
