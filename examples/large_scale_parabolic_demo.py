@@ -23,7 +23,9 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--grid", type=int, default=1023)
+    ap.add_argument("--grid", type=int, default=1024)
+    ap.add_argument("--precond", choices=["auto", "jacobi", "mg"],
+                    default="auto")
     ap.add_argument("--nt", type=int, default=50)
     ap.add_argument("--ext", type=int, default=5)
     ap.add_argument("--k", type=int, default=128)
@@ -40,7 +42,10 @@ def main():
     from rla4mor_tpu.models.stencil import StencilThermalBlock
     from rla4mor_tpu.ops import StreamedGaussianEmbedding
 
-    N = args.grid  # any element count (Jacobi-CG path; MG would need 2^k)
+    N = args.grid
+    precond = args.precond
+    if precond == "auto":  # MG needs power-of-two element counts
+        precond = "mg" if N & (N - 1) == 0 else "jacobi"
     st = StencilThermalBlock((2, 2), N, dtype=jnp.float32)
     dev = InstationaryStencilFOM(st, T=1.0, nt=args.nt)
     n = st.n_nodes ** 2
@@ -48,7 +53,13 @@ def main():
           f"nt = {args.nt}, sketch k = {args.k}")
 
     store_every = max(1, args.nt // 10)
-    view = dev.as_reductor_fom(tol=1e-6, maxiter=400,
+    # snapshot quality gates the whole greedy: at big n plain Jacobi-CG
+    # needs O(sqrt(kappa)) ~ hundreds of iterations for the FIRST step
+    # (later steps warm-start); the mass-shifted V-cycle is
+    # mesh-independent
+    maxiter = 60 if precond == "mg" else 1500
+    print(f"FOM solver: {precond}-CG, maxiter {maxiter}")
+    view = dev.as_reductor_fom(tol=1e-6, maxiter=maxiter, precond=precond,
                                store_every=store_every)
     theta = StreamedGaussianEmbedding.make(n, range_dim=args.k, seed=0)
     red = InstationaryReductor(view, embedding=theta, log_level=20)

@@ -75,15 +75,27 @@ class Embedding(LinOp):
         return U if self.sqrt_product is None else self.sqrt_product.apply(U)
 
     def apply_random(self, X):
-        """l2 -> l2 sketch: Omega @ X, X (l2_dim, b). Subclasses override."""
-        return self.random_matrix_cached() @ jnp.asarray(X)
+        """l2 -> l2 sketch: Omega @ X, X (l2_dim, b). Subclasses override.
+
+        HIGHEST precision like the SRHT path (CLAUDE.md convention): the
+        default TPU matmul truncates f32 inputs to bf16 (~2e-3), which
+        puts a visible floor under sketched residual estimators; these
+        sketches are offline, so the 3-pass cost is irrelevant.
+        """
+        return jnp.matmul(
+            self.random_matrix_cached(), jnp.asarray(X),
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def apply(self, U, mu=None):
         return self.apply_random(self._apply_q(jnp.asarray(U)))
 
     def apply_adjoint(self, V, mu=None):
         """Theta^H V = Q^H (Omega^H V)."""
-        W = self.random_matrix_cached().conj().T @ jnp.asarray(V)
+        W = jnp.matmul(
+            self.random_matrix_cached().conj().T, jnp.asarray(V),
+            precision=jax.lax.Precision.HIGHEST,
+        )
         if self.sqrt_product is None:
             return W
         return self.sqrt_product.apply_adjoint(W)
@@ -352,7 +364,11 @@ class BlockGaussianEmbedding(Embedding):
 
     def apply_random(self, X):
         X = jnp.asarray(X)
-        parts = [self.random_block(b) @ X for b in range(self.n_blocks)]
+        parts = [
+            jnp.matmul(self.random_block(b), X,
+                       precision=jax.lax.Precision.HIGHEST)
+            for b in range(self.n_blocks)
+        ]
         return jnp.concatenate(parts, axis=0)
 
     def random_matrix(self):
@@ -411,7 +427,9 @@ class StreamedGaussianEmbedding(Embedding):
             strip = gaussian_cols_unscaled(key, k, b * W, W, dtype,
                                            aligned=True)
             xb = jax.lax.dynamic_slice(Xm, (b * W, 0), (W, m))
-            return acc + strip @ xb, None
+            return acc + jnp.matmul(
+                strip, xb, precision=jax.lax.Precision.HIGHEST
+            ), None
 
         acc0 = jnp.zeros((k, m), dtype)
         acc, _ = jax.lax.scan(step, acc0, jnp.arange(n_pad // W))

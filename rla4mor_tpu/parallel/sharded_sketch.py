@@ -52,7 +52,10 @@ def gaussian_sketch_blocked(key, k: int, x: jax.Array, n_blocks: int) -> jax.Arr
     out = jnp.zeros((k,) + x.shape[1:], dtype=x.dtype)
     for b in range(n_blocks):
         Ob = gaussian_block(key, k, bs, b, x.dtype)
-        out = out + Ob @ x[b * bs : (b + 1) * bs]
+        out = out + jnp.matmul(
+            Ob, x[b * bs : (b + 1) * bs],
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return out
 
 
@@ -67,7 +70,10 @@ def gaussian_sketch_sharded(key, k: int, x: jax.Array, mesh: Mesh,
     def local(x_local):
         b = lax.axis_index(axis)
         Ob = gaussian_block(key, k, x_local.shape[0], b, x_local.dtype)
-        return lax.psum(Ob @ x_local, axis_name=axis)
+        return lax.psum(
+            jnp.matmul(Ob, x_local, precision=jax.lax.Precision.HIGHEST),
+            axis_name=axis,
+        )
 
     in_spec = P(axis) if x.ndim == 1 else P(axis, None)
     return jax.shard_map(
