@@ -226,6 +226,9 @@ def test_bounded_lstsq(rng):
                       iters=500)
     )
     assert np.linalg.norm(G @ x - g) <= np.linalg.norm(ref.fun) * (1 + 1e-6) + 1e-9
+    # the CONSTRAINT must hold (an unconstrained solution also beats the
+    # reference residual, so the residual check alone is vacuous)
+    assert (x >= lb - 1e-9).all() and (x <= ub + 1e-9).all()
 
 
 def test_parameter_space(rng):

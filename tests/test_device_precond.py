@@ -124,7 +124,6 @@ def test_device_preconditioned_reductor_matches_host():
         log_level=40,
     )
     for mu in mus_p:
-        A = fom_d.assemble_rhs  # noqa: avoid shadow
         theta = np.asarray(mu["diffusion"])
         Amat = sum(float(theta[b]) * terms[b] for b in range(4))
         diag = jnp.diag(Amat)

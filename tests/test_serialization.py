@@ -154,7 +154,7 @@ def test_padded_reductor_roundtrip(tmp_path, thermal_fom):
         load_padded_reductor_state(make(seed=5), path)
 
 
-def test_plain_loader_refuses_wrong_seed_and_fingerprint(thermal_fom):
+def test_plain_loader_refuses_wrong_seed_and_fingerprint(thermal_fom, tmp_path):
     """Review round-2: the PLAIN loader must guard seeds (it stored them
     but never checked); and structurally-different same-seed embeddings
     (fingerprint) must refuse too."""
@@ -177,7 +177,7 @@ def test_plain_loader_refuses_wrong_seed_and_fingerprint(thermal_fom):
     red = make()
     mu = fom.parameter_space.sample_randomly(1, key=0)[0]
     red.extend_basis(fom.solve(mu), mu=mu)
-    path = "/tmp/plain_guard.npz"
+    path = tmp_path / "plain_guard.npz"
     save_reductor(red, path)
 
     with pytest.raises(ValueError, match="seed_primal"):

@@ -422,9 +422,11 @@ def test_greedy_strong(thermal_fom):
     red2, _ = _setup(fom, GaussianEmbedding, k=200, orthonormalize=True)
     result2 = rb_greedy_strong(fom, red2, training, max_extensions=6,
                                log_level=30)
-    assert [m.values for m in result2.selected_mus] == [
-        m.values for m in result.selected_mus
-    ] or np.allclose(result2.max_estimates, result.max_estimates)
+    assert [tuple(np.asarray(m["diffusion"])) for m in
+            result2.selected_mus] == [
+        tuple(np.asarray(m["diffusion"])) for m in result.selected_mus
+    ]
+    assert np.allclose(result2.max_estimates, result.max_estimates)
 
 
 def test_reduce_adaptive_refreshes_online_sketch(thermal_fom):
