@@ -70,15 +70,21 @@ class InstationaryStencilFOM:
         return self.stencil.solution_shape
 
     @partial(jax.jit, static_argnames=(
-        "self", "tol", "maxiter", "precond", "store_every"))
+        "self", "tol", "maxiter", "precond", "store_every", "mesh", "axis"))
     def solve(self, mu, tol: float = 1e-7, maxiter: int = 200,
-              precond: str = "jacobi", store_every: int = 1) -> jax.Array:
+              precond: str = "jacobi", store_every: int = 1,
+              mesh=None, axis: str = "dof") -> jax.Array:
         """(N+1, N+1, n_stored) trajectory including u0.
 
         ``store_every=s`` keeps every s-th step (memory control at big n:
         a 2048^2 grid stores 16.8 MB per kept step). ``precond``:
         'jacobi' (diagonal of M + dt A) or 'mg' (mass-shifted V-cycle,
         mesh-independent; needs power-of-two element counts).
+
+        ``mesh``: a `jax.sharding.Mesh` with a DoF axis — the state rows
+        are sharded over it and GSPMD inserts the halo exchanges for the
+        stencil/mass gathers (node rows must divide the axis size);
+        identical values to the unsharded run (tested on the CPU mesh).
         """
         from rla4mor_tpu.core.solvers import cg
 
@@ -100,12 +106,23 @@ class InstationaryStencilFOM:
 
         assert self.nt % store_every == 0
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P(axis, None))
+
+            def constrain(u):
+                return jax.lax.with_sharding_constraint(u, sharding)
+        else:
+            def constrain(u):
+                return u
+
         def outer(u, _):
             def step(u, _):
                 rhs = mass_apply(u, h) + dt * b
                 u_new = cg(B, rhs, x0=u, precond=M_pre, tol=tol,
                            maxiter=maxiter).x
-                return u_new, None
+                return constrain(u_new), None
 
             u, _ = jax.lax.scan(step, u, None, length=store_every)
             return u, u

@@ -438,3 +438,19 @@ def test_sharded_gaussian_adjoint_blockwise(mesh, rng):
     # frozen-dataclass zoo convention: with_seed is a pure replace
     emb2 = emb.with_seed(7)
     assert emb2.seed == 7 and emb2.mesh is emb.mesh
+
+
+def test_instationary_stencil_sharded_matches_unsharded(mesh):
+    """The device parabolic time loop runs with DoF-sharded state (GSPMD
+    halo exchanges for the stencil/mass gathers): same trajectory as the
+    unsharded run."""
+    from rla4mor_tpu.models import InstationaryStencilFOM
+    from rla4mor_tpu.models.stencil import StencilThermalBlock
+
+    st = StencilThermalBlock((2, 2), 31, dtype=jnp.float64)  # 32 node rows
+    fom = InstationaryStencilFOM(st, T=0.5, nt=6)
+    mu = fom.parameter_space.sample_randomly(1, key=2)[0]
+    ref = np.asarray(fom.solve(mu, tol=1e-12, maxiter=400))
+    with mesh:
+        got = np.asarray(fom.solve(mu, tol=1e-12, maxiter=400, mesh=mesh))
+    assert np.abs(got - ref).max() < 1e-9 * max(1.0, np.abs(ref).max())
