@@ -168,3 +168,17 @@ def test_srht_embedding_dispatches_onepass():
         got = np.asarray(emb.apply(x))
         want = np.asarray(srht(x.T, 64, emb.key).T)
         assert np.allclose(got, want, rtol=1e-9, atol=1e-9), m
+
+
+def test_flat_cols_dispatch_complex(rng):
+    """Complex snapshots through SrhtEmbedding's wide-input fast path
+    (srht_onepass_flat_cols) equal the canonical srht exactly."""
+    from rla4mor_tpu.ops import SrhtEmbedding
+    from rla4mor_tpu.ops.fwht import srht
+
+    n, m, k = 4096, 160, 64  # n pow2, m >= 128 -> flat-cols dispatch
+    X = jnp.asarray(rng.normal(size=(n, m)) + 1j * rng.normal(size=(n, m)))
+    emb = SrhtEmbedding(k, n, seed=3)
+    got = np.asarray(emb.apply_random(X))
+    ref = np.asarray(srht(X.T, k, emb.key).T)
+    assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max()
