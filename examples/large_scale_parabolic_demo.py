@@ -53,6 +53,8 @@ def main():
           f"nt = {args.nt}, sketch k = {args.k}")
 
     store_every = max(1, args.nt // 10)
+    while args.nt % store_every:  # must divide nt
+        store_every -= 1
     # snapshot quality gates the whole greedy: at big n plain Jacobi-CG
     # needs O(sqrt(kappa)) ~ hundreds of iterations for the FIRST step
     # (later steps warm-start); the mass-shifted V-cycle is

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from rla4mor_tpu.core.parameters import ParameterSpace
 from rla4mor_tpu.models.stencil import (
+    FlatGridOp,
     StencilThermalBlock,
     mass_apply,
     mass_diag,
@@ -104,7 +105,10 @@ class InstationaryStencilFOM:
             dia = mass_diag(st.n_nodes, h, st.dtype) + dt * st.jacobi_diag(mu)
             M_pre = lambda r: r / dia  # noqa: E731
 
-        assert self.nt % store_every == 0
+        if self.nt % store_every != 0:
+            raise ValueError(
+                f"store_every={store_every} must divide nt={self.nt}"
+            )
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -149,25 +153,15 @@ class InstationaryStencilFOM:
         return _FlatParabolicView(self, solve_kw)
 
 
-class MassStencilOp:
+class MassStencilOp(FlatGridOp):
     """LinOp view of the consistent Q1 mass matrix on flat vectors."""
 
     def __init__(self, fom: InstationaryStencilFOM):
+        super().__init__(fom.stencil.n_nodes)
         self.fom = fom
-        n = fom.stencil.n_nodes
-        self.source_dim = self.range_dim = n * n
 
-    def _one(self, u_flat):
-        grid = u_flat.reshape(self.fom.solution_shape)
-        return mass_apply(grid, self.fom.h).reshape(-1)
-
-    def apply(self, U, mu=None):
-        U = jnp.asarray(U)
-        if U.ndim == 1:
-            return self._one(U)
-        return jax.vmap(self._one, in_axes=1, out_axes=1)(U)
-
-    apply_adjoint = apply  # symmetric
+    def _grid_apply(self, grid):
+        return mass_apply(grid, self.fom.h)
 
     @property
     def H(self):

@@ -92,9 +92,9 @@ def prolong_bilinear(e: jax.Array, n_fine: int) -> jax.Array:
 
 
 def _jacobi_diag(kappa: jax.Array, dtype) -> jax.Array:
-    from rla4mor_tpu.models.stencil import _four_element_sum
+    from rla4mor_tpu.models.stencil import stiffness_diag_raw
 
-    d = (2.0 / 3.0) * _four_element_sum(kappa).astype(dtype)
+    d = stiffness_diag_raw(kappa).astype(dtype)
     return jnp.where(d > 0, d, 1.0)
 
 
@@ -120,9 +120,9 @@ def make_vcycle(
     linear operation (static iteration counts) — a valid CG preconditioner.
     """
     from rla4mor_tpu.models.stencil import (
-        _four_element_sum,
         interior_mask,
         mass_apply,
+        stiffness_diag_raw,
     )
 
     N = kappa.shape[0]
@@ -143,7 +143,7 @@ def make_vcycle(
         dt = float(mass_dt)
         diags = []
         for k, h in zip(kappas, hs):
-            dA = (2.0 / 3.0) * _four_element_sum(k).astype(kappa.dtype)
+            dA = stiffness_diag_raw(k).astype(kappa.dtype)
             dM = (16.0 * h * h / 36.0) * interior_mask(
                 k.shape[0] + 1, kappa.dtype
             )

@@ -93,6 +93,14 @@ def _four_element_sum(kappa_el: jax.Array) -> jax.Array:
     return kp[1:, 1:] + kp[1:, :-1] + kp[:-1, 1:] + kp[:-1, :-1]
 
 
+def stiffness_diag_raw(kappa_el: jax.Array) -> jax.Array:
+    """Raw diagonal of A(kappa): K[a,a] = 2/3 times the four adjacent
+    elements' coefficient sum (zero on the Dirichlet ring). The single
+    home of the Q1 diagonal formula (used by the Jacobi preconditioners
+    here and in models/multigrid.py)."""
+    return (2.0 / 3.0) * _four_element_sum(kappa_el)
+
+
 def stencil_apply(u: jax.Array, kappa_el: jax.Array) -> jax.Array:
     """A(kappa) u for the Q1 Laplacian with per-element coefficient.
 
@@ -174,8 +182,7 @@ class StencilThermalBlock:
     def jacobi_diag(self, mu) -> jax.Array:
         """Diagonal of A(mu) for Jacobi preconditioning: node n gets
         sum_{adjacent elements} kappa_e * K[a,a] with K[a,a] = 2/3."""
-        kap = self.kappa(mu)
-        d = (2.0 / 3.0) * _four_element_sum(kap)
+        d = stiffness_diag_raw(self.kappa(mu))
         return jnp.where(d > 0, d, 1.0)
 
     def solve_cg(self, mu, tol=1e-8, maxiter=2000, precond="jacobi"):
@@ -222,23 +229,21 @@ class StencilThermalBlock:
         )
 
 
-class StencilTermOp:
-    """LinOp view of one stencil term (or the kappa=1 product) acting on
-    flattened (n_nodes^2,) vectors — symmetric, jittable, shardable."""
+class FlatGridOp:
+    """Base: a symmetric grid operator viewed as a LinOp on flattened
+    (n_nodes^2,) vectors — jittable, shardable. Subclasses implement
+    ``_grid_apply(grid) -> grid``."""
 
-    def __init__(self, st: StencilThermalBlock, term):
-        self.st = st
-        self.term = term
-        self.source_dim = self.range_dim = st.n_nodes * st.n_nodes
+    def __init__(self, n_nodes: int):
+        self.n_nodes = n_nodes
+        self.source_dim = self.range_dim = n_nodes * n_nodes
 
-    def _kappa(self):
-        if self.term is None:
-            return jnp.ones_like(self.st.masks[0])
-        return self.st.masks[self.term]
+    def _grid_apply(self, grid):
+        raise NotImplementedError
 
     def _apply_one(self, u_flat):
-        grid = u_flat.reshape(self.st.solution_shape)
-        return stencil_apply(grid, self._kappa()).reshape(-1)
+        n = self.n_nodes
+        return self._grid_apply(u_flat.reshape(n, n)).reshape(-1)
 
     def apply(self, U, mu=None):
         U = jnp.asarray(U)
@@ -248,6 +253,23 @@ class StencilTermOp:
 
     # symmetric
     apply_adjoint = apply
+
+
+class StencilTermOp(FlatGridOp):
+    """LinOp view of one stencil term (or the kappa=1 product)."""
+
+    def __init__(self, st: StencilThermalBlock, term):
+        super().__init__(st.n_nodes)
+        self.st = st
+        self.term = term
+
+    def _kappa(self):
+        if self.term is None:
+            return jnp.ones_like(self.st.masks[0])
+        return self.st.masks[self.term]
+
+    def _grid_apply(self, grid):
+        return stencil_apply(grid, self._kappa())
 
     @property
     def H(self):
