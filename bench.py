@@ -43,6 +43,24 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def tunnel_probe():
+    """Tiny-op round-trip latency. The axon tunnel has outage-like
+    episodes (a trivial first op measured at 360 s once); log the probe
+    so a bench record taken during one is recognizable as such."""
+    t0 = time.perf_counter()
+    _ = np.asarray(jnp.sum(jnp.ones((8, 8))))
+    warm = []
+    for _i in range(3):
+        t1 = time.perf_counter()
+        _ = np.asarray(jnp.sum(jnp.ones((8, 8))))
+        warm.append(time.perf_counter() - t1)
+    first, med = time.perf_counter() - t0, float(np.median(warm))
+    log(f"tunnel probe: first tiny op {first:.2f}s, warm {med * 1e3:.0f} ms")
+    if med > 0.5:
+        log("WARNING: tunnel appears degraded — wall-clock numbers from "
+            "this run are not comparable across sessions")
+
+
 def _timed(fn, x, iters):
     """Median seconds per call, synced via a host transfer of the (tiny)
     result (block_until_ready does not synchronize on this platform)."""
@@ -171,6 +189,7 @@ def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
 def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
+    tunnel_probe()
     if backend in ("tpu", "axon"):
         name, gbps, vs = bench_srht()
     else:
