@@ -32,6 +32,13 @@ def main():
     from rla4mor_tpu.ops import GaussianEmbedding
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr, flush=True)
+    import time as _t
+
+    t0 = _t.perf_counter()
+    np.asarray(jax.numpy.sum(jax.numpy.ones((8, 8))))
+    print(f"tunnel probe: first tiny op {_t.perf_counter() - t0:.2f}s "
+          "(if > ~1 s the tunnel is degraded and these wall-clocks are "
+          "not comparable across sessions)", file=sys.stderr, flush=True)
     fom = ThermalBlockFOM((2, 2), 48)
     n = fom.solution_dim
     Ru = fom.h1_0_product
