@@ -78,3 +78,20 @@ def test_srht_linear_and_matrix_consistent(n, k, seed):
     R = np.asarray(srht_rows(key, n, k))
     assert np.allclose(np.asarray(srht(jnp.asarray(x), k, key)), x @ R.T,
                        atol=1e-10)
+
+
+@settings(**common)
+@given(st.integers(0, 9000), st.integers(1, 9000), st.integers(0, 10_000))
+def test_gaussian_cols_any_offset_is_canonical_slice(c0, width, seed):
+    """ANY (c0, width) strip — aligned, sub-tile, tile-crossing — is a
+    literal slice of the canonical Gaussian (covering-tile general path;
+    fuzzes the round-2 alignment fix)."""
+    from rla4mor_tpu.ops.seeding import gaussian_cols_unscaled, gaussian_rows
+
+    key = jax.random.key(seed)
+    k = 16
+    full = np.asarray(gaussian_rows(key, c0 + width, 0, k, jnp.float64))
+    strip = np.asarray(
+        gaussian_cols_unscaled(key, k, c0, width, jnp.float64)
+    )
+    assert np.array_equal(strip, full[:, c0:c0 + width])
