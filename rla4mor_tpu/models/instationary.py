@@ -35,7 +35,13 @@ from rla4mor_tpu.utils.logger import get_logger
 
 
 class InstationaryFOM:
-    """Implicit-Euler parabolic FOM with affine A(mu), b(mu) and fixed M."""
+    """Theta-scheme parabolic FOM with affine A(mu), b(mu) and fixed M.
+
+    ``time_theta=1`` (default) is implicit Euler; ``0.5`` is
+    Crank-Nicolson (second order in time, tested); any theta in (0, 1]
+    is accepted (explicit Euler theta=0 is excluded: the scheme would
+    need a mass solve and a CFL bound instead).
+    """
 
     def __init__(
         self,
@@ -48,8 +54,11 @@ class InstationaryFOM:
         output_functional=None,
         products=None,
         parameter_space: Optional[ParameterSpace] = None,
+        time_theta: float = 1.0,
         name: str = "instationary_fom",
     ):
+        assert 0.0 < time_theta <= 1.0, time_theta
+        self.time_theta = float(time_theta)
         self.operator = operator
         self.rhs = rhs
         self.mass = mass
@@ -79,16 +88,19 @@ class InstationaryFOM:
         return np.asarray(self.rhs.assemble_dense(mu))[:, 0]
 
     def solve(self, mu: Mu) -> jax.Array:
-        """(n, nt+1) trajectory, implicit Euler: (M + dt A) u_k = M u_{k-1}
-        + dt b; ONE factorization per mu."""
+        """(n, nt+1) trajectory, theta scheme:
+        (M + theta dt A) u_{k+1} = (M - (1-theta) dt A) u_k + dt b;
+        ONE factorization per mu."""
         A = self._assemble_A(mu)
         M = sps.csc_matrix(self.mass.S)
+        th = self.time_theta
         b = self.assemble_rhs(mu).astype(np.float64)
-        lu = spla.splu(sps.csc_matrix(M + self.dt * A))
+        lu = spla.splu(sps.csc_matrix(M + th * self.dt * A))
+        C = sps.csc_matrix(M - (1.0 - th) * self.dt * A)
         u = np.asarray(self.u0, np.float64)
         out = [u]
         for _ in range(self.nt):
-            u = lu.solve(np.asarray(M @ u) + self.dt * b)
+            u = lu.solve(np.asarray(C @ u) + self.dt * b)
             out.append(u)
         return jnp.asarray(np.stack(out, axis=1))
 
@@ -104,7 +116,9 @@ class InstationaryROM:
                  u0_r, dt: float, nt: int,
                  est_mass=None, est_lhs: Optional[AffineDense] = None,
                  est_rhs: Optional[AffineDense] = None,
-                 output_functional: Optional[AffineDense] = None):
+                 output_functional: Optional[AffineDense] = None,
+                 time_theta: float = 1.0):
+        self.time_theta = float(time_theta)
         self.mass_r = mass_r          # (r, r)
         self.lhs = lhs                # (T, r, r)
         self.rhs_r = rhs_r            # (Tb, r, 1)
@@ -119,14 +133,14 @@ class InstationaryROM:
     def tree_flatten(self):
         return (self.mass_r, self.lhs, self.rhs_r, self.u0_r, self.est_mass,
                 self.est_lhs, self.est_rhs, self.output_functional), (
-            self.dt, self.nt)
+            self.dt, self.nt, self.time_theta)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         obj = object.__new__(cls)
         (obj.mass_r, obj.lhs, obj.rhs_r, obj.u0_r, obj.est_mass, obj.est_lhs,
          obj.est_rhs, obj.output_functional) = ch
-        obj.dt, obj.nt = aux
+        obj.dt, obj.nt, obj.time_theta = aux
         return obj
 
     @property
@@ -142,7 +156,9 @@ class InstationaryROM:
         """(r, nt+1) trajectory; optionally the cumulative residual-norm
         estimate eta = sqrt(dt * sum_k ||sketched r_k||^2)."""
         A, b = self._assembled(mu)
-        S = self.mass_r + self.dt * A
+        th = self.time_theta
+        S = self.mass_r + th * self.dt * A
+        C = self.mass_r - (1.0 - th) * self.dt * A
         estimating = return_estimate and self.est_lhs is not None
         if estimating:
             sA = self.est_lhs.assemble(mu)
@@ -154,11 +170,10 @@ class InstationaryROM:
 
         def step(carry, _):
             u, acc = carry
-            u_new = jax.scipy.linalg.lu_solve(
-                S_lu, self.mass_r @ u + self.dt * b
-            )
+            u_new = jax.scipy.linalg.lu_solve(S_lu, C @ u + self.dt * b)
             if estimating:
-                r = (self.est_mass @ (u_new - u)) / self.dt + sA @ u_new - sb
+                u_th = th * u_new + (1.0 - th) * u
+                r = (self.est_mass @ (u_new - u)) / self.dt + sA @ u_th - sb
                 acc = acc + jnp.sum(jnp.abs(r) ** 2)
             return (u_new, acc), u_new
 
@@ -326,6 +341,7 @@ class InstationaryReductor:
             mass_r, lhs, rhs_r, u0_r, fom.dt, fom.nt,
             est_mass=est_mass, est_lhs=est_lhs, est_rhs=est_rhs,
             output_functional=out,
+            time_theta=getattr(fom, "time_theta", 1.0),
         )
 
     def reconstruct(self, traj_r) -> jax.Array:
@@ -424,6 +440,7 @@ def instationary_thermal_block(
     T: float = 1.0,
     nt: int = 50,
     parameter_range=(0.1, 1.0),
+    time_theta: float = 1.0,
 ) -> InstationaryFOM:
     """Parabolic thermal block: L2 mass + the stationary affine stiffness
     (heat equation with block-wise diffusion, f = 1, u0 = 0)."""
@@ -439,6 +456,7 @@ def instationary_thermal_block(
         output_functional=st.output_functional,
         products=st.products,
         parameter_space=st.parameter_space,
+        time_theta=time_theta,
         name=st.name + "_parabolic",
     )
     return fom

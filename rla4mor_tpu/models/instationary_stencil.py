@@ -53,7 +53,10 @@ class InstationaryStencilFOM:
         nt: int = 50,
         u0: Optional[jax.Array] = None,
         parameter_range=(0.1, 1.0),
+        time_theta: float = 1.0,
     ):
+        assert 0.0 < time_theta <= 1.0, time_theta
+        self.time_theta = float(time_theta)
         self.stencil = stencil
         self.T = float(T)
         self.nt = int(nt)
@@ -90,19 +93,20 @@ class InstationaryStencilFOM:
         from rla4mor_tpu.core.solvers import cg
 
         st = self.stencil
-        dt, h = self.dt, self.h
+        dt, h, th = self.dt, self.h, self.time_theta
         kappa = st.kappa(mu)
         b = st.rhs()
 
-        def B(v):
-            return mass_apply(v, h) + dt * stencil_apply(v, kappa)
+        def B(v):  # implicit side: M + theta dt A
+            return mass_apply(v, h) + th * dt * stencil_apply(v, kappa)
 
         if precond == "mg":
             from rla4mor_tpu.models.multigrid import make_vcycle
 
-            M_pre = make_vcycle(kappa, mass_dt=dt)
+            M_pre = make_vcycle(kappa, mass_dt=th * dt)
         else:
-            dia = mass_diag(st.n_nodes, h, st.dtype) + dt * st.jacobi_diag(mu)
+            dia = mass_diag(st.n_nodes, h, st.dtype) \
+                + th * dt * st.jacobi_diag(mu)
             M_pre = lambda r: r / dia  # noqa: E731
 
         if self.nt % store_every != 0:
@@ -123,7 +127,9 @@ class InstationaryStencilFOM:
 
         def outer(u, _):
             def step(u, _):
-                rhs = mass_apply(u, h) + dt * b
+                rhs = mass_apply(u, h) + dt * b  # explicit side:
+                if th < 1.0:                     # (M - (1-th) dt A) u
+                    rhs = rhs - (1.0 - th) * dt * stencil_apply(u, kappa)
                 u_new = cg(B, rhs, x0=u, precond=M_pre, tol=tol,
                            maxiter=maxiter).x
                 return constrain(u_new), None
@@ -186,6 +192,7 @@ class _FlatParabolicView:
         self.solution_dim = st.n_nodes * st.n_nodes
         self.u0 = fom.u0.reshape(-1)
         self.T, self.nt, self.dt = fom.T, fom.nt, fom.dt
+        self.time_theta = fom.time_theta
         self.parameter_space = fom.parameter_space
         self.products = {}
         self.output_functional = None
