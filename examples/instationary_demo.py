@@ -26,6 +26,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--theta", type=float, default=1.0,
+                    help="time scheme: 1 = implicit Euler, 0.5 = CN")
     ap.add_argument("--grid", type=int, default=16)
     ap.add_argument("--nt", type=int, default=30)
     ap.add_argument("--extensions", type=int, default=8)
@@ -45,7 +47,7 @@ def main():
     )
     from rla4mor_tpu.ops import GaussianEmbedding
 
-    pfom = instationary_thermal_block((2, 2), args.grid, T=0.5, nt=args.nt)
+    pfom = instationary_thermal_block((2, 2), args.grid, T=0.5, nt=args.nt, time_theta=args.theta)
     Ru = pfom.products["h1_0"]
     print(f"FOM: n = {pfom.solution_dim}, nt = {pfom.nt}, dt = {pfom.dt:.3g}")
 
