@@ -10,6 +10,11 @@ from rla4mor_tpu.mor.padded_reductor import (
     PaddedSketchedReductor,
     rb_greedy_no_retrace,
 )
+from rla4mor_tpu.mor.primal_dual import (
+    CorrectedOutputROM,
+    PrimalDualReductor,
+    dual_fom,
+)
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
     load_reductor_state,
@@ -24,6 +29,7 @@ __all__ = [
     "rb_greedy_strong",
     "GreedyResult",
     "PaddedSketchedReductor", "rb_greedy_no_retrace",
+    "PrimalDualReductor", "CorrectedOutputROM", "dual_fom",
     "save_reductor", "load_reductor_state",
     "save_instationary_reductor", "load_instationary_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",
