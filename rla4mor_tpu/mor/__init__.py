@@ -14,6 +14,7 @@ from rla4mor_tpu.mor.primal_dual import (
     CorrectedOutputROM,
     PrimalDualReductor,
     dual_fom,
+    output_greedy,
 )
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
@@ -29,7 +30,7 @@ __all__ = [
     "rb_greedy_strong",
     "GreedyResult",
     "PaddedSketchedReductor", "rb_greedy_no_retrace",
-    "PrimalDualReductor", "CorrectedOutputROM", "dual_fom",
+    "PrimalDualReductor", "CorrectedOutputROM", "dual_fom", "output_greedy",
     "save_reductor", "load_reductor_state",
     "save_instationary_reductor", "load_instationary_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",

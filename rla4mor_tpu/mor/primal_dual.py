@@ -171,3 +171,56 @@ class PrimalDualReductor:
         rhs_z = project(self.fom.rhs, Z, None)
         op_zv = project(self.fom.operator, Z, V)
         return CorrectedOutputROM(rom_pr, rom_du, rhs_z, op_zv)
+
+
+@jax.jit
+def _output_indicator_sweep(rom: CorrectedOutputROM, mus_batched: Mu):
+    """Vmapped eta_s over a parameter batch (module-level jit: cached by
+    the ROM pytree's shapes, so only basis growth retraces)."""
+    return jax.vmap(lambda m: rom.output_corrected(m)[1])(mus_batched)
+
+
+def output_greedy(
+    fom: StationaryFOM,
+    reductor: PrimalDualReductor,
+    training_set,
+    max_extensions: int = 10,
+    atol: float = 0.0,
+    rtol: float = 0.0,
+    online_seed: int = 0,
+    log_level: int = 20,
+):
+    """Goal-oriented greedy: extend primal AND dual bases at the worst
+    OUTPUT-indicator parameter (eta_s = eta_pr * eta_du), the standard
+    primal-dual recipe. Returns (rom, history)."""
+    from rla4mor_tpu.core.parameters import mu_stack
+
+    import numpy as np
+
+    logger = get_logger("mor.output_greedy", log_level)
+    history = {"selected_mus": [], "max_indicators": []}
+    mus_batched = mu_stack(list(training_set))
+
+    mu0 = training_set[0]
+    reductor.extend(mu0)
+    history["selected_mus"].append(mu0)
+
+    first_max = None
+    rom = reductor.reduce(seed=online_seed)
+    for it in range(1, max_extensions):
+        etas = np.asarray(_output_indicator_sweep(rom, mus_batched))
+        imax = int(np.argmax(etas))
+        emax = float(etas[imax])
+        history["max_indicators"].append(emax)
+        if first_max is None:
+            first_max = emax
+        logger.info("output-greedy it=%d basis=%d max_eta_s=%.3e", it,
+                    reductor.primal.basis_size, emax)
+        if emax <= atol or (rtol and emax <= rtol * first_max):
+            break
+        mu = training_set[imax]
+        reductor.extend(mu)
+        history["selected_mus"].append(mu)
+        rom = reductor.reduce(seed=online_seed + it)
+
+    return rom, history

@@ -96,3 +96,32 @@ def test_corrected_output_jits_and_vmaps():
     s0, eta0 = rom.output_corrected(mus_t[0])
     assert np.isclose(float(s_b[0]), float(np.asarray(s0)), rtol=1e-10)
     assert np.isclose(float(eta_b[0]), float(np.asarray(eta0)), rtol=1e-10)
+
+
+def test_output_greedy():
+    """Goal-oriented greedy: indicator decays; the final corrected output
+    is accurate on held-out parameters."""
+    from rla4mor_tpu.mor import output_greedy
+
+    fom = AdvectionDiffusionFOM(num_intervals=20)
+    Ru = fom.h1_0_product
+    theta = GaussianEmbedding.make(
+        fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=200, seed=0
+    )
+    phi = GaussianEmbedding.make(200, range_dim=100, seed=100)
+    red = PrimalDualReductor(fom, embedding_primal=theta,
+                             embedding_online=phi, product=Ru, log_level=30)
+    train = fom.sample_parameters(20, key=3)
+    rom, hist = output_greedy(fom, red, train, max_extensions=7,
+                              log_level=30)
+    ind = hist["max_indicators"]
+    assert ind[-1] < 0.2 * ind[0]
+    rel_errs = []
+    for mu in fom.sample_parameters(4, key=11):
+        u = np.asarray(fom.solve(mu))
+        s_true = float(np.asarray(fom.output_functional.apply(
+            jnp.asarray(u), mu))[0])
+        s_c, _ = rom.output_corrected(mu)
+        rel_errs.append(abs(float(np.asarray(s_c)) - s_true)
+                        / max(abs(s_true), 1e-300))
+    assert max(rel_errs) < 5e-3, rel_errs
