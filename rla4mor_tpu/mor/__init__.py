@@ -16,6 +16,7 @@ from rla4mor_tpu.mor.primal_dual import (
     dual_fom,
     output_greedy,
 )
+from rla4mor_tpu.mor.bounds import MinThetaCoercivity, error_bound
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
     load_reductor_state,
@@ -31,6 +32,7 @@ __all__ = [
     "GreedyResult",
     "PaddedSketchedReductor", "rb_greedy_no_retrace",
     "PrimalDualReductor", "CorrectedOutputROM", "dual_fom", "output_greedy",
+    "MinThetaCoercivity", "error_bound",
     "save_reductor", "load_reductor_state",
     "save_instationary_reductor", "load_instationary_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",

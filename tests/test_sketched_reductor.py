@@ -477,3 +477,39 @@ def test_reduce_adaptive_rounds_exhausted_keeps_state(thermal_fom):
     rom, info = red.reduce_adaptive(mus_b, seed=1, tol=1e-12, max_rounds=2)
     assert not info["certified"]
     assert red.embedding_online.range_dim == info["online_dim"]
+
+
+def test_min_theta_error_bound(thermal_fom):
+    """Min-theta coercivity turns the sketched residual estimate into a
+    TRUE R-norm error bound on the (parametrically coercive) thermal
+    block: bound >= true error on every test mu, with sane effectivity;
+    alpha_LB is jittable/vmappable."""
+    from rla4mor_tpu.core.parameters import mu_stack
+    from rla4mor_tpu.mor import MinThetaCoercivity, error_bound
+
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    red, _ = _setup(fom, GaussianEmbedding, k=200, orthonormalize=True)
+    mus, U = _snapshots(fom, count=5)
+    red.extend_basis(U)
+    rom = red.reduce(seed=3)
+
+    mu_ref = {"diffusion": jnp.ones(4)}
+    coer = MinThetaCoercivity(fom, mu_ref, product=Ru)
+    assert coer.alpha_ref > 0
+
+    test_mus = fom.parameter_space.sample_randomly(6, key=13)
+    for mu in test_mus:
+        u = jnp.asarray(fom.solve(mu))
+        u_r = rom.solve(mu)
+        err = float(Ru.norm(u - red.rb @ u_r))
+        bnd = float(np.asarray(error_bound(rom, mu, coer, u_r=u_r)))
+        # rigorous up to sketch distortion: allow 10% slack
+        assert err <= 1.1 * bnd, (err, bnd)
+        if err > 1e-10:
+            assert bnd / err < 500  # sane effectivity
+
+    # jit + vmap over a batch
+    batch = mu_stack(test_mus)
+    bnds = jax.jit(jax.vmap(lambda m: error_bound(rom, m, coer)))(batch)
+    assert bnds.shape == (6,) and bool(jnp.all(jnp.isfinite(bnds)))
