@@ -259,13 +259,24 @@ class HostLUInverse(LinOp):
         self.operator = HostSparseOp(S)
         self.source_dim = self.range_dim = S.shape[0]
 
+    def _solve(self, U, trans="N"):
+        """SuperLU solve; a REAL factorization solves complex right-hand
+        sides by real-linearity (scipy refuses the complex->f64 cast —
+        the Riesz lift of complex residuals, e.g. Helmholtz, hits this)."""
+        if np.iscomplexobj(U) and not np.iscomplexobj(self.factorization.U):
+            return (self.factorization.solve(np.ascontiguousarray(U.real),
+                                             trans=trans)
+                    + 1j * self.factorization.solve(
+                        np.ascontiguousarray(U.imag), trans=trans))
+        return self.factorization.solve(U, trans=trans)
+
     def apply(self, U, mu=None):
         U = np.asarray(U)
-        return jnp.asarray(self.factorization.solve(U))
+        return jnp.asarray(self._solve(U))
 
     def apply_adjoint(self, V, mu=None):
         V = np.asarray(V)
-        return jnp.asarray(self.factorization.solve(V, trans="H"))
+        return jnp.asarray(self._solve(V, trans="H"))
 
     def apply_inverse(self, U, mu=None):
         return self.operator.apply(U)

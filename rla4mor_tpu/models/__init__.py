@@ -5,6 +5,7 @@ from rla4mor_tpu.models.stationary import (
 )
 from rla4mor_tpu.models.thermal_block import ThermalBlockFOM
 from rla4mor_tpu.models.advection_diffusion import AdvectionDiffusionFOM
+from rla4mor_tpu.models.helmholtz import helmholtz_fom
 from rla4mor_tpu.models.instationary_stencil import InstationaryStencilFOM, MassStencilOp
 from rla4mor_tpu.models.instationary import (
     InstationaryFOM,
@@ -21,5 +22,5 @@ __all__ = [
     "ThermalBlockFOM",
     "AdvectionDiffusionFOM",
     "InstationaryFOM", "InstationaryROM", "InstationaryReductor",
-    "instationary_thermal_block", "pod_greedy", "InstationaryStencilFOM", "MassStencilOp",
+    "instationary_thermal_block", "pod_greedy", "InstationaryStencilFOM", "MassStencilOp", "helmholtz_fom",
 ]

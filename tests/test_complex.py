@@ -96,3 +96,54 @@ def test_complex_oblivious_dim():
     assert gaussian_dim(0.5, 1e-3, 8, complex_dtype=True) > gaussian_dim(
         0.5, 1e-3, 8, complex_dtype=False
     )
+
+
+def test_helmholtz_end_to_end():
+    """Damped Helmholtz (REAL matrices, COMPLEX parametric coefficient —
+    the round-2 _cast_theta case) through the full sketched stack:
+    assemble == dense oracle, minres ROM accurate across resonances,
+    sketched estimator brackets the true Riesz residual."""
+    from rla4mor_tpu.models import helmholtz_fom
+
+    fom = helmholtz_fom(num_intervals=16, wavenumber_range=(2.0, 10.0),
+                        damping=0.5)
+    Ru = fom.h1_0_product
+    mu = {"wavenumber": jnp.asarray([7.3])}
+
+    # assembly: complex coefficient must not be truncated
+    A = fom.assemble_sparse(mu).toarray()
+    K = fom.operator.terms[0].S.toarray()
+    M = fom.operator.terms[1].S.toarray()
+    k = 7.3
+    assert np.allclose(A, K + (-(k ** 2) + 0.5j * k) * M, atol=1e-12)
+    u = np.asarray(fom.solve(mu))
+    assert np.iscomplexobj(u)
+    assert np.linalg.norm(A @ u - np.asarray(fom.assemble_rhs(mu))) < 1e-10
+
+    # sketched minres RB over the wavenumber sweep
+    from rla4mor_tpu.mor import SketchedReductor
+
+    theta_emb = GaussianEmbedding.make(
+        fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=220, seed=2,
+        complex_dtype=True,
+    )
+    phi = GaussianEmbedding.make(220, range_dim=120, seed=33)
+    red = SketchedReductor(fom, embedding_primal=theta_emb,
+                           embedding_online=phi, product=Ru,
+                           orthonormalize=True, projection="minres",
+                           log_level=30)
+    mus = fom.parameter_space.sample_randomly(10, key=4)
+    red.extend_basis(fom.solve_many(mus))
+    rom = red.reduce(seed=9)
+    for mu_t in fom.parameter_space.sample_randomly(3, key=8):
+        u_t = np.asarray(fom.solve(mu_t))
+        u_r = np.asarray(red.rb) @ np.asarray(rom.solve(mu_t))
+        rel = float(Ru.norm(jnp.asarray(u_t - u_r))) / float(
+            Ru.norm(jnp.asarray(u_t)))
+        assert rel < 5e-2, rel
+        est = float(np.asarray(rom.estimate_error(mu_t)))
+        r = fom.assemble_sparse(mu_t) @ u_r - np.asarray(
+            fom.assemble_rhs(mu_t))
+        true_res = float(np.sqrt(np.real(
+            np.vdot(r, np.asarray(Ru.inv.apply(jnp.asarray(r)))))))
+        assert 0.3 * true_res < est < 3.0 * true_res, (est, true_res)
