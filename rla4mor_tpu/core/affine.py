@@ -46,6 +46,14 @@ from rla4mor_tpu.core.parameters import (
 )
 
 
+# Every dense contraction in the affine calculus runs at HIGHEST
+# precision: the operands are sketch-/reduced-dimension arrays (tiny next
+# to FOM work), while ROM solves and sketched error estimators compare
+# quantities against tolerances far below the TPU default matmul's bf16
+# truncation (~2e-3) — VERDICT r2 weak #2.
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _cast_theta(theta: jax.Array, stack: jax.Array):
     """Cast (theta, stack) for contraction: keep the stack's precision,
     but NEVER drop a complex coefficient's imaginary part onto a real
@@ -170,7 +178,7 @@ class AffineDense:
         theta, stack = _cast_theta(
             eval_coefficients(self.coefficients, mu), self.stack
         )
-        return jnp.einsum("t,tkm->km", theta, stack)
+        return jnp.einsum("t,tkm->km", theta, stack, precision=_HI)
 
     def assemble_vec(self, mu: Mu | None = None) -> jax.Array:
         """(k,) vector for m==1 operators (rhs / functionals)."""
@@ -183,7 +191,7 @@ class AffineDense:
         theta, stack = _cast_theta(
             eval_coefficients(self.coefficients, mu), self.stack
         )
-        out = jnp.einsum("t,tkm,mb->kb", theta, stack, Um)
+        out = jnp.einsum("t,tkm,mb->kb", theta, stack, Um, precision=_HI)
         return out[:, 0] if single else out
 
     def apply_adjoint(self, V, mu: Mu | None = None):
@@ -193,7 +201,8 @@ class AffineDense:
         theta, stack = _cast_theta(
             eval_coefficients(self.coefficients, mu), self.stack
         )
-        out = jnp.einsum("t,tkm,kb->mb", jnp.conj(theta), jnp.conj(stack), Vm)
+        out = jnp.einsum("t,tkm,kb->mb", jnp.conj(theta), jnp.conj(stack), Vm,
+                         precision=_HI)
         return out[:, 0] if single else out
 
     @property
@@ -206,13 +215,15 @@ class AffineDense:
     def lmul(self, M) -> "AffineDense":
         """M @ self, term-wise (M dense (p, k))."""
         return AffineDense(
-            jnp.einsum("pk,tkm->tpm", jnp.asarray(M), self.stack), self.coefficients
+            jnp.einsum("pk,tkm->tpm", jnp.asarray(M), self.stack,
+                       precision=_HI), self.coefficients
         )
 
     def rmul(self, M) -> "AffineDense":
         """self @ M, term-wise (M dense (m, q))."""
         return AffineDense(
-            jnp.einsum("tkm,mq->tkq", self.stack, jnp.asarray(M)), self.coefficients
+            jnp.einsum("tkm,mq->tkq", self.stack, jnp.asarray(M),
+                       precision=_HI), self.coefficients
         )
 
     def map_terms(self, fn: Callable) -> "AffineDense":

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -103,22 +105,23 @@ def bounded_lstsq(
     iteration); dims are tiny (p = #parameters), so fixed ``iters`` is cheap
     and keeps shapes static for vmap over path points.
     """
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     Gt = G.conj().T
 
     # power iteration for the Lipschitz constant
     def pw(v, _):
-        w = Gt @ (G @ v)
+        w = mm(Gt, mm(G, v))
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-30), None
 
     v0 = jnp.ones((G.shape[1],), dtype=G.dtype)
     v, _ = lax.scan(pw, v0 / jnp.linalg.norm(v0), None, length=20)
-    L = jnp.maximum(jnp.linalg.norm(G @ v) ** 2, 1e-30)
+    L = jnp.maximum(jnp.linalg.norm(mm(G, v)) ** 2, 1e-30)
 
     x0 = jnp.clip(lstsq_dense(G, g), lb, ub)
 
     def step(carry, _):
         x, y, t = carry
-        grad = Gt @ (G @ y - g)
+        grad = mm(Gt, mm(G, y) - g)
         x_new = jnp.clip(y - grad / L, lb, ub)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)

@@ -148,7 +148,8 @@ class ResidualDistanceAffine(ManifoldDistance):
         manifold_distance.py:192-227)."""
         k = self.lhs.range_dim
         dt = self.lhs.stack.dtype
-        Lu = jnp.einsum("tkm,m->tk", self.lhs.stack, u)  # (T, k)
+        Lu = jnp.einsum("tkm,m->tk", self.lhs.stack, u,
+                        precision=jax.lax.Precision.HIGHEST)  # (T, k)
         b = self.rhs.stack[:, :, 0]  # (Tb, k)
 
         G = jnp.zeros((k, self.n_params), dtype=dt)
@@ -166,7 +167,8 @@ class ResidualDistanceAffine(ManifoldDistance):
     def _evaluate_one(self, u):
         G, g = self._build_ls(u)
         x = bounded_lstsq(G, g, self.lb, self.ub, iters=self.pg_iters)
-        return jnp.linalg.norm(G @ x - g), x
+        r = jnp.matmul(G, x, precision=jax.lax.Precision.HIGHEST) - g
+        return jnp.linalg.norm(r), x
 
     def evaluate(self, U):
         U = jnp.asarray(U)

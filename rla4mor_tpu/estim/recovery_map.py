@@ -63,7 +63,13 @@ class RecoveryMap:
         """eta = G^-1 (w - CG v)  (reference :101-103)."""
         w = jnp.asarray(w)
         v = jnp.asarray(v)
-        return jnp.linalg.solve(self.gramian, w - self.cross_gramian @ v)
+        # HIGHEST: the correction feeds the manifold-distance selection;
+        # bf16-truncated f32 residuals (~2e-3) would reorder path points
+        return jnp.linalg.solve(
+            self.gramian,
+            w - jnp.matmul(self.cross_gramian, v,
+                           precision=jax.lax.Precision.HIGHEST),
+        )
 
     def solve(self, w, correct: bool = True, **kwargs):
         """Recover states: u = V v (+ W eta). w is (m,) or (m, k)."""
@@ -71,10 +77,11 @@ class RecoveryMap:
         single = w.ndim == 1
         wm = w[:, None] if single else w
         v = self.compute_state(wm, **kwargs)
-        u = self.V @ v
+        hi = jax.lax.Precision.HIGHEST
+        u = jnp.matmul(self.V, v, precision=hi)
         if correct:
             eta = self.compute_correction(wm, v)
-            u = u + self.W @ eta
+            u = u + jnp.matmul(self.W, eta, precision=hi)
         return u[:, 0] if single else u
 
     # -- restrictions (convergence studies) -----------------------------------
@@ -216,7 +223,7 @@ class DicRecoveryMap(RecoveryMap):
             )
             eta = jnp.linalg.solve(
                 G, jnp.broadcast_to(w[:, None], (w.shape[0], v.shape[1]))
-                - CG @ v
+                - jnp.matmul(CG, v, precision=jax.lax.Precision.HIGHEST)
             )
             coefs = jnp.concatenate([v, eta], axis=0)
             d = md.distances(coefs)
@@ -275,7 +282,9 @@ class DicRecoveryMap(RecoveryMap):
         assert w.ndim == 1
         v, _ = self.compute_state_path(w, **kwargs)
         eta = self.compute_correction_path(w, v)
-        u = self.V @ v + self.W @ eta
+        hi = jax.lax.Precision.HIGHEST
+        u = jnp.matmul(self.V, v, precision=hi) \
+            + jnp.matmul(self.W, eta, precision=hi)
         coefs = jnp.concatenate([v, eta], axis=0)
         distances, _ = self.manifold_distance.evaluate(coefs)
         return u, distances

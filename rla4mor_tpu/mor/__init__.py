@@ -16,7 +16,12 @@ from rla4mor_tpu.mor.primal_dual import (
     dual_fom,
     output_greedy,
 )
-from rla4mor_tpu.mor.bounds import MinThetaCoercivity, error_bound
+from rla4mor_tpu.mor.bounds import (
+    InfSupLowerBound,
+    MinThetaCoercivity,
+    error_bound,
+    inf_sup_error_bound,
+)
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
     load_reductor_state,
@@ -32,7 +37,8 @@ __all__ = [
     "GreedyResult",
     "PaddedSketchedReductor", "rb_greedy_no_retrace",
     "PrimalDualReductor", "CorrectedOutputROM", "dual_fom", "output_greedy",
-    "MinThetaCoercivity", "error_bound",
+    "MinThetaCoercivity", "error_bound", "InfSupLowerBound",
+    "inf_sup_error_bound",
     "save_reductor", "load_reductor_state",
     "save_instationary_reductor", "load_instationary_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",

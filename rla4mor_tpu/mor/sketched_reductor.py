@@ -261,8 +261,6 @@ class SketchedReductor:
         Returns ``(rom, info)`` with ``info = {"online_dim", "max_rel_dev",
         "rounds", "certified"}``.
         """
-        import dataclasses
-
         assert self.basis_size > 0, "adaptive reduce needs a nonempty basis"
         base_seed = 0 if seed is None else int(seed)
         k_max = self.embedding_primal.range_dim
@@ -306,8 +304,8 @@ class SketchedReductor:
                     k_now, dev, tol,
                 )
                 return rom, info
-            self.embedding_online = dataclasses.replace(
-                self.embedding_online, range_dim=min(2 * k_now, k_max)
+            self.embedding_online = self.embedding_online.with_range_dim(
+                min(2 * k_now, k_max)
             )
         raise AssertionError("unreachable")
 

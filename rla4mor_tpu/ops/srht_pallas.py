@@ -153,6 +153,7 @@ def srht_onepass_flat(
     key: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
     block: int | None = None,
+    n: int | None = None,
 ) -> jax.Array:
     """Single-pass factored SRHT as ONE flat MXU contraction (no scan).
 
@@ -178,35 +179,82 @@ def srht_onepass_flat(
     butterfly FWHT over HBM) with a sampling-aware minimum-traffic
     contraction. ``block`` overrides R for 2-D input (default
     ``_split_pqr``'s R).
+
+    NON-power-of-two n (round 3): pass pre-blocked ``(m, B_s, R)`` input
+    with ``B_s = ceil(n / R)`` blocks, the entries past ``n`` ZERO, and
+    the true length as ``n=`` — the contraction then runs over the
+    nonzero blocks of the 2^d-padded transform only (same zero-block
+    trick as :func:`_flat_plan`; semantics equal ``srht`` of the first
+    ``n`` entries). 2-D ``(m, n)`` input requires power-of-two n (the
+    minor-axis re-tile makes a slice+tail variant pointless there).
     """
     if x.ndim == 3:
-        m, B, R = x.shape
-        n = B * R
+        m, B_s, R = x.shape
         assert block is None or block == R
+        if n is None:
+            n = B_s * R
+            d = n.bit_length() - 1
+            assert 1 << d == n, (
+                "pre-blocked input without n= requires power-of-two B*R; "
+                "pass the true length n= for zero-padded blocked input"
+            )
+        assert (B_s - 1) * R < n <= B_s * R, (n, B_s, R)
+        R_, B_nz, _, gr, hb, rademacher = _flat_plan(key, n, k, R, x.dtype)
+        assert B_nz == B_s, (B_nz, B_s)
+        dvec = jnp.pad(rademacher, (0, B_s * R - n), constant_values=1)
+        x3 = x
     else:
+        assert n is None or n == x.shape[1]
         m, n = x.shape
         R = block if block is not None else 1 << _split_pqr(
             n.bit_length() - 1)[2]
-        B = n // R
-    d = n.bit_length() - 1
-    assert 1 << d == n, "srht_onepass_flat requires power-of-two n"
-    assert R & (R - 1) == 0 and R <= n, (R, n)
-    dr = R.bit_length() - 1
-
-    rademacher, sampling, _ = _srht_plan(key, n, k)
-    samp = sampling.astype(jnp.uint32)
-    gr = _hadamard_rows(samp & (R - 1), R, x.dtype)    # (K, R)
-    hb = _hadamard_rows(samp >> dr, B, jnp.float32)    # (K, B)
+        d = n.bit_length() - 1
+        assert 1 << d == n, "srht_onepass_flat on 2-D input requires 2^d n"
+        assert R & (R - 1) == 0 and R <= n, (R, n)
+        B_s = n // R
+        R_, B_nz, _, gr, hb, rademacher = _flat_plan(key, n, k, R, x.dtype)
+        dvec = rademacher
+        x3 = x.reshape(m, B_s, R)
 
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    x3 = x if x.ndim == 3 else x.reshape(m, B, R)
-    xd = x3 * rademacher.reshape(B, R).astype(x.dtype)
+    xd = x3 * dvec.reshape(B_s, R).astype(x.dtype)
     w = jax.lax.dot_general(
         xd, gr.T, (((2,), (0,)), ((), ())), precision=precision,
         preferred_element_type=acc_dtype,
-    )  # (m, B, K)
+    )  # (m, B_s, K)
     out = jnp.sum(w * hb.T[None].astype(acc_dtype), axis=1)  # (m, K)
     return (out / math.sqrt(k)).astype(x.dtype)
+
+
+def _flat_plan(key, n: int, k: int, R: int | None, dtype):
+    """Shared plan for the flat (H_B kron H_R) formulations, ANY n.
+
+    The SRHT zero-pads n -> N = 2^d (ops/fwht.py semantics); with
+    N = B * R only the first ``B_nz = ceil(n / R)`` blocks of the padded
+    input are nonzero, so the flat contraction runs over those blocks
+    alone — non-power-of-two n costs one tail-block pad (O(R) elements),
+    not a pad of the whole array to 2^d.
+
+    Returns ``(R, B_nz, n_full, gr (K, R), hb_nz (K, B_nz) f32,
+    rademacher (n,) int8)`` where ``n_full = (B_nz - 1) * R`` is the
+    length of the complete-blocks prefix.
+    """
+    d = max(int(math.ceil(math.log2(max(n, 1)))), 0)
+    N = 1 << d
+    if R is None:
+        R = 1 << _split_pqr(d)[2]
+    R = min(R, N)
+    assert R & (R - 1) == 0, R
+    dr = R.bit_length() - 1
+    B_nz = -(-n // R)
+
+    rademacher, sampling, _ = _srht_plan(key, n, k)
+    samp = sampling.astype(jnp.uint32)
+    gr = _hadamard_rows(samp & (R - 1), R, dtype)            # (K, R)
+    hb = _popcount_parity(
+        (samp >> dr)[:, None] & jnp.arange(B_nz, dtype=jnp.uint32)[None, :]
+    ).astype(jnp.float32)                                     # (K, B_nz)
+    return R, B_nz, (B_nz - 1) * R, gr, hb, rademacher
 
 
 def srht_onepass_flat_cols(
@@ -222,38 +270,144 @@ def srht_onepass_flat_cols(
     (PERF.md round-2), and the R contraction runs as one ``(K, R) @
     (B, R, m)`` dot. Same plan/scaling as ``ops.fwht.srht`` on the
     transposed input: ``srht_onepass_flat_cols(U, k, key) ==
-    srht(U.T, k, key).T`` for power-of-two n.
+    srht(U.T, k, key).T`` for ANY n (non-power-of-two n is handled by
+    the zero-block trick of :func:`_flat_plan`: complete R-blocks go
+    through the one flat dot, the tail block is padded to R — so the
+    2^d padding of the reference semantics is never materialized;
+    reference rla/srht.py:167 pads the whole array).
 
-    ``x`` may also be pre-blocked ``(B, R, m)``. Returns ``(k, m)``.
+    ``x`` may also be pre-blocked ``(B, R, m)`` (power-of-two B * R).
+    Returns ``(k, m)``.
     """
     if x.ndim == 3:
         B, R, m = x.shape
         n = B * R
         assert block is None or block == R
+        d = n.bit_length() - 1
+        assert 1 << d == n, "pre-blocked input requires power-of-two B*R"
         x3 = x
-    else:
-        n, m = x.shape
-        R = block if block is not None else 1 << _split_pqr(
-            n.bit_length() - 1)[2]
-        B = n // R
-        x3 = x.reshape(B, R, m)
-    d = n.bit_length() - 1
-    assert 1 << d == n, "srht_onepass_flat_cols requires power-of-two n"
-    assert R & (R - 1) == 0 and R <= n, (R, n)
-    dr = R.bit_length() - 1
+        R_, B_nz, n_full, gr, hb, rademacher = _flat_plan(key, n, k, R, x.dtype)
+        xd = x3 * rademacher.reshape(B, R).astype(x.dtype)[:, :, None]
+        acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        w = jax.lax.dot_general(
+            gr, xd, (((1,), (1,)), ((), ())), precision=precision,
+            preferred_element_type=acc_dtype,
+        )  # (K, B, m)
+        out = jnp.sum(w * hb.astype(acc_dtype)[:, :, None], axis=1)
+        return (out / math.sqrt(k)).astype(x.dtype)
 
-    rademacher, sampling, _ = _srht_plan(key, n, k)
-    samp = sampling.astype(jnp.uint32)
-    gr = _hadamard_rows(samp & (R - 1), R, x.dtype)    # (K, R)
-    hb = _hadamard_rows(samp >> dr, B, jnp.float32)    # (K, B)
-
+    n, m = x.shape
+    R, B_nz, n_full, gr, hb, rademacher = _flat_plan(key, n, k, block, x.dtype)
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    xd = x3 * rademacher.reshape(B, R).astype(x.dtype)[:, :, None]
+    hb = hb.astype(acc_dtype)
+
+    if n == B_nz * R:  # exact multiple: one dot over all blocks, no tail
+        xd = x.reshape(B_nz, R, m) \
+            * rademacher.reshape(B_nz, R).astype(x.dtype)[:, :, None]
+        w = jax.lax.dot_general(
+            gr, xd, (((1,), (1,)), ((), ())), precision=precision,
+            preferred_element_type=acc_dtype,
+        )  # (K, B_nz, m)
+        out = jnp.sum(w * hb[:, :, None], axis=1)
+        return (out / math.sqrt(k)).astype(x.dtype)
+
+    # complete blocks: leading-axis slice + split, tiling-free
+    xm = x[:n_full].reshape(B_nz - 1, R, m)
+    dm = rademacher[:n_full].reshape(B_nz - 1, R)
+    xd = xm * dm.astype(x.dtype)[:, :, None]
     w = jax.lax.dot_general(
         gr, xd, (((1,), (1,)), ((), ())), precision=precision,
         preferred_element_type=acc_dtype,
-    )  # (K, B, m)
-    out = jnp.sum(w * hb.astype(acc_dtype)[:, :, None], axis=1)  # (K, m)
+    )  # (K, B_nz - 1, m)
+    out = jnp.sum(w * hb[:, : B_nz - 1, None], axis=1)  # (K, m)
+
+    # tail block, zero-padded to R (O(R * m) work)
+    xt = x[n_full:] * rademacher[n_full:].astype(x.dtype)[:, None]
+    xt = jnp.pad(xt, ((0, B_nz * R - n), (0, 0)))
+    wt = jnp.matmul(gr, xt, precision=precision,
+                    preferred_element_type=acc_dtype)  # (K, m)
+    out = out + wt * hb[:, B_nz - 1, None]
+    return (out / math.sqrt(k)).astype(x.dtype)
+
+
+def srht_onepass_vec(
+    x: jax.Array,
+    k: int,
+    key: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+    block: int | None = None,
+) -> jax.Array:
+    """SRHT sketch of ONE vector ``(n,) -> (k,)``, any n — the greedy
+    ``extend_basis`` hot shape (one new snapshot per iteration).
+
+    A 1-D array's (B, R) reshape keeps the same linear element order, so
+    the contraction reads the vector exactly once as one ``(B, R) @
+    (R, K)`` MXU dot plus the k-diagonal +-1 recombination over B — no
+    lane padding waste (an ``(n, 1)`` column matrix is physically padded
+    to 128 lanes on TPU; the 1-D layout is dense). Same plan/scaling as
+    ``ops.fwht.srht``: ``srht_onepass_vec(u, k, key) == srht(u, k, key)``.
+    """
+    (n,) = x.shape
+    R, B_nz, n_full, gr, hb, rademacher = _flat_plan(key, n, k, block, x.dtype)
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    hb = hb.astype(acc_dtype)
+
+    if n == B_nz * R:  # exact multiple: one dot, no tail
+        xd = x.reshape(B_nz, R) * rademacher.reshape(B_nz, R).astype(x.dtype)
+        w = jax.lax.dot_general(
+            xd, gr, (((1,), (1,)), ((), ())), precision=precision,
+            preferred_element_type=acc_dtype,
+        )  # (B_nz, K)
+        out = jnp.sum(w * hb.T, axis=0)
+        return (out / math.sqrt(k)).astype(x.dtype)
+
+    xm = x[:n_full].reshape(B_nz - 1, R)
+    xd = xm * rademacher[:n_full].reshape(B_nz - 1, R).astype(x.dtype)
+    w = jax.lax.dot_general(
+        xd, gr, (((1,), (1,)), ((), ())), precision=precision,
+        preferred_element_type=acc_dtype,
+    )  # (B_nz - 1, K)
+    out = jnp.sum(w * hb.T[: B_nz - 1], axis=0)  # (K,)
+
+    xt = x[n_full:] * rademacher[n_full:].astype(x.dtype)
+    xt = jnp.pad(xt, (0, B_nz * R - n))
+    wt = jnp.matmul(gr, xt, precision=precision,
+                    preferred_element_type=acc_dtype)  # (K,)
+    out = out + wt * hb[:, B_nz - 1]
+    return (out / math.sqrt(k)).astype(x.dtype)
+
+
+def srht_onepass_cols_bmk(
+    x: jax.Array,
+    k: int,
+    key: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+    block: int | None = None,
+) -> jax.Array:
+    """Skinny-m variant of :func:`srht_onepass_flat_cols`: the R
+    contraction produces ``(B, m, K)`` (K minor — full 128-lane tiles
+    even for m << 128) instead of ``(K, B, m)`` (m minor — mostly
+    padding at small m). Identical plan/semantics; any n.
+    """
+    n, m = x.shape
+    R, B_nz, n_full, gr, hb, rademacher = _flat_plan(key, n, k, block, x.dtype)
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    hb = hb.astype(acc_dtype)
+
+    xm = x[:n_full].reshape(B_nz - 1, R, m)
+    xd = xm * rademacher[:n_full].reshape(B_nz - 1, R).astype(x.dtype)[:, :, None]
+    w = jax.lax.dot_general(
+        xd, gr, (((1,), (1,)), ((), ())), precision=precision,
+        preferred_element_type=acc_dtype,
+    )  # (B_nz - 1, m, K)
+    out = jnp.einsum("bmk,kb->km", w, hb[:, : B_nz - 1],
+                     precision=jax.lax.Precision.HIGHEST)  # (K, m)
+
+    xt = x[n_full:] * rademacher[n_full:].astype(x.dtype)[:, None]
+    xt = jnp.pad(xt, ((0, B_nz * R - n), (0, 0)))
+    wt = jnp.matmul(gr, xt, precision=precision,
+                    preferred_element_type=acc_dtype)  # (K, m)
+    out = out + wt * hb[:, B_nz - 1, None]
     return (out / math.sqrt(k)).astype(x.dtype)
 
 

@@ -237,3 +237,60 @@ class PreconditionedReductor:
         Galerkin ROM (reference :418-441)."""
         mu_p, _ = self.minimize_hs_estimator(mu, key)
         return self.prom.rom.solve(mu_p), mu_p
+
+    # ------------------------------------------------------------------ batch
+    def _solve_batch_fn(self, key: KeySpec):
+        """Per-instance cache of the jitted batched online program (keyed
+        by (key spec, #directions): both change the traced shapes). jax.jit
+        caches by function identity, so a fresh closure per call would pay
+        a full recompile every time (minutes on the remote-compile TPU)."""
+        cache = self.__dict__.setdefault("_solve_batch_cache", {})
+        ck = (key if isinstance(key, str) else tuple(map(tuple, key)),
+              self.n_directions, self.prom.stable_galerkin)
+        fn = cache.get(ck)
+        if fn is not None:
+            return fn
+        keys = [(key, 1.0)] if isinstance(key, str) else list(key)
+        for k, _w in keys:
+            assert self.hs_estimators_lhs[k], \
+                "no preconditioner directions added yet"
+        Gs = [jnp.stack(self.hs_estimators_lhs[k]) for k, _ in keys]
+        hs = [self.hs_estimators_rhs[k] for k, _ in keys]
+        coeffs = self.fom.operator.coefficients
+
+        def one(mu, rom):
+            Ws, hh = [], []
+            for (k, wgt), G, h in zip(keys, Gs, hs):
+                theta = eval_coefficients(coeffs, mu).astype(G.dtype)
+                Ws.append(wgt * jnp.einsum(
+                    "ptk,t->kp", G, theta,
+                    precision=jax.lax.Precision.HIGHEST,
+                ))
+                hh.append(wgt * h)
+            W = jnp.concatenate(Ws, axis=0)
+            h = jnp.concatenate(hh)
+            y, _, _, _ = jnp.linalg.lstsq(W, h, rcond=None)
+            rnorm = jnp.linalg.norm(
+                jnp.matmul(W, y, precision=jax.lax.Precision.HIGHEST) - h
+            )
+            mu_p = dict(mu)
+            mu_p["precond"] = y
+            return rom.solve(mu_p), y, rnorm
+
+        fn = jax.jit(jax.vmap(one, in_axes=(0, None)))
+        cache[ck] = fn
+        return fn
+
+    def solve_batch(self, mus_batched: Mu, key: KeySpec):
+        """The whole online stage over a parameter batch as ONE jitted
+        program: assemble the HS estimator, lstsq-select y, and solve the
+        (factored) preconditioned Galerkin ROM, vmapped over mu
+        (VERDICT r2 item 5; the reference does this one mu at a time in
+        Python, preconditioners/preconditioned_reductor.py:361-441).
+
+        ``mus_batched`` is a stacked Mu (leaves have a leading batch axis,
+        ``core.parameters.mu_stack``). Returns ``(us (s, r), ys (s, p),
+        rnorms (s,))`` — ``ys[i]`` are the selected preconditioner
+        coefficients, ``rnorms[i]`` the sketched-HS residual norms."""
+        fn = self._solve_batch_fn(key)
+        return fn(mus_batched, self.prom.rom)

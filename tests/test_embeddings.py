@@ -182,3 +182,42 @@ def test_seeding_unaligned_strips_are_canonical_slices():
                       (TILE_N - 100, 512), (100, TILE_N)]:
         s = np.asarray(rademacher_slice(key, c0, width))
         assert np.array_equal(s, sfull[c0:c0 + width]), (c0, width)
+
+
+@pytest.mark.parametrize("cls", ALL)
+def test_with_range_dim(cls, rng):
+    """Resizing the sketch (reduce_adaptive doubling, VERDICT r2 weak #7):
+    same family/seed at the new k, apply == matrix at the new size."""
+    e = _make(cls)
+    e2 = e.with_range_dim(2 * K)
+    assert e2.range_dim == 2 * K and e2.seed == e.seed
+    u = jnp.asarray(rng.normal(size=(N, 3)))
+    got = np.asarray(e2.apply(u))
+    want = np.asarray(e2.matrix()) @ np.asarray(u)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_with_range_dim_streamed(rng):
+    from rla4mor_tpu.ops.embeddings import StreamedGaussianEmbedding
+
+    e = StreamedGaussianEmbedding.make(N, range_dim=K, seed=3, block_cols=4096)
+    e2 = e.with_range_dim(2 * K)
+    g = GaussianEmbedding.make(N, range_dim=2 * K, seed=3)
+    u = jnp.asarray(rng.normal(size=(N, 2)))
+    np.testing.assert_allclose(
+        np.asarray(e2.apply(u)), np.asarray(g.apply(u)), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_with_range_dim_identity_raises():
+    e = IdentityEmbedding(N)
+    assert e.with_range_dim(e.range_dim) is e
+    with pytest.raises(ValueError):
+        e.with_range_dim(2 * N)
+
+
+def test_with_range_dim_vectorized():
+    inner = GaussianEmbedding.make(N * 2, range_dim=K, seed=5)
+    v = VectorizedEmbedding(embedding=inner, rows=N, cols=2)
+    v2 = v.with_range_dim(40)
+    assert v2.range_dim == 40 and v2.rows == N and v2.cols == 2

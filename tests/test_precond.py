@@ -280,3 +280,30 @@ def test_factored_rom_output(setup, reductor_stable):
     u = np.asarray(s.u_basis) @ np.asarray(y)
     want = float(np.asarray(s.fom.output_functional.apply(jnp.asarray(u), mu_p)))
     assert abs(out - want) < 1e-9
+
+
+@pytest.mark.parametrize("stable", [False, True])
+def test_solve_batch_equals_per_mu(setup, reductor, reductor_stable, stable):
+    """One jitted vmapped online stage == the per-mu Python loop
+    (VERDICT r2 item 5; reference preconditioned_reductor.py:361-441 is
+    per-mu)."""
+    from rla4mor_tpu.core import mu_stack
+
+    red = reductor_stable if stable else reductor
+    mus = setup.fom.parameter_space.sample_randomly(5, key=77)
+    for key in ("u_u", [("u_ur", 1.0), ("ur_ur", 0.5)]):
+        us, ys, rnorms = red.solve_batch(mu_stack(mus), key)
+        assert us.shape[0] == len(mus) and ys.shape == (len(mus), 3)
+        for i, mu in enumerate(mus):
+            mu_p, rn = red.minimize_hs_estimator(mu, key)
+            u, mu_p2 = red.solve(mu, key)
+            np.testing.assert_allclose(
+                np.asarray(ys[i]), np.asarray(mu_p["precond"]),
+                rtol=1e-9, atol=1e-11,
+            )
+            np.testing.assert_allclose(
+                np.asarray(rnorms[i]), np.asarray(rn), rtol=1e-9, atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(us[i]), np.asarray(u), rtol=1e-8, atol=1e-10
+            )

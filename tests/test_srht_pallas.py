@@ -182,3 +182,77 @@ def test_flat_cols_dispatch_complex(rng):
     got = np.asarray(emb.apply_random(X))
     ref = np.asarray(srht(X.T, k, emb.key).T)
     assert np.abs(got - ref).max() < 1e-12 * np.abs(ref).max()
+
+
+@pytest.mark.parametrize("n,m,k,block", [
+    (1000, 7, 64, 128),        # non-pow2 n, tail block partial
+    (4097, 3, 100, 256),       # just past a power of two
+    (1 << 12, 5, 64, 256),     # pow2 n through the general path
+    (2049 * 33, 2, 128, 2048), # grid-like node count
+])
+def test_onepass_flat_cols_any_n(n, m, k, block):
+    """Non-pow2 n: the slice+tail flat contraction equals the canonical
+    pad-to-2^d srht (reference rla/srht.py:167 semantics)."""
+    from rla4mor_tpu.ops.srht_pallas import (
+        srht_onepass_cols_bmk,
+        srht_onepass_flat_cols,
+        srht_onepass_vec,
+    )
+
+    key = jax.random.key(11)
+    U = jnp.asarray(
+        np.random.RandomState(n % 997).normal(size=(n, m)), dtype=jnp.float64
+    )
+    want = np.asarray(srht(U.T, k, key).T)
+    got = np.asarray(srht_onepass_flat_cols(U, k, key, block=block))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    got_bmk = np.asarray(srht_onepass_cols_bmk(U, k, key, block=block))
+    np.testing.assert_allclose(got_bmk, want, rtol=1e-12, atol=1e-12)
+    got_vec = np.asarray(srht_onepass_vec(U[:, 0], k, key, block=block))
+    np.testing.assert_allclose(got_vec, want[:, 0], rtol=1e-12, atol=1e-12)
+    # default block size too
+    got_d = np.asarray(srht_onepass_flat_cols(U, k, key))
+    np.testing.assert_allclose(got_d, want, rtol=1e-12, atol=1e-12)
+
+
+def test_onepass_vec_small_n_tail_only():
+    """n <= R: everything lives in the tail block."""
+    from rla4mor_tpu.ops.srht_pallas import srht_onepass_vec
+
+    key = jax.random.key(3)
+    x = jnp.asarray(np.random.RandomState(0).normal(size=100), jnp.float64)
+    want = np.asarray(srht(x, 64, key))
+    got = np.asarray(srht_onepass_vec(x, 64, key, block=256))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("n,m,k", [(1000, 5, 64), (4097, 3, 100), (4096, 4, 64)])
+def test_flat_rows_blocked_any_n(n, m, k):
+    """Pre-blocked (m, B, R) rows input with zero tail + n= equals the
+    canonical srht of the true-length rows."""
+    from rla4mor_tpu.ops.srht_pallas import srht_onepass_flat
+
+    key = jax.random.key(5)
+    X = jnp.asarray(np.random.RandomState(n % 97).normal(size=(m, n)),
+                    jnp.float64)
+    want = np.asarray(srht(X, k, key))
+    R = 256
+    B = -(-n // R)
+    Xb = jnp.pad(X, ((0, 0), (0, B * R - n))).reshape(m, B, R)
+    got = np.asarray(srht_onepass_flat(Xb, k, key, n=n))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_srht_embedding_blocked_layout(rng):
+    """SrhtEmbedding.to_blocked + 3-D apply_random == 2-D apply_random
+    (the reductor's roofline snapshot storage, VERDICT r2 item 1)."""
+    from rla4mor_tpu.ops.embeddings import SrhtEmbedding
+
+    for n in (1000, 4096, 5000):
+        e = SrhtEmbedding.make(n, range_dim=48, seed=9)
+        U = jnp.asarray(rng.normal(size=(n, 6)))
+        want = np.asarray(e.apply_random(U))
+        got = np.asarray(e.apply_random(e.to_blocked(U)))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+        B, R = e.blocked_shape
+        assert e.to_blocked(U).shape == (6, B, R)
