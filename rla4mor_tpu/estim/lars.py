@@ -154,7 +154,12 @@ def lars_lasso_jax(
     m, K = D.shape
     dt = D.dtype
     Gfull = mm(D.T, D)
-    tol = jnp.asarray(1e-12, dt)
+    # dtype-aware tolerances: the f64 constants (1e-12 step guard, 1e-9
+    # entering threshold) admit ~1e-7 f32 arithmetic noise as spurious
+    # homotopy steps on TPU (round-3 on-chip test finding)
+    eps = float(jnp.finfo(dt).eps)
+    tol = jnp.asarray(max(1e-12, 100 * eps), dt)
+    enter_tol = max(1e-9, 50 * eps)
     INF = jnp.asarray(jnp.finfo(dt).max / 4, dt)
 
     def solve_masked(mask, rhs):
@@ -164,7 +169,7 @@ def lars_lasso_jax(
         maskf = mask.astype(dt)
         Gm = Gfull * (maskf[:, None] * maskf[None, :]) + jnp.diag(1.0 - maskf)
         U_, s_, Vh_ = jnp.linalg.svd(Gm, full_matrices=False)
-        cutoff = 1e-12 * jnp.max(s_)
+        cutoff = max(1e-12, 10 * eps) * jnp.max(s_)
         s_inv = jnp.where(s_ > cutoff, 1.0 / s_, 0.0)
         return mm(Vh_.conj().T, s_inv * mm(U_.conj().T, rhs * maskf))
 
@@ -176,7 +181,7 @@ def lars_lasso_jax(
         c_in = jnp.where(mask, -INF, jnp.abs(c))
         j_new = jnp.argmax(c_in)
         do_add = (
-            c_in[j_new] >= lam - 1e-9 * jnp.maximum(lam, 1.0)
+            c_in[j_new] >= lam - enter_tol * jnp.maximum(lam, 1.0)
         ) & ~just_dropped
         mask = mask.at[j_new].set(mask[j_new] | do_add)
         signs = signs.at[j_new].set(
@@ -203,6 +208,11 @@ def lars_lasso_jax(
 
         gamma = jnp.minimum(jnp.minimum(gamma_in, gamma_drop), gamma_max)
         beta = beta + gamma * w
+        # enforce the support invariant exactly: the SVD masked solve leaves
+        # ~eps junk in inactive coordinates of w, which would otherwise leak
+        # into the recorded path and inflate the (beta != 0) OLS-debias
+        # support (round-3 finding on the complex-stacked dictionary)
+        beta = jnp.where(mask, beta, jnp.zeros_like(beta))
         lam = lam - gamma
 
         dropped = (gamma == gamma_drop) & (gamma < gamma_max)
@@ -286,6 +296,61 @@ def lars_weighted_path_jax(
     path = (path / w[None, :] / scale).T  # (K, max_steps+1)
     alphas = alphas / scale
     return path[:, 1:], alphas[1:], steps
+
+
+def _stack_complex_np(D, x):
+    """Real stacking of a complex LS problem: min ||w - D beta|| over
+    complex beta becomes a real problem in [Re beta; Im beta] with the
+    doubled dictionary [[Re D, -Im D], [Im D, Re D]]."""
+    Dr, Di = np.real(D), np.imag(D)
+    Ds = np.block([[Dr, -Di], [Di, Dr]])
+    xs = np.concatenate([np.real(x), np.imag(x)])
+    return Ds, xs
+
+
+def lars_weighted_path_complex(
+    D, x, alpha: float = 0.0, weights=None, scale: float = 1e3,
+    ols: bool = True, return_path: bool = True, max_steps=None,
+):
+    """Complex dictionary LARS via the standard R^{2n} real-stacking
+    reduction (VERDICT r2 item 4; reference recovery maps are
+    dtype-agnostic numpy, inverse_problems/recovery_map.py:101-144).
+
+    CAVEAT (documented, inherent to the reduction): the l1 penalty acts
+    on |Re beta_j| + |Im beta_j| separately, NOT on |beta_j| — the real
+    and imaginary parts of one atom are independent path variables
+    (no group sparsity), so a path point's support may be "half an atom".
+    With the per-step OLS debias and manifold-distance selection this is
+    harmless in practice; a group-LARS is the exact alternative.
+    """
+    D = np.asarray(D, dtype=np.complex128)
+    x = np.asarray(x, dtype=np.complex128)
+    K = D.shape[1]
+    Ds, xs = _stack_complex_np(D, x)
+    w2 = None if weights is None else np.concatenate([weights, weights])
+    path_s, alphas = lars_weighted_path(
+        Ds, xs, alpha, w2, scale, ols, return_path, max_steps
+    )
+    return path_s[:K] + 1j * path_s[K:], alphas
+
+
+def lars_weighted_path_complex_jax(
+    D, x, alpha: float = 0.0, weights=None, scale: float = 1e3,
+    ols: bool = True, max_steps: int = 64,
+):
+    """Device version of :func:`lars_weighted_path_complex` (fixed-shape,
+    jittable/vmappable; same real-stacking semantics and caveat)."""
+    D = jnp.asarray(D)
+    x = jnp.asarray(x)
+    K = D.shape[1]
+    Dr, Di = jnp.real(D), jnp.imag(D)
+    Ds = jnp.block([[Dr, -Di], [Di, Dr]])
+    xs = jnp.concatenate([jnp.real(x), jnp.imag(x)])
+    w2 = None if weights is None else jnp.concatenate([weights, weights])
+    path_s, alphas, steps = lars_weighted_path_jax(
+        Ds, xs, alpha, w2, scale, ols, max_steps
+    )
+    return path_s[:K] + 1j * path_s[K:], alphas, steps
 
 
 def _ols_debias(D, x, path, rcond=1e-10):

@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from rla4mor_tpu.core.products import Product
-from rla4mor_tpu.estim.lars import lars_weighted_path, lars_weighted_path_jax
+from rla4mor_tpu.estim.lars import (
+    lars_weighted_path,
+    lars_weighted_path_complex,
+    lars_weighted_path_complex_jax,
+    lars_weighted_path_jax,
+)
 from rla4mor_tpu.estim.manifold_distance import ManifoldDistance
 from rla4mor_tpu.utils.logger import get_logger
 
@@ -168,24 +173,45 @@ class DicRecoveryMap(RecoveryMap):
                 == self.manifold_distance.lhs.source_dim
             )
 
+    def _resolve_max_steps(self, max_steps):
+        """None -> enough fixed-shape homotopy steps to cover the full
+        variable-length host path: LASSO add/drop oscillations routinely
+        take ~5x the dictionary size (162 steps observed for K=30 on the
+        thermal block), so 6*K_eff + 16 with K_eff doubled for the
+        real-stacked complex dictionary."""
+        if max_steps is not None:
+            return int(max_steps)
+        K = self.cross_gramian.shape[1]
+        if jnp.iscomplexobj(self.cross_gramian):
+            K *= 2
+        return 6 * K + 16
+
     # -- path machinery ---------------------------------------------------------
     def compute_state_path(self, w, alpha=0.0, weights=None, scale=1e3,
                            ols=True, return_path=True, solver="jax",
-                           max_steps: int = 64, **kwargs):
+                           max_steps=None, **kwargs):
         """LARS path of dictionary coefficients (reference :170-206).
 
         ``solver``: 'jax' (default) = fixed-shape on-device path
         (``max_steps`` points, converged tail repeated); 'np' = exact
         variable-length host path, kept as the oracle — the analog of the
         reference's sklearn/spams backend switch (reference lars.py:46-56),
-        with the device path replacing spams (VERDICT r1 weak #6)."""
+        with the device path replacing spams (VERDICT r1 weak #6).
+
+        Complex dictionaries (e.g. Helmholtz snapshots) route through the
+        real-stacking LARS (``lars_weighted_path_complex``; group-sparsity
+        caveat in its docstring)."""
+        is_complex = jnp.iscomplexobj(self.cross_gramian) or             jnp.iscomplexobj(jnp.asarray(w))
         if solver == "jax":
-            v, alphas, _ = lars_weighted_path_jax(
+            fn = (lars_weighted_path_complex_jax if is_complex
+                  else lars_weighted_path_jax)
+            v, alphas, _ = fn(
                 self.cross_gramian, jnp.asarray(w), alpha, weights, scale,
-                ols, max_steps,
+                ols, self._resolve_max_steps(max_steps),
             )
             return v, alphas
-        v, alphas = lars_weighted_path(
+        fn = lars_weighted_path_complex if is_complex else lars_weighted_path
+        v, alphas = fn(
             np.asarray(self.cross_gramian), np.asarray(w), alpha, weights,
             scale, ols, return_path, **kwargs
         )
@@ -216,9 +242,11 @@ class DicRecoveryMap(RecoveryMap):
             return fn
         md = self.manifold_distance
         CG, G = self.cross_gramian, self.gramian
+        lars_fn = (lars_weighted_path_complex_jax if jnp.iscomplexobj(CG)
+                   else lars_weighted_path_jax)
 
         def one(w, alpha, weights, scale):
-            v, _, _ = lars_weighted_path_jax(
+            v, _, _ = lars_fn(
                 CG, w, alpha, weights, scale, ols, max_steps
             )
             eta = jnp.linalg.solve(
@@ -241,7 +269,7 @@ class DicRecoveryMap(RecoveryMap):
         return fn
 
     def compute_state_batched(self, w_batch, alpha=0.0, weights=None,
-                              scale=1e3, ols=True, max_steps: int = 64):
+                              scale=1e3, ols=True, max_steps=None):
         """All snapshots at once: device LARS paths, observation-space
         corrections, manifold distances and path-point selection as ONE
         jitted vmap over observation columns (m, s) -> (nv, s).
@@ -251,7 +279,8 @@ class DicRecoveryMap(RecoveryMap):
         single fixed-shape device program (VERDICT r1 weak #6)."""
         md = self.manifold_distance
         assert md is not None, "batched recovery needs a manifold distance"
-        fn = self._batched_fn(bool(ols), int(max_steps), weights is not None)
+        fn = self._batched_fn(bool(ols), self._resolve_max_steps(max_steps),
+                              weights is not None)
         w_batch = jnp.asarray(w_batch)
         if weights is not None:
             return fn(w_batch, alpha, jnp.asarray(weights), scale)

@@ -45,6 +45,11 @@ class Embedding(LinOp):
     source_dim: int
     seed: int = 0
     sqrt_product: Optional[LinOp] = None  # Q with Q^H Q = R
+    # draw a COMPLEX Omega (the reference's per-embedding dtype option,
+    # rla/embeddings.py:30-33; also switches the oblivious-dim formulas
+    # to their complex a=2 constants). Complex DATA through a real Omega
+    # works regardless; this makes the embedding itself complex.
+    complex_dtype: bool = False
 
     def __post_init__(self):
         if self.sqrt_product is not None:
@@ -70,6 +75,14 @@ class Embedding(LinOp):
         bitstreams — subclasses override where the semantics differ.
         """
         return dataclasses.replace(self, range_dim=int(range_dim))
+
+    def _draw_dtype(self):
+        """Generation dtype of the random entries (part of the operator
+        identity, ops/seeding.py docstring)."""
+        dt = default_dtype()
+        if self.complex_dtype:
+            dt = jnp.promote_types(dt, jnp.complex64)
+        return dt
 
     # --- dims ------------------------------------------------------------------
     @property
@@ -170,13 +183,14 @@ class GaussianEmbedding(Embedding):
              delta=None, oblivious_dim=None, seed=0, complex_dtype=False):
         k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
                      oblivious_dim, complex_dtype)
-        return cls(k, source_dim, seed, sqrt_product)
+        return cls(k, source_dim, seed, sqrt_product,
+                   complex_dtype=bool(complex_dtype))
 
     def random_matrix(self):
         from rla4mor_tpu.ops.seeding import gaussian_matrix
 
         return gaussian_matrix(
-            self.key, self.range_dim, self.l2_dim, default_dtype()
+            self.key, self.range_dim, self.l2_dim, self._draw_dtype()
         )
 
 
@@ -190,12 +204,21 @@ class RademacherEmbedding(Embedding):
              delta=None, oblivious_dim=None, seed=0, complex_dtype=False):
         k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
                      oblivious_dim, complex_dtype)
-        return cls(k, source_dim, seed, sqrt_product)
+        return cls(k, source_dim, seed, sqrt_product,
+                   complex_dtype=bool(complex_dtype))
 
     def random_matrix(self):
         k = self.range_dim
         r = jax.random.rademacher(self.key, (k, self.l2_dim), dtype=jnp.int8)
-        return r.astype(default_dtype()) / math.sqrt(k)
+        if not self.complex_dtype:
+            return r.astype(default_dtype()) / math.sqrt(k)
+        # complex Rademacher (s1 + i s2)/sqrt(2): unit-modulus-variance
+        # entries with the same second moments as the complex Gaussian
+        r2 = jax.random.rademacher(
+            jax.random.fold_in(self.key, 1), (k, self.l2_dim), dtype=jnp.int8
+        )
+        dt = self._draw_dtype()
+        return (r.astype(dt) + 1j * r2.astype(dt)) / math.sqrt(2 * k)
 
 
 @dataclass(frozen=True)
@@ -211,7 +234,11 @@ class SparseSignEmbedding(Embedding):
              delta=None, oblivious_dim=None, seed=0, s=8, complex_dtype=False):
         k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
                      oblivious_dim, complex_dtype)
-        return cls(k, source_dim, seed, sqrt_product, s)
+        assert not complex_dtype, (
+            "SparseSignEmbedding draws real signs; complex data through it "
+            "works — use GaussianEmbedding for a complex Omega"
+        )
+        return cls(k, source_dim, seed, sqrt_product, s=s)
 
     def _plan(self):
         kr = jax.random.fold_in(self.key, 0)
@@ -251,7 +278,12 @@ class SrhtEmbedding(Embedding):
              delta=None, oblivious_dim=None, seed=0, complex_dtype=False):
         k = _resolve("srht", source_dim, range_dim, epsilon, delta,
                      oblivious_dim, complex_dtype)
-        return cls(k, source_dim, seed, sqrt_product)
+        # complex_dtype switches the a=2 dim formula only: the SRHT's
+        # Omega is real (sign flips + Hadamard rows) and complex data
+        # flows through it exactly (tested in test_complex.py), matching
+        # the reference's c16 transform signatures (rla/srht.py:14,39)
+        return cls(k, source_dim, seed, sqrt_product,
+                   complex_dtype=bool(complex_dtype))
 
     # above this many DoFs the fused single-pass SRHT (one HBM read)
     # beats the 3-pass Kronecker FWHT; below it the small fwht path
@@ -403,7 +435,9 @@ class BlockGaussianEmbedding(Embedding):
              complex_dtype=False):
         k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
                      oblivious_dim, complex_dtype)
-        return cls(k, source_dim, seed, sqrt_product, max_block_size)
+        return cls(k, source_dim, seed, sqrt_product,
+                   complex_dtype=bool(complex_dtype),
+                   max_block_size=max_block_size)
 
     @property
     def block_sizes(self):
@@ -421,7 +455,7 @@ class BlockGaussianEmbedding(Embedding):
         r0 = b * self.max_block_size
         r1 = r0 + self.block_sizes[b]
         return gaussian_rows(
-            self.key, self.l2_dim, r0, r1, default_dtype()
+            self.key, self.l2_dim, r0, r1, self._draw_dtype()
         ) / math.sqrt(self.range_dim)
 
     def block_source_array(self, b: int) -> jax.Array:
@@ -475,7 +509,8 @@ class StreamedGaussianEmbedding(Embedding):
              complex_dtype=False):
         k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
                      oblivious_dim, complex_dtype)
-        return cls(k, source_dim, seed, sqrt_product, block_cols)
+        return cls(k, source_dim, seed, sqrt_product,
+                   complex_dtype=bool(complex_dtype), block_cols=block_cols)
 
     def apply_random(self, X):
         from rla4mor_tpu.ops.seeding import TILE_N, gaussian_cols_unscaled
@@ -489,7 +524,10 @@ class StreamedGaussianEmbedding(Embedding):
         n_pad = -(-n // W) * W
         if n_pad != n:  # zero-pad: unused canonical columns multiply zeros
             Xm = jnp.pad(Xm, ((0, n_pad - n), (0, 0)))
-        k, key, dtype = self.range_dim, self.key, Xm.dtype
+        dtype = Xm.dtype
+        if self.complex_dtype:
+            dtype = jnp.promote_types(dtype, jnp.complex64)
+        k, key = self.range_dim, self.key
 
         def step(acc, b):
             # c0 = b*W is width-aligned by construction (traced b, so the
@@ -498,7 +536,8 @@ class StreamedGaussianEmbedding(Embedding):
                                            aligned=True)
             xb = jax.lax.dynamic_slice(Xm, (b * W, 0), (W, m))
             return acc + jnp.matmul(
-                strip, xb, precision=jax.lax.Precision.HIGHEST
+                strip, xb.astype(dtype),
+                precision=jax.lax.Precision.HIGHEST,
             ), None
 
         acc0 = jnp.zeros((k, m), dtype)
@@ -510,7 +549,7 @@ class StreamedGaussianEmbedding(Embedding):
         from rla4mor_tpu.ops.seeding import gaussian_matrix
 
         return gaussian_matrix(
-            self.key, self.range_dim, self.l2_dim, default_dtype()
+            self.key, self.range_dim, self.l2_dim, self._draw_dtype()
         )
 
 
@@ -551,7 +590,8 @@ class HwPrngGaussianEmbedding(Embedding):
         )
         k = _resolve("gaussian", source_dim, range_dim, epsilon, delta,
                      oblivious_dim, complex_dtype)
-        return cls(k, source_dim, seed, sqrt_product, block_rows, dist)
+        return cls(k, source_dim, seed, sqrt_product,
+                   block_rows=block_rows, dist=dist)
 
     def apply_random(self, X):
         from rla4mor_tpu.ops.gaussian_pallas import gaussian_sketch

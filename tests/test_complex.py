@@ -147,3 +147,156 @@ def test_helmholtz_end_to_end():
         true_res = float(np.sqrt(np.real(
             np.vdot(r, np.asarray(Ru.inv.apply(jnp.asarray(r)))))))
         assert 0.3 * true_res < est < 3.0 * true_res, (est, true_res)
+
+
+# ------------------------------------------------ complex-entry embeddings
+def test_complex_entry_embeddings(rng):
+    """complex_dtype=True draws a genuinely complex Omega (VERDICT r2
+    missing #1; the reference's dtype option, rla/embeddings.py:30-33):
+    apply == matrix, blocked/streamed variants name the SAME operator."""
+    from rla4mor_tpu.ops import (
+        BlockGaussianEmbedding,
+        RademacherEmbedding,
+    )
+    from rla4mor_tpu.ops.embeddings import StreamedGaussianEmbedding
+
+    n, k = 60, 24
+    g = GaussianEmbedding.make(n, range_dim=k, seed=5, complex_dtype=True)
+    M = np.asarray(g.matrix())
+    assert np.iscomplexobj(M) and np.abs(M.imag).max() > 0
+    # isometry in expectation: E |entry|^2 = 1/k
+    assert abs(np.mean(np.abs(M) ** 2) * k - 1.0) < 0.15
+    u = jnp.asarray(rng.normal(size=(n, 3)) + 1j * rng.normal(size=(n, 3)))
+    np.testing.assert_allclose(
+        np.asarray(g.apply(u)), M @ np.asarray(u), rtol=1e-10, atol=1e-12
+    )
+    # block/streamed variants are slices of the same canonical Omega
+    bg = BlockGaussianEmbedding.make(
+        n, range_dim=k, seed=5, max_block_size=7, complex_dtype=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(bg.random_matrix()), np.asarray(g.random_matrix()),
+        rtol=1e-12, atol=1e-14,
+    )
+    st = StreamedGaussianEmbedding.make(
+        n, range_dim=k, seed=5, block_cols=4096, complex_dtype=True
+    )
+    uc = u.astype(jnp.complex128)
+    np.testing.assert_allclose(
+        np.asarray(st.apply(uc)), np.asarray(g.apply(uc)),
+        rtol=1e-10, atol=1e-12,
+    )
+    # complex Rademacher: |entry| = 1/sqrt(k) exactly
+    r = RademacherEmbedding.make(n, range_dim=k, seed=6, complex_dtype=True)
+    Mr = np.asarray(r.random_matrix())
+    assert np.iscomplexobj(Mr)
+    np.testing.assert_allclose(np.abs(Mr), 1.0 / np.sqrt(k), rtol=1e-12)
+
+
+def test_complex_lars_real_stacking(rng):
+    """Complex LARS via R^2n stacking: host == device, final OLS point ==
+    complex least squares (reference recovery maps are dtype-agnostic,
+    inverse_problems/recovery_map.py:101-144)."""
+    from rla4mor_tpu.estim import (
+        lars_weighted_path_complex,
+        lars_weighted_path_complex_jax,
+    )
+
+    m, K = 30, 8
+    D = rng.normal(size=(m, K)) + 1j * rng.normal(size=(m, K))
+    x = rng.normal(size=m) + 1j * rng.normal(size=m)
+    path, alphas = lars_weighted_path_complex(D, x, ols=True)
+    assert np.iscomplexobj(np.asarray(path))
+    # final (full-support) OLS point solves the complex LS problem
+    sol, *_ = np.linalg.lstsq(D, x, rcond=None)
+    np.testing.assert_allclose(np.asarray(path)[:, -1], sol, atol=1e-8)
+    pj, aj, steps = lars_weighted_path_complex_jax(
+        jnp.asarray(D), jnp.asarray(x), ols=True, max_steps=60
+    )
+    L = min(path.shape[1], int(steps))
+    np.testing.assert_allclose(
+        np.asarray(pj)[:, :L], np.asarray(path)[:, :L], atol=1e-8
+    )
+
+
+def _helmholtz_setup():
+    from rla4mor_tpu.models import helmholtz_fom
+
+    fom = helmholtz_fom(num_intervals=16, wavenumber_range=(2.0, 8.0),
+                        damping=0.5)
+    Ru = fom.h1_0_product
+    n = fom.solution_dim
+    rngl = np.random.RandomState(7)
+    rows = rngl.choice(n, size=30, replace=False)
+    Wd = np.zeros((n, 30))
+    Wd[rows, np.arange(30)] = 1.0
+    W = np.asarray(Ru.inv.apply(jnp.asarray(Wd)))
+    W = gram_schmidt(jnp.asarray(W), product=Ru)
+    return fom, Ru, W
+
+
+def test_complex_pbdw_helmholtz():
+    """PBDW on complex Helmholtz states (VERDICT r2 item 4): a state in
+    span(V) is recovered exactly; out-of-span states improve with V."""
+    from rla4mor_tpu.estim import PbdwRecoveryMap
+
+    fom, Ru, W = _helmholtz_setup()
+    mus = fom.parameter_space.sample_randomly(6, key=1)
+    V = gram_schmidt(fom.solve_many(mus), product=Ru)
+    assert np.iscomplexobj(np.asarray(V))
+    rm = PbdwRecoveryMap(V, W, product=Ru, log_level=30)
+    u_true = np.asarray(V)[:, 2]
+    w = np.asarray(Ru.inner(W, jnp.asarray(u_true))).reshape(-1)
+    assert np.iscomplexobj(w)
+    u_rec = np.asarray(rm.solve(jnp.asarray(w)))
+    assert float(Ru.norm(jnp.asarray(u_rec - u_true))) < 1e-8
+
+    # unseen parameter: recovery error well below the state norm
+    mu_t = {"wavenumber": jnp.asarray([5.3])}
+    u_t = jnp.asarray(fom.solve(mu_t))
+    w_t = Ru.inner(W, u_t).reshape(-1)
+    u_r = jnp.asarray(rm.solve(w_t))
+    rel = float(Ru.norm(u_t - u_r)) / float(Ru.norm(u_t))
+    assert rel < 0.3, rel
+
+
+def test_complex_dictionary_recovery_helmholtz():
+    """Dictionary recovery of complex Helmholtz states: stacked-LARS path
+    + manifold-distance selection; batched device program == per-column
+    (VERDICT r2 item 4 'Done' criterion)."""
+    from rla4mor_tpu.core import ChainOp, compose, materialize, project
+    from rla4mor_tpu.estim import DicRecoveryMap, ResidualDistanceDiscrete
+
+    fom, Ru, W = _helmholtz_setup()
+    mus_train = fom.parameter_space.sample_randomly(24, key=3)
+    u_train = fom.solve_many(mus_train)
+    V_dic = np.asarray(u_train) / np.asarray(Ru.norm(u_train))[None, :]
+    X = jnp.concatenate([jnp.asarray(V_dic), W], axis=1)
+
+    S = GaussianEmbedding.make(
+        fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=96, seed=11,
+        complex_dtype=True,
+    )
+    chain = ChainOp((S, Ru.inv))
+    lhs = project(compose(chain, fom.operator), None, X)
+    rhs = materialize(compose(chain, fom.rhs))
+    mdist = ResidualDistanceDiscrete(lhs, rhs, mus_train)
+
+    rm = DicRecoveryMap(jnp.asarray(V_dic), W, product=Ru,
+                        manifold_distance=mdist, log_level=30)
+
+    mus_test = fom.parameter_space.sample_randomly(3, key=9)
+    u_test = fom.solve_many(mus_test)
+    obs = Ru.inner(W, u_test)
+    u_rec = np.asarray(rm.solve(obs))
+    assert np.iscomplexobj(u_rec)
+    rel = np.asarray(Ru.norm(jnp.asarray(u_rec - np.asarray(u_test)))) \
+        / np.asarray(Ru.norm(u_test))
+    assert rel.max() < 0.5 and rel.min() < 0.1, rel
+
+    # batched == per-column (the batched program routes through the
+    # complex stacked LARS)
+    v_b = np.asarray(rm.compute_state_batched(obs, max_steps=32))
+    for i in range(obs.shape[1]):
+        v_i = np.asarray(rm._state_single(obs[:, i], max_steps=32))
+        np.testing.assert_allclose(v_b[:, i], v_i, rtol=1e-8, atol=1e-10)

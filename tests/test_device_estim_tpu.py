@@ -40,7 +40,8 @@ from rla4mor_tpu.estim import (
 def _problem(seed=0):
     """Synthetic dictionary-recovery problem, built in f64 on host."""
     rng = np.random.RandomState(seed)
-    n, nv, m, k, T, P = 300, 16, 12, 48, 3, 3
+    # m > nv so the PBDW saddle system is well-posed (CG^T CG full rank)
+    n, nv, m, k, T, P = 300, 16, 24, 48, 3, 3
     W, _ = np.linalg.qr(rng.normal(size=(n, m)))        # l2-orthonormal
     V = rng.normal(size=(n, nv))
     V /= np.linalg.norm(V, axis=0)[None, :]

@@ -61,7 +61,7 @@ def test_one_seed_one_operator_across_layouts(mesh, rng):
 
     k, n, seed = 70, 1024, 3
     g = GaussianEmbedding(k, n, seed)
-    bg = BlockGaussianEmbedding(k, n, seed, None, 32)
+    bg = BlockGaussianEmbedding(k, n, seed, None, max_block_size=32)
     sg = ShardedGaussianEmbedding(k, n, mesh, seed)
     M = np.asarray(g.random_matrix())
     assert np.array_equal(M, np.asarray(bg.random_matrix()))
