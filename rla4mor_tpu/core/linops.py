@@ -193,6 +193,57 @@ class ScaledOp(LinOp):
         return self.alpha * self.op.matrix()
 
 
+class CastInputOp(LinOp):
+    """Apply ``op`` to ``x.astype(in_dtype)`` and emit ``out_dtype``.
+
+    The TPU bf16 offline mode: wrapping an embedding as
+    ``CastInputOp(S, bfloat16, float32)`` halves the HBM bytes the sketch
+    reads (the hot cost of the offline stage, PERF.md "Known gaps" #4)
+    while the MXU still accumulates in f32 (kernels use
+    ``preferred_element_type``). Complex inputs are left untouched when
+    ``in_dtype`` is real (casting would drop the imaginary part)."""
+
+    def __init__(self, op: LinOp, in_dtype, out_dtype=None):
+        self.op = op
+        self.in_dtype = jnp.dtype(in_dtype)
+        self.out_dtype = (
+            jnp.dtype(out_dtype) if out_dtype is not None
+            else jnp.promote_types(self.in_dtype, jnp.float32)
+        )
+        self.source_dim, self.range_dim = op.source_dim, op.range_dim
+
+    def _cast_in(self, U):
+        U = jnp.asarray(U)
+        if jnp.iscomplexobj(U) and not jnp.issubdtype(
+            self.in_dtype, jnp.complexfloating
+        ):
+            return U
+        return U.astype(self.in_dtype)
+
+    def apply(self, U, mu=None):
+        op = self.op
+        if hasattr(op, "apply_random") and hasattr(op, "_apply_q"):
+            # Embedding: the product-sqrt factor is often a HOST sparse op
+            # (scipy cannot take bf16, and host bytes are not the
+            # bottleneck) — cast only the input of the device random
+            # sketch, which is where the HBM read happens
+            x = op._apply_q(jnp.asarray(U))
+            out = op.apply_random(self._cast_in(x))
+        else:
+            out = op.apply(self._cast_in(U), mu)
+        return jnp.asarray(out).astype(
+            jnp.promote_types(self.out_dtype, jnp.asarray(out).dtype)
+            if jnp.iscomplexobj(jnp.asarray(out)) else self.out_dtype
+        )
+
+    def apply_adjoint(self, V, mu=None):
+        out = self.op.apply_adjoint(self._cast_in(V), mu)
+        return jnp.asarray(out).astype(
+            jnp.promote_types(self.out_dtype, jnp.asarray(out).dtype)
+            if jnp.iscomplexobj(jnp.asarray(out)) else self.out_dtype
+        )
+
+
 class ZeroOp(LinOp):
     def __init__(self, range_dim: int, source_dim: int):
         self.range_dim, self.source_dim = range_dim, source_dim

@@ -34,7 +34,7 @@ from rla4mor_tpu.core.affine import (
     materialize,
     project,
 )
-from rla4mor_tpu.core.linops import ChainOp, LinOp
+from rla4mor_tpu.core.linops import CastInputOp, ChainOp, LinOp
 from rla4mor_tpu.core.orthonormalize import gram_schmidt
 from rla4mor_tpu.core.products import Product
 from rla4mor_tpu.models.stationary import (
@@ -77,9 +77,22 @@ class SketchedReductor:
         orthonormalize: bool = True,
         projection: str = "galerkin",
         log_level: int = 20,
+        offline_dtype=None,
     ):
+        """``offline_dtype`` (e.g. ``jnp.bfloat16``): store snapshots and
+        feed every primal-embedding sketch at that dtype — halves the HBM
+        bytes the offline stage moves on TPU (PERF.md "Known gaps" #4) —
+        while all sketched quantities (srb, residual stacks) accumulate
+        and live in f32.  Accuracy envelope: bf16 inputs perturb snapshots
+        by ~2^-9 relative, so error estimates carry an O(1e-3) relative
+        floor — fine for greedy selection and 3-digit certification;
+        tests/test_bf16_offline.py pins it.  Complex snapshots are left
+        untouched (no complex bf16)."""
         assert projection in ("galerkin", "minres")
         self.fom = fom
+        self.offline_dtype = (
+            jnp.dtype(offline_dtype) if offline_dtype is not None else None
+        )
         n = fom.solution_dim
         self.product = product if product is not None else Product.identity(n)
         self.embedding_primal = (
@@ -104,9 +117,15 @@ class SketchedReductor:
         self.residual_lhs: Optional[AffineDense] = None  # (T, k, r)
         self.residual_rhs: Optional[AffineDense] = None  # (Tb, k, 1)
         self.output_functional: Optional[AffineDense] = None  # (To, q, r)
-        # Theta o R^-1 chain reused for every sketch
+        # Theta o R^-1 chain reused for every sketch; in the low-precision
+        # offline mode the embedding reads its input at offline_dtype and
+        # emits f32 (CastInputOp skips complex inputs)
+        self._sketch_embedding: LinOp = (
+            self.embedding_primal if self.offline_dtype is None
+            else CastInputOp(self.embedding_primal, self.offline_dtype)
+        )
         self._sketch_map: LinOp = ChainOp(
-            (self.embedding_primal, self.product.inv)
+            (self._sketch_embedding, self.product.inv)
         )
 
     # ------------------------------------------------------------------ state
@@ -123,7 +142,12 @@ class SketchedReductor:
             self.mu_basis.extend([mu] * U.shape[1])
 
         if self.save_rb:
-            self.rb = jnp.concatenate([self.rb.astype(U.dtype), U], axis=1)
+            Ustore = U
+            if self.offline_dtype is not None and not jnp.iscomplexobj(U):
+                Ustore = U.astype(self.offline_dtype)
+            self.rb = jnp.concatenate(
+                [self.rb.astype(Ustore.dtype), Ustore], axis=1
+            )
 
         self.logger.info("project the output functional")
         if self.fom.output_functional is not None:
@@ -135,7 +159,7 @@ class SketchedReductor:
             self.output_functional = out_proj
 
         self.logger.info("sketch the basis")
-        su = jnp.asarray(self.embedding_primal.apply(U))
+        su = jnp.asarray(self._sketch_embedding.apply(U))
         self.srb = jnp.concatenate([self.srb.astype(su.dtype), su], axis=1)
 
         self.logger.info("sketch the residual")
@@ -164,7 +188,10 @@ class SketchedReductor:
             Q = self.srb @ T
         self.srb = Q
         if self.save_rb and self.rb.shape[1]:
-            self.rb = self.rb @ T
+            rb_dtype = self.rb.dtype
+            self.rb = (self.rb @ T.astype(
+                jnp.promote_types(rb_dtype, T.dtype)
+            )).astype(rb_dtype)
         if self.residual_lhs is not None:
             self.residual_lhs = self.residual_lhs.rmul(T)
         if self.output_functional is not None:
@@ -344,4 +371,6 @@ class SketchedReductor:
     def reconstruct(self, u_reduced) -> jax.Array:
         """Lift reduced coefficients to the full space (needs save_rb)."""
         assert self.save_rb, "reconstruct requires save_rb=True"
-        return self.rb @ jnp.asarray(u_reduced)
+        u_reduced = jnp.asarray(u_reduced)
+        dt = jnp.promote_types(self.rb.dtype, u_reduced.dtype)
+        return self.rb.astype(dt) @ u_reduced.astype(dt)
