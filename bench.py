@@ -88,6 +88,7 @@ def _timed_amortized(fn, x, chain=6, reps=3):
 
 
 def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
+    from rla4mor_tpu.ops.embeddings import SrhtEmbedding
     from rla4mor_tpu.ops.fwht import srht
     from rla4mor_tpu.ops.srht_pallas import (
         srht_onepass_flat,
@@ -97,10 +98,12 @@ def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
 
     P = jax.lax.Precision
     n = 1 << d
-    dr = d // 2
-    N_R = 1 << dr           # R-block (grid column length)
-    N_B = 1 << (d - dr)     # number of R-blocks (grid rows)
-    key = jax.random.key(seed)
+    # the thing being measured is the FRAMEWORK path, not the raw kernel
+    # (VERDICT r2 item 1): SrhtEmbedding.apply_random on the reductor's
+    # blocked snapshot storage layout
+    emb = SrhtEmbedding(k, n, seed)
+    N_B, N_R = emb.blocked_shape
+    key = emb.key
     nbytes = rows * n * 4
     log(f"generating ({rows}, {N_B}, {N_R}) f32 snapshot block on device "
         f"({nbytes / 1e9:.2f} GB, R-blocked layout) ...")
@@ -131,18 +134,20 @@ def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
     _ = np.asarray(jnp.sum(x2))
 
     candidates = {
-        # production path: blocked-layout single flat contraction
+        # THE production path: SrhtEmbedding.apply_random on the blocked
+        # storage layout (dtype-aware precision inside: HIGH for f32,
+        # the reductor default — ~1.5e-5 envelope at 86% roofline)
+        "emb3d_f32": (x3, nbytes, t_roof32, t_roof32_a, jax.jit(
+            lambda v: jnp.sum(emb.apply_random(v) ** 2))),
+        # bf16 offline mode end-to-end: bf16 snapshot storage through the
+        # same embedding path (SketchedReductor(offline_dtype=bfloat16))
+        "emb3d_bf16in": (xh, nbytes // 2, t_roof16, t_roof16_a, jax.jit(
+            lambda v: jnp.sum(
+                emb.apply_random(v).astype(jnp.float32) ** 2))),
+        # raw kernel at DEFAULT precision (cross-round reference: the
+        # round-2 headline line)
         "flat3d_f32": (x3, nbytes, t_roof32, t_roof32_a, jax.jit(
             lambda v: jnp.sum(srht_onepass_flat(v, k, key, P.DEFAULT) ** 2))),
-        # near-f32 accuracy (3-pass bf16 MXU)
-        "flat3d_f32_high": (x3, nbytes, t_roof32, t_roof32_a, jax.jit(
-            lambda v: jnp.sum(srht_onepass_flat(v, k, key, P.HIGH) ** 2))),
-        # bf16 snapshot storage (halves bytes; ~2e-3 quantization, far
-        # below sketch distortion)
-        "flat3d_bf16in": (xh, nbytes // 2, t_roof16, t_roof16_a, jax.jit(
-            lambda v: jnp.sum(
-                srht_onepass_flat(v, k, key, P.DEFAULT).astype(jnp.float32)
-                ** 2))),
         # legacy flat-vector-layout kernels (pay the re-tiling wall)
         "xla_scan_bf16": (x2, nbytes, t_roof32, t_roof32_a, jax.jit(
             lambda v: jnp.sum(srht_onepass_xla(v, k, key, P.DEFAULT) ** 2))),
@@ -168,20 +173,24 @@ def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
         results.append((name, gbps, vs))
     if not results:
         return None, 0.0, 0.0
-    # headline: among candidates within 5% of the best vs_baseline (tunnel
-    # noise), report the highest absolute throughput — restricted to
-    # f32-INPUT variants so the recorded GB/s is comparable across rounds
-    # (a bf16-input run moves half the bytes; it stays in the log lines)
-    pool = [r for r in results if "bf16in" not in r[0]] or results
-    vs_max = max(r[2] for r in pool)
-    best = max((r for r in pool if r[2] >= 0.95 * vs_max),
-               key=lambda r: r[1])
+    # headline: the FRAMEWORK path (SrhtEmbedding.apply_random, f32 input)
+    # when it ran; otherwise fall back to the best f32-input raw line.
+    # bf16-input lines stay diagnostics (they move half the bytes, so the
+    # GB/s is not comparable across rounds)
+    emb_line = [r for r in results if r[0] == "emb3d_f32"]
+    if emb_line:
+        best = emb_line[0]
+    else:
+        pool = [r for r in results if "bf16in" not in r[0]] or results
+        vs_max = max(r[2] for r in pool)
+        best = max((r for r in pool if r[2] >= 0.95 * vs_max),
+                   key=lambda r: r[1])
 
-    # correctness spot check at the same n (flat blocked vs canonical srht)
+    # correctness spot check at the same n (embedding path vs canonical)
     ref = srht(x2[:2], k, key)
-    got = srht_onepass_flat(x3[:2], k, key, P.HIGHEST)
-    rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
-    log(f"correctness (flat3d HIGHEST vs srht, 2 rows): rel err {rel:.2e}")
+    got = emb.apply_random(x3[:2])
+    rel = float(jnp.max(jnp.abs(got.T - ref)) / jnp.max(jnp.abs(ref)))
+    log(f"correctness (emb blocked vs srht, 2 rows): rel err {rel:.2e}")
 
     return best
 

@@ -10,6 +10,7 @@ inverses cover very large n (see core/solvers.py).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sps
@@ -68,9 +69,18 @@ class Product:
 
     # inner products -----------------------------------------------------------
     def inner(self, U, V=None):
-        """U^H R V (V defaults to U)."""
+        """U^H R V (V defaults to U).
+
+        HIGHEST precision: inner products seed gramians/cross-gramians
+        that the estim stack solves against — the TPU default (f32
+        truncated to bf16) put a ~2e-3 error into DicRecoveryMap's
+        cross-gramian, the exact on-chip failure the round-3 device-estim
+        test caught."""
         V = U if V is None else V
-        return jnp.asarray(U).conj().T @ jnp.asarray(self.op.apply(V))
+        return jnp.matmul(
+            jnp.asarray(U).conj().T, jnp.asarray(self.op.apply(V)),
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def norm(self, U):
         """Column-wise R-norms of U (n, b) -> (b,)."""

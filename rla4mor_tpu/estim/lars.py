@@ -253,19 +253,28 @@ def lars_lasso_jax(
 def _ols_debias_jax(D, x, path):
     """OLS re-fit on each path point's support, fixed shapes (vmappable).
 
-    Masked normal equations: identity rows for inactive variables, so the
-    solve is well-posed whenever the support columns are independent (the
-    LARS invariant)."""
+    Column-masked min-norm least squares on D ITSELF (SVD), not on the
+    Gram: normal equations square the conditioning, and at f32 on TPU
+    that turned kappa ~1e2 problems into ~1e-3 coefficient errors
+    (round-3 on-chip finding).  Zeroed (inactive) columns lie in the
+    null space, so the min-norm solution puts exactly 0 there."""
     mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     D = jnp.asarray(D)
     x = jnp.asarray(x)
-    G = mm(D.T, D)
-    c = mm(D.T, x)
+    eps = float(jnp.finfo(D.dtype).eps)
 
     def one(beta):
         maskf = (beta != 0).astype(D.dtype)
-        Gm = G * (maskf[:, None] * maskf[None, :]) + jnp.diag(1.0 - maskf)
-        return jnp.linalg.solve(Gm, c * maskf)
+        Dm = D * maskf[None, :]
+        U_, s_, Vh_ = jnp.linalg.svd(Dm, full_matrices=False)
+        # dtype-aware rcond (numpy lstsq convention): f64 keeps nearly
+        # machine-precision supports, f32/TPU truncates noise-level modes
+        cutoff = eps * max(D.shape) * jnp.max(s_)
+        s_inv = jnp.where(s_ > cutoff, 1.0 / s_, 0.0)
+        # exact arithmetic puts 0 on masked columns; numerically the SVD
+        # leaves ~eps dust there, which would widen the inferred support —
+        # mask it out
+        return maskf * mm(Vh_.conj().T, s_inv * mm(U_.conj().T, x))
 
     return jax.vmap(one)(path)
 

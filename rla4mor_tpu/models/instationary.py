@@ -371,6 +371,7 @@ def pod_greedy(
     atol: float = 0.0,
     rtol: float = 0.0,
     pad_to: Optional[int] = None,
+    mu_sharding=None,
     log_level: int = 20,
 ) -> Tuple[InstationaryROM, dict]:
     """POD-greedy (Haasdonk/Ohlberger): greedy over mu by the sketched
@@ -395,6 +396,14 @@ def pod_greedy(
     logger = get_logger("mor.pod_greedy", log_level)
     history = {"selected_mus": [], "max_estimates": []}
     mus_batched = mu_stack(list(training_set))
+    if mu_sharding is not None:
+        # 2-D ('dof', 'mu') mesh: the estimator sweep vmaps over the
+        # training set — placing the stacked mu batch on the 'mu' axis
+        # makes GSPMD split the sweep across that axis while the FOM
+        # solves stay dof-sharded (len(training_set) must divide evenly)
+        mus_batched = jax.tree.map(
+            lambda x: jax.device_put(x, mu_sharding), mus_batched
+        )
 
     mu0 = training_set[0]
     traj = fom.solve(mu0)

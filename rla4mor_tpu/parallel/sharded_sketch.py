@@ -154,29 +154,60 @@ def srht_sketch_sharded(key, k: int, x: jax.Array, mesh: Mesh,
     )(x)
 
 
+def flat_shard_rows(n: int, mesh: Mesh, axis: str = "dof",
+                    block: int | None = None) -> tuple[int, int]:
+    """(n_phys, R) of the zero-padded row layout the flat sharded SRHT
+    consumes for a TRUE length ``n``: whole R-blocks per shard, blocks
+    rounded up to a multiple of the dof-axis size. Pad columns ``(n, m)``
+    to ``(n_phys, m)`` with zero rows before calling
+    :func:`srht_sketch_sharded_flat` with ``n=n``."""
+    from rla4mor_tpu.ops.srht_pallas import _split_pqr
+
+    n_dev = mesh.shape[axis]
+    d = max(int(math.ceil(math.log2(max(n, 1)))), 0)
+    R = (1 << _split_pqr(d)[2]) if block is None else block
+    assert R & (R - 1) == 0, R
+    # shards must hold >= 1 block each; shrink R for tiny test shapes
+    while R > 1 and (-(-n // R)) < n_dev:
+        R //= 2
+    b_total = -(-(-(-n // R)) // n_dev) * n_dev
+    return b_total * R, R
+
+
 def srht_sketch_sharded_flat(key, k: int, x: jax.Array, mesh: Mesh,
                              axis: str = "dof",
-                             block: int | None = None) -> jax.Array:
+                             block: int | None = None,
+                             n: int | None = None) -> jax.Array:
     """Sharded SRHT via the flat-contraction formulation — one psum, no
     butterfly.
 
-    With H_n = H_B (x) H_R and the DoF axis sharded in contiguous ranges,
-    every shard holds whole R-blocks, contracts them locally against the
-    (R, K) Hadamard factor (srht_onepass_flat's single MXU dot — the
-    ~roofline kernel, PERF.md round-2), recombines with ITS columns of the
-    (K, B) factor, and contributes via one ``psum`` of a (k, m) partial.
-    Communication: one all-reduce of k*m floats, vs log2(n_dev) ppermutes
-    of the full local block for the butterfly version.
+    With H_{2^d} = H_B (x) H_R and the DoF axis sharded in contiguous
+    ranges, every shard holds whole R-blocks, contracts them locally
+    against the (R, K) Hadamard factor (srht_onepass_flat's single MXU
+    dot — the ~roofline kernel, PERF.md round-2), recombines with ITS
+    columns of the (K, B) factor, and contributes via one ``psum`` of a
+    (k, m) partial.  Communication: one all-reduce of k*m floats, vs
+    log2(n_dev) ppermutes of the full local block for the butterfly
+    version.
 
     Same canonical plan as ``ops.fwht.srht`` / ``srht_blocked`` (bit-equal
-    up to f32 summation order). Requires power-of-two n with
-    ``n_local % R == 0``; ``block`` overrides R.
+    up to f32 summation order).  ANY true length ``n``: pass storage
+    padded per :func:`flat_shard_rows` and ``n=`` the logical length — the
+    zero tail blocks contribute nothing (the single-device zero-block
+    trick, ops/srht_pallas._flat_plan, on a mesh).  Without ``n=`` the
+    storage length must be a power of two (back-compat).
     """
     n_dev = mesh.shape[axis]
-    n = x.shape[0]
-    d = n.bit_length() - 1
-    assert 1 << d == n and n % n_dev == 0
-    n_local = n // n_dev
+    n_phys = x.shape[0]
+    if n is None:
+        n = n_phys
+        assert 1 << (n.bit_length() - 1) == n, (
+            "non-power-of-two storage needs the true length n= "
+            "(pad via flat_shard_rows)"
+        )
+    assert n_phys >= n and n_phys % n_dev == 0
+    d = max(int(math.ceil(math.log2(max(n, 1)))), 0)
+    n_local = n_phys // n_dev
     from rla4mor_tpu.ops.srht_pallas import (
         _hadamard_rows,
         _popcount_parity,
@@ -193,7 +224,7 @@ def srht_sketch_sharded_flat(key, k: int, x: jax.Array, mesh: Mesh,
 
     key_d = jax.random.fold_in(key, 0)
     key_s = jax.random.fold_in(key, 1)
-    sampling = jax.random.randint(key_s, (k,), 0, n)
+    sampling = jax.random.randint(key_s, (k,), 0, 1 << d)
     samp_hi = (sampling.astype(jnp.uint32) >> dr)  # B-factor index per sample
 
     def local(x_local):

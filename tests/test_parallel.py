@@ -454,3 +454,138 @@ def test_instationary_stencil_sharded_matches_unsharded(mesh):
     with mesh:
         got = np.asarray(fom.solve(mu, tol=1e-12, maxiter=400, mesh=mesh))
     assert np.abs(got - ref).max() < 1e-9 * max(1.0, np.abs(ref).max())
+
+
+def test_sharded_flat_srht_any_n(mesh, rng):
+    """VERDICT r2 item 8: the flat (one-psum) sharded SRHT at NON-pow2
+    DoF counts equals the canonical single-device srht — the zero-block
+    trick (ops/srht_pallas._flat_plan) on a mesh, storage padded per
+    flat_shard_rows."""
+    from rla4mor_tpu.ops.fwht import srht
+    from rla4mor_tpu.parallel import flat_shard_rows, srht_sketch_sharded_flat
+
+    key = jax.random.key(11)
+    for n, m, k in [(1000, 3, 32), (2049 * 3, 2, 48), (777, 1, 16)]:
+        x = jnp.asarray(rng.normal(size=(n, m)), jnp.float64)
+        n_phys, R = flat_shard_rows(n, mesh)
+        xp = jnp.pad(x, ((0, n_phys - n), (0, 0)))
+        with mesh:
+            y = srht_sketch_sharded_flat(key, k, xp, mesh, n=n)
+        ref = srht(x.T, k, key).T
+        assert np.abs(np.asarray(y - ref)).max() < 1e-10 * np.abs(
+            np.asarray(ref)).max(), n
+
+
+def test_sharded_stable_precond_assembly(mesh, rng):
+    """VERDICT r2 item 8: the STABLE (p+T factored) preconditioner ROM
+    assembly run with every n-sized operand DoF-sharded over the mesh
+    (GSPMD contractions + psum) equals the host assembly exactly."""
+    from rla4mor_tpu.core.affine import AffineOp
+    from rla4mor_tpu.core.linops import DenseOp
+    from rla4mor_tpu.core.orthonormalize import gram_schmidt
+    from rla4mor_tpu.core.parameters import ONE, ParameterSpace, \
+        ProjectionCoefficient
+    from rla4mor_tpu.models.stationary import StationaryFOM
+    from rla4mor_tpu.ops import GaussianEmbedding
+    from rla4mor_tpu.precond.preconditioned_rom import PreconditionedRom
+
+    n = 64
+    mats = []
+    for _t in range(2):
+        M = rng.normal(size=(n, n))
+        mats.append(jnp.asarray(M @ M.T + n * np.eye(n)))
+    operator = AffineOp(
+        tuple(DenseOp(M) for M in mats),
+        tuple(ProjectionCoefficient("diffusion", t) for t in range(2)),
+    )
+    rhs = AffineOp((DenseOp(jnp.asarray(rng.normal(size=(n, 1)))),), (ONE,))
+    space = ParameterSpace.make({"diffusion": 2}, 0.5, 2.0)
+    fom = StationaryFOM(operator, rhs, parameter_space=space)
+
+    mus = space.sample_randomly(4, key=5)
+    U = gram_schmidt(jnp.stack(
+        [jnp.linalg.solve(operator.assemble_dense(mu),
+                          rhs.assemble_dense(mu)[:, 0]) for mu in mus],
+        axis=1,
+    ))
+    V1 = gram_schmidt(jnp.asarray(rng.normal(size=(n, 6))))
+    V2 = gram_schmidt(jnp.asarray(rng.normal(size=(n, 3))))
+    emb = GaussianEmbedding.make(n, range_dim=20, seed=9)
+
+    def assemble(shard):
+        basis, v1, v2 = U, V1, V2
+        if shard:
+            sh = NamedSharding(mesh, P("dof", None))
+            basis, v1, v2 = (jax.device_put(a, sh) for a in (U, V1, V2))
+        rom_builder = PreconditionedRom(
+            fom, basis, emb,
+            intermediate_bases={"lhs": v1, "rhs": v2},
+            stable_galerkin=True, log_level=30,
+        )
+        for mu in mus[:2]:
+            Pinv = DenseOp(jnp.linalg.inv(operator.assemble_dense(mu)))
+            rom_builder.add_preconditioner(Pinv, mu)
+        return rom_builder.rom
+
+    rom_h = assemble(shard=False)
+    with mesh:
+        rom_s = assemble(shard=True)
+    for name in ("lhs_left", "lhs_right", "rhs_left", "rhs_right"):
+        a = np.asarray(getattr(rom_h, name).stack)
+        b = np.asarray(getattr(rom_s, name).stack)
+        assert np.abs(a - b).max() < 1e-11 * max(1.0, np.abs(a).max()), name
+    # and the assembled ROMs solve identically (mu extended with the
+    # preconditioner mixing coefficients)
+    mu = dict(space.sample_randomly(1, key=7)[0])
+    mu["precond"] = jnp.asarray([0.7, 0.3])
+    with mesh:
+        us = np.asarray(rom_s.solve(mu))
+    assert np.abs(np.asarray(rom_h.solve(mu)) - us).max() < 1e-10
+
+
+def test_pod_greedy_2d_mesh_matches_host(rng):
+    """VERDICT r2 item 8: POD-greedy on a 2-D ('dof','mu') mesh — the CG
+    time loop dof-sharded, the estimator sweep mu-sharded — selects the
+    same parameters and basis as the unsharded run."""
+    from rla4mor_tpu.models import InstationaryStencilFOM
+    from rla4mor_tpu.models.instationary import InstationaryReductor, pod_greedy
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    mesh2 = make_mesh(8, ("dof", "mu"), shape=(4, 2))
+    n_dof_axis = 4
+    num_intervals = 4 * n_dof_axis - 1
+    sfom = StencilThermalBlock((2, 2), num_intervals, dtype=jnp.float64)
+    pfom = InstationaryStencilFOM(sfom, T=0.1, nt=3)
+
+    from rla4mor_tpu.core.parameters import ParameterSpace
+    space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
+    mus = space.sample_randomly(8, key=3)
+
+    def run(mesh_or_none):
+        kw = dict(tol=1e-10, maxiter=300)
+        if mesh_or_none is not None:
+            kw["mesh"] = mesh_or_none
+        view = pfom.as_reductor_fom(**kw)
+        red = InstationaryReductor(
+            view, embedding=GaussianEmbedding.make(
+                view.solution_dim, range_dim=64, seed=21
+            ), log_level=30,
+        )
+        mu_sh = (None if mesh_or_none is None
+                 else NamedSharding(mesh_or_none, P("mu")))
+        if mesh_or_none is not None:
+            with mesh_or_none:
+                rom, hist = pod_greedy(view, red, mus, max_extensions=3,
+                                       mu_sharding=mu_sh, log_level=30)
+        else:
+            rom, hist = pod_greedy(view, red, mus, max_extensions=3,
+                                   log_level=30)
+        return red, hist
+
+    red_h, hist_h = run(None)
+    red_s, hist_s = run(mesh2)
+    assert [str(m) for m in hist_h["selected_mus"]] == \
+        [str(m) for m in hist_s["selected_mus"]]
+    np.testing.assert_allclose(
+        np.asarray(red_s.rb), np.asarray(red_h.rb), atol=1e-8
+    )
