@@ -271,11 +271,23 @@ class SparseSignEmbedding(Embedding):
 @dataclass(frozen=True)
 class SrhtEmbedding(Embedding):
     """Subsampled randomized Hadamard transform, O(n log n) matrix-free apply
-    (reference rla/embeddings.py:126-209; kernel semantics in ops/fwht.py)."""
+    (reference rla/embeddings.py:126-209; kernel semantics in ops/fwht.py).
+
+    ``precision`` sets the MXU precision of the one-pass sketch kernels:
+    ``"highest"`` (exact f32), ``"high"`` (3-pass bf16, ~1.5e-5 rel),
+    ``"default"`` (1-pass bf16, ~2e-3 rel), or ``None`` = dtype-aware
+    auto — f64/complex inputs sketch at HIGHEST (exact CPU oracles),
+    f32 at HIGH (86% of the HBM roofline vs 74% for HIGHEST, PERF.md
+    round-3; the ~1.5e-5 matmul envelope sits at the f32 snapshot floor),
+    bf16 at DEFAULT (the bf16 offline mode's own quantization dominates).
+    """
+
+    precision: Optional[str] = None
 
     @classmethod
     def make(cls, source_dim, sqrt_product=None, range_dim=None, epsilon=None,
-             delta=None, oblivious_dim=None, seed=0, complex_dtype=False):
+             delta=None, oblivious_dim=None, seed=0, complex_dtype=False,
+             precision=None):
         k = _resolve("srht", source_dim, range_dim, epsilon, delta,
                      oblivious_dim, complex_dtype)
         # complex_dtype switches the a=2 dim formula only: the SRHT's
@@ -283,7 +295,21 @@ class SrhtEmbedding(Embedding):
         # flows through it exactly (tested in test_complex.py), matching
         # the reference's c16 transform signatures (rla/srht.py:14,39)
         return cls(k, source_dim, seed, sqrt_product,
-                   complex_dtype=bool(complex_dtype))
+                   complex_dtype=bool(complex_dtype), precision=precision)
+
+    def _kernel_precision(self, dtype):
+        if self.precision is not None:
+            return {
+                "highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT,
+            }[self.precision]
+        dtype = jnp.dtype(dtype)
+        if dtype in (jnp.float64, jnp.complex128):
+            return jax.lax.Precision.HIGHEST
+        if dtype.itemsize <= 2:  # bf16/f16 storage
+            return jax.lax.Precision.DEFAULT
+        return jax.lax.Precision.HIGH
 
     # above this many DoFs the fused single-pass SRHT (one HBM read)
     # beats the 3-pass Kronecker FWHT; below it the small fwht path
@@ -339,7 +365,7 @@ class SrhtEmbedding(Embedding):
             assert X.shape[1:] == (B, R), (X.shape, (B, R))
             out = srht_onepass_flat(
                 X, self.range_dim, self.key,
-                precision=jax.lax.Precision.HIGHEST, n=self.l2_dim,
+                precision=self._kernel_precision(X.dtype), n=self.l2_dim,
             )
             return out.T
         single = X.ndim == 1
@@ -353,22 +379,20 @@ class SrhtEmbedding(Embedding):
                 srht_onepass_vec,
             )
 
+            prec = self._kernel_precision(X.dtype)
             if single:
                 # the greedy hot shape: one new snapshot per extension —
                 # dense 1-D layout, one (B, R) @ (R, K) dot
                 return srht_onepass_vec(
-                    X, self.range_dim, self.key,
-                    precision=jax.lax.Precision.HIGHEST,
+                    X, self.range_dim, self.key, precision=prec,
                 )
             m = X.shape[1]
             if m >= self._COLS_MIN_WIDTH:
                 return srht_onepass_flat_cols(
-                    X, self.range_dim, self.key,
-                    precision=jax.lax.Precision.HIGHEST,
+                    X, self.range_dim, self.key, precision=prec,
                 )
             return srht_onepass_cols_bmk(
-                X, self.range_dim, self.key,
-                precision=jax.lax.Precision.HIGHEST,
+                X, self.range_dim, self.key, precision=prec,
             )
         Xm = X[:, None] if single else X
         out = srht(Xm.T, self.range_dim, self.key).T

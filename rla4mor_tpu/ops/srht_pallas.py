@@ -439,6 +439,139 @@ def _make_kernel(precision, block_rows):
     return kernel
 
 
+def _make_kernel_packed(precision, B, Q):
+    def kernel(x_ref, dp_ref, gq_ref, gr_ref, hp_ref, out_ref):
+        """Multi-row + 1-bit-packed-sign variant (PERF.md gaps #2/#3).
+
+        Grid (M/B, P), p inner. Blocks: x (B, 1, Q, R); dp (1, Q/32, R)
+        uint32 — the Rademacher signs bit-packed along the SUBLANE (Q)
+        axis, 1/32 the int8 sign traffic; gq (Q, K); gr (R, K);
+        hp (1, 1, K); out (B, 1, K) revisited.
+
+        All B rows go through ONE (B*Q, R) x (R, K) MXU matmul (the
+        leading-dim merge keeps lanes, so it is relayout-free), killing
+        the per-row dot dispatch; the Q-contraction is a VPU
+        multiply + segment-sum after a sublane-split reshape."""
+        p = pl.program_id(1)
+
+        @pl.when(p == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        dw = dp_ref[0]  # (Q//32, R) uint32
+        shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
+        bits = (dw[:, None, :] >> shifts) & jnp.uint32(1)  # (Q//32, 32, R)
+        signs = (1.0 - 2.0 * bits.astype(x_ref.dtype)).reshape(
+            Q, dw.shape[-1]
+        )
+        xb = x_ref[:, 0]  # (B, Q, R)
+        xd = (xb * signs[None]).reshape(B * Q, dw.shape[-1])
+        w = jax.lax.dot_general(
+            xd, gr_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (B*Q, K)
+        wv = w.reshape(B, Q, w.shape[-1]) * gq_ref[:][None]
+        val = jnp.sum(wv, axis=1)  # (B, K)
+        out_ref[:, 0, :] += val * hp_ref[0]
+
+    return kernel
+
+
+def srht_pallas_packed(
+    x: jax.Array,
+    k: int,
+    key: jax.Array,
+    precision=jax.lax.Precision.DEFAULT,
+    block_rows: int = 4,
+) -> jax.Array:
+    """:func:`srht_pallas` with the two PERF.md round-2 kernel gaps closed:
+
+    #2 multi-row grid steps — every block of ``block_rows`` rows is one
+    flattened ``(B*Q, R) @ (R, K)`` MXU matmul (no per-row dot dispatch,
+    no materialized (m, Q, K) intermediate), and
+    #3 1-bit sign packing — the seeded Rademacher diagonal travels as
+    uint32 words packed along Q (1/32 the int8 side-channel traffic),
+    unpacked in-VMEM by a VPU shift/mask.
+
+    Same plan/semantics as :func:`srht_pallas` (equals ``ops.fwht.srht``
+    for power-of-two n). Requires Q >= 32 (i.e. d >= dr + 5), which every
+    large-n shape satisfies; smaller problems should use the XLA paths.
+    """
+    if precision == jax.lax.Precision.HIGH:
+        precision = jax.lax.Precision.HIGHEST
+    m, n = x.shape
+    d = n.bit_length() - 1
+    assert 1 << d == n, "srht_pallas_packed requires power-of-two n"
+
+    row_bytes = n * jnp.dtype(x.dtype).itemsize
+    max_rows = max(1, (1 << 30) // int(row_bytes))
+    if m > max_rows:
+        outs = [
+            srht_pallas_packed(x[i: i + max_rows], k, key, precision,
+                               block_rows)
+            for i in range(0, m, max_rows)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    rademacher, (P, Q, R), gq, gr, hp = _plan_factors(
+        key, n, k, d, jnp.float32, block_rows
+    )
+    assert Q >= 32, (
+        f"srht_pallas_packed needs Q >= 32 (got Q={Q} at n={n}); "
+        "use srht_pallas / the XLA paths for small n"
+    )
+
+    k_pad = max(128, -(-k // 128) * 128)
+    pad = k_pad - k
+    gq = jnp.pad(gq, ((0, pad), (0, 0))).T  # (Q, K)
+    gr = jnp.pad(gr, ((0, pad), (0, 0))).T  # (R, K)
+    hp = jnp.pad(hp, ((0, pad), (0, 0))).T.reshape(P, 1, k_pad)
+
+    # bit-pack the signs along Q: word[p, qg, r] bit b = sign(p, 32qg+b, r)<0
+    neg = (rademacher.reshape(P, Q // 32, 32, R) < 0).astype(jnp.uint32)
+    d_packed = jnp.sum(
+        neg << jnp.arange(32, dtype=jnp.uint32)[None, None, :, None], axis=2
+    ).astype(jnp.uint32)  # (P, Q//32, R)
+
+    B = max(1, block_rows)
+    m_pad = -(-m // B) * B
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    x4 = x.reshape(m_pad, P, Q, R)
+
+    grid = (m_pad // B, P)
+    out = pl.pallas_call(
+        _make_kernel_packed(precision, B, Q),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 1, Q, R), lambda r, p: (r, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q // 32, R), lambda r, p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, k_pad), lambda r, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, k_pad), lambda r, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k_pad), lambda r, p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, 1, k_pad), lambda r, p: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, 1, k_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k_pad,
+            bytes_accessed=m_pad * n * x.dtype.itemsize + n // 8
+            + 4 * k_pad * m_pad,
+            transcendentals=0,
+        ),
+    )(x4, d_packed, gq, gr, hp)
+
+    scale = jnp.asarray(1.0 / math.sqrt(k), jnp.float32)
+    return scale * out[:m, 0, :k]
+
+
 def srht_pallas(
     x: jax.Array,
     k: int,

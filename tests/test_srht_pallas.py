@@ -36,6 +36,23 @@ def test_pallas_matches_xla(interpret_pallas, m, d, k):
     assert rel < 1e-5
 
 
+@pytest.mark.parametrize("m,d,k,B", [(4, 16, 64, 2), (5, 17, 100, 4)])
+def test_pallas_packed_matches_srht(interpret_pallas, m, d, k, B):
+    """Multi-row + 1-bit-packed-sign kernel (PERF.md gaps #2/#3) equals
+    the canonical plan; also at m not divisible by block_rows."""
+    key = jax.random.key(7)
+    x = jnp.asarray(
+        np.random.RandomState(d).normal(size=(m, 1 << d)), dtype=jnp.float32
+    )
+    y1 = np.asarray(
+        sp.srht_pallas_packed(x, k, key, jax.lax.Precision.HIGHEST,
+                              block_rows=B)
+    )
+    y2 = np.asarray(srht(x, k, key))
+    assert y1.shape == (m, k)
+    assert np.abs(y1 - y2).max() / np.abs(y2).max() < 1e-5
+
+
 def test_hadamard_rows_helper():
     from scipy.linalg import hadamard
 
