@@ -456,12 +456,17 @@ class CGInverseOp(LinOp):
         self.tol = tol
         self.maxiter = maxiter
         self.source_dim = self.range_dim = dim
-
-    def _solve_one(self, b):
+        # jit once per instance: eager cg() builds fresh cond/body closures
+        # per call, so every apply would re-trace + recompile the loop
         from rla4mor_tpu.core.solvers import cg
 
-        return cg(self.matvec, b, precond=self.precond, tol=self.tol,
-                  maxiter=self.maxiter).x
+        self._solve_fn = jax.jit(lambda b: cg(
+            self.matvec, b, precond=self.precond, tol=self.tol,
+            maxiter=self.maxiter
+        ).x)
+
+    def _solve_one(self, b):
+        return self._solve_fn(b)
 
     def apply(self, U, mu=None):
         U = jnp.asarray(U)
@@ -542,33 +547,58 @@ class RecycledCGInverseOp(LinOp):
         self._count = 0
         self.last_iters = 0
 
-    def _solve_one(self, b):
+        # jit ONCE with W as an ARGUMENT: closing the eager helpers over
+        # the concrete self._W made every apply re-trace (W became a jaxpr
+        # constant that changes per recycle), recompiling the whole
+        # CG(+preconditioner) program per column — a compile storm that
+        # exhausted the LLVM JIT after ~100 columns (round-3 finding,
+        # examples/preconditioned_large_demo.py). One compile per op
+        # instance now.
         from rla4mor_tpu.core.solvers import cg
 
-        W = self._W
-        x0 = W @ (W.conj().T @ b)  # W^H A W = I => Galerkin coefficients
-        res = cg(self.matvec, b, x0=x0, precond=self.precond, tol=self.tol,
-                 maxiter=self.maxiter)
-        self.last_iters = int(res.iters)
-        self._recycle(res.x)
-        return res.x
+        @jax.jit
+        def _solve(W, b):
+            x0 = W @ (W.conj().T @ b)  # W^H A W = I => Galerkin coeffs
+            res = cg(self.matvec, b, x0=x0, precond=self.precond,
+                     tol=self.tol, maxiter=self.maxiter)
+            return res.x, res.iters
+
+        @jax.jit
+        def _aorth(W, x):
+            w = jnp.asarray(x, W.dtype)
+            Aw = jnp.asarray(self.matvec(w), W.dtype)
+            for _ in range(2):  # A-orthogonalize + one re-orth pass
+                coeffs = W.conj().T @ Aw
+                w = w - W @ coeffs
+                Aw = jnp.asarray(self.matvec(w), W.dtype)
+            return w, jnp.vdot(w, Aw).real
+
+        @jax.jit
+        def _insert(W, w, nrm2, slot):
+            col = (w / jnp.sqrt(nrm2))[:, None]
+            zero = jnp.zeros((), slot.dtype)
+            return jax.lax.dynamic_update_slice(W, col.astype(W.dtype),
+                                                (zero, slot))
+
+        self._solve_fn, self._aorth_fn, self._insert_fn = \
+            _solve, _aorth, _insert
+
+    def _solve_one(self, b):
+        x, iters = self._solve_fn(self._W, b)
+        self.last_iters = int(iters)
+        self._recycle(x)
+        return x
 
     def _recycle(self, x):
         if self.last_iters <= 2:
             # the deflated start already solved it: x is (numerically) in
             # span(W) and re-inserting it only burns 3 matvecs per apply
             return
-        W = self._W
-        w = jnp.asarray(x, W.dtype)
-        Aw = jnp.asarray(self.matvec(w), W.dtype)
-        for _ in range(2):  # A-orthogonalize (one reorthogonalization pass)
-            coeffs = W.conj().T @ Aw
-            w = w - W @ coeffs
-            Aw = jnp.asarray(self.matvec(w), W.dtype)  # refresh for next use
-        nrm2 = float(jnp.vdot(w, Aw).real)  # reuse the last A*w product
-        if nrm2 > 1e-28:
+        w, nrm2 = self._aorth_fn(self._W, x)
+        if float(nrm2) > 1e-28:
             slot = self._count % self.m_max
-            self._W = W.at[:, slot].set(w / jnp.sqrt(nrm2))
+            self._W = self._insert_fn(self._W, w, nrm2,
+                                      jnp.asarray(slot, jnp.int32))
             self._count += 1
 
     def apply(self, U, mu=None):
