@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--k", type=int, default=256)
     ap.add_argument("--precond", choices=["jacobi", "mg"], default="jacobi")
+    ap.add_argument("--sketch", choices=["gaussian", "srht"],
+                    default="gaussian",
+                    help="srht = matrix-free flat sharded SRHT (required "
+                    "at >=1e7 DoF: the Gaussian materializes a (k, n) "
+                    "strip)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -76,6 +81,7 @@ def main():
         fom, mesh, key, k=args.k, r_max=args.steps,
         cg_tol=1e-7, cg_maxiter=300 if use_mg else 6000,
         cg_precond="mg" if use_mg else "jacobi",
+        sketch=args.sketch,
     )
     space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
     batch = mu_stack(space.sample_randomly(8, key=1))

@@ -53,16 +53,46 @@ def make_sharded_greedy_step(
     cg_tol: float = 1e-6,
     cg_maxiter: int = 500,
     cg_precond: str = "jacobi",
+    sketch: str = "gaussian",
 ):
     """Build (init_state, step) for the sharded greedy. ``step(state, mu,
     mu_batch)`` solves the FOM at mu, extends the sketched state, and
-    returns ROM error estimates over the (mu-sharded) batch."""
+    returns ROM error estimates over the (mu-sharded) batch.
+
+    ``sketch``: ``"gaussian"`` (per-shard generated Omega + psum) or
+    ``"srht"`` (the flat one-psum sharded SRHT). The Gaussian materializes
+    a (k, n_local) strip per shard — 17 GB at k=256, n=16.8M — so the
+    matrix-free SRHT is the only option at >=1e7 DoF on one chip (its
+    plan memory is O(k * R), and the contraction streams the snapshot at
+    the HBM roofline; PERF.md round-3 capstone)."""
     grid_sharding = NamedSharding(mesh, P("dof", None))
     key_theta = jax.random.fold_in(key, 0)
+    n_true = fom.n_nodes ** 2
 
-    def sketch(X_flat):
-        """DoF-sharded Gaussian sketch of (n,) or (n, b) columns."""
-        return gaussian_sketch_sharded(key_theta, k, X_flat, mesh, axis="dof")
+    if sketch == "srht":
+        from rla4mor_tpu.parallel.sharded_sketch import (
+            flat_shard_rows,
+            srht_sketch_sharded_flat,
+        )
+
+        n_phys, _R = flat_shard_rows(n_true, mesh)
+
+        def sketch(X_flat):  # noqa: F811
+            """Flat sharded SRHT of (n,) or (n, b) columns, zero-padded to
+            the whole-R-block layout (same canonical plan as ops.fwht.srht
+            at seed key_theta)."""
+            pad = [(0, n_phys - n_true)] + [(0, 0)] * (X_flat.ndim - 1)
+            return srht_sketch_sharded_flat(
+                key_theta, k, jnp.pad(X_flat, pad), mesh, n=n_true
+            )
+    else:
+        assert sketch == "gaussian", sketch
+
+        def sketch(X_flat):  # noqa: F811
+            """DoF-sharded Gaussian sketch of (n,) or (n, b) columns."""
+            return gaussian_sketch_sharded(
+                key_theta, k, X_flat, mesh, axis="dof"
+            )
 
     # rhs sketch (precomputed once)
     rhs_flat = fom.rhs().reshape(-1)

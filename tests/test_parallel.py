@@ -201,6 +201,37 @@ def test_stencil_cg_solve():
     assert np.allclose(got, want, atol=1e-8)
 
 
+def test_sharded_greedy_step_srht_sketch():
+    """sketch='srht' greedy driver: the sketched state equals the
+    canonical srht of the snapshot/residual columns at the same seed —
+    the matrix-free option required at >=1e7 DoF (VERDICT r2 item 9)."""
+    from rla4mor_tpu.core import mu_stack
+    from rla4mor_tpu.core.parameters import ParameterSpace
+    from rla4mor_tpu.ops.fwht import srht
+
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("dof", "mu"))
+    fom = StencilThermalBlock((2, 2), 15, dtype=jnp.float64)
+    key = jax.random.key(0)
+    k = 32
+    state0, step = make_sharded_greedy_step(
+        fom, mesh, key, k=k, r_max=4, cg_tol=1e-12, cg_maxiter=800,
+        sketch="srht",
+    )
+    space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
+    mu = space.sample_randomly(1, key=1)[0]
+    batch = mu_stack(space.sample_randomly(8, key=2))
+    with mesh:
+        state, est, u = jax.jit(step)(state0, mu, batch)
+    assert int(state.ncols) == 1 and np.all(np.isfinite(np.asarray(est)))
+    # the first basis column is the normalized canonical srht sketch of u
+    su = np.asarray(srht(np.asarray(u).reshape(-1),
+                         k, jax.random.fold_in(key, 0)))
+    want = su / np.linalg.norm(su)
+    got = np.asarray(state.srb[:, 0])
+    assert np.abs(got - want).max() < 1e-10
+
+
 def test_sharded_greedy_step():
     """One jitted sharded training step on a (4, 2) ('dof','mu') mesh."""
     devices = np.array(jax.devices()[:8]).reshape(4, 2)
