@@ -33,15 +33,19 @@ from rla4mor_tpu.models.stencil import interior_mask, stencil_apply
 # anyway, so only the data would be truncated at default precision.
 
 
-# NOTE: the caches hold NUMPY arrays; jnp.asarray happens per call so
-# that inside a jit trace the matrix enters as a fresh constant (caching
-# a jnp array created under trace would leak the tracer into later
-# traces — UnexpectedTracerError).
+# The banded 1-D transfer matrices are built from IOTA inside the trace
+# (a few fused elementwise ops), NOT as baked numpy literals: at 4097^2
+# the dense (nf, nc) constants were ~34 MB per level per direction,
+# which (together with the stencil masks) pushed pod-scale programs over
+# the remote compile service's request limit (round-3 capstone fix).
+# Both bands are |f - 2c| hat functions: R = max(0, 1/2 - |f-2c|/4),
+# P = max(0, 1 - |f-2c|/2) — identical entries to the old literals.
 
 
 @lru_cache(maxsize=32)
 def _restrict_1d_np(n_fine: int, dtype_name: str) -> np.ndarray:
-    """(nc, nf) full-weighting rows: [1/4, 1/2, 1/4] at stride 2."""
+    """(nc, nf) full-weighting rows: [1/4, 1/2, 1/4] at stride 2
+    (numpy oracle for tests; traced code uses :func:`_restrict_1d`)."""
     nc = (n_fine - 1) // 2 + 1
     R = np.zeros((nc, n_fine), np.dtype(dtype_name))
     for off, w in ((-1, 0.25), (0, 0.5), (1, 0.25)):
@@ -54,7 +58,8 @@ def _restrict_1d_np(n_fine: int, dtype_name: str) -> np.ndarray:
 
 @lru_cache(maxsize=32)
 def _prolong_1d_np(n_fine: int, dtype_name: str) -> np.ndarray:
-    """(nf, nc) bilinear columns: even rows copy, odd rows average."""
+    """(nf, nc) bilinear columns: even rows copy, odd rows average
+    (numpy oracle for tests; traced code uses :func:`_prolong_1d`)."""
     nc = (n_fine - 1) // 2 + 1
     P = np.zeros((n_fine, nc), np.dtype(dtype_name))
     i = np.arange(nc)
@@ -66,6 +71,22 @@ def _prolong_1d_np(n_fine: int, dtype_name: str) -> np.ndarray:
     return P
 
 
+def _restrict_1d(n_fine: int, dtype) -> jax.Array:
+    nc = (n_fine - 1) // 2 + 1
+    f = jax.lax.broadcasted_iota(jnp.int32, (nc, n_fine), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (nc, n_fine), 0)
+    d = jnp.abs(f - 2 * c).astype(dtype)
+    return jnp.maximum(jnp.asarray(0, dtype), 0.5 - 0.25 * d).astype(dtype)
+
+
+def _prolong_1d(n_fine: int, dtype) -> jax.Array:
+    nc = (n_fine - 1) // 2 + 1
+    f = jax.lax.broadcasted_iota(jnp.int32, (n_fine, nc), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n_fine, nc), 1)
+    d = jnp.abs(f - 2 * c).astype(dtype)
+    return jnp.maximum(jnp.asarray(0, dtype), 1.0 - 0.5 * d).astype(dtype)
+
+
 def coarsen_kappa(kappa: jax.Array) -> jax.Array:
     """(N, N) element coefficients -> (N/2, N/2) by 2x2 averaging."""
     N = kappa.shape[0]
@@ -75,7 +96,7 @@ def coarsen_kappa(kappa: jax.Array) -> jax.Array:
 def restrict_full_weighting(r: jax.Array) -> jax.Array:
     """Node-grid full-weighting: coarse nodes = even fine nodes, 9-point
     [1/4, 1/2, 1/4] (x) [1/4, 1/2, 1/4] stencil. r: (N+1, N+1), N even."""
-    R = jnp.asarray(_restrict_1d_np(r.shape[0], r.dtype.name))
+    R = _restrict_1d(r.shape[0], r.dtype)
     coarse = jnp.einsum(
         "cf,fg,dg->cd", R, r, R, precision=jax.lax.Precision.HIGHEST
     )
@@ -84,7 +105,7 @@ def restrict_full_weighting(r: jax.Array) -> jax.Array:
 
 def prolong_bilinear(e: jax.Array, n_fine: int) -> jax.Array:
     """Bilinear interpolation from ((N/2)+1)^2 coarse nodes to (N+1)^2."""
-    P = jnp.asarray(_prolong_1d_np(n_fine, e.dtype.name))
+    P = _prolong_1d(n_fine, e.dtype)
     out = jnp.einsum(
         "fc,cd,gd->fg", P, e, P, precision=jax.lax.Precision.HIGHEST
     )

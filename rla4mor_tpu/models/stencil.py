@@ -54,6 +54,23 @@ def block_masks(num_intervals: int, grid_shape: Tuple[int, int],
     return jnp.asarray(masks, dtype=dtype)
 
 
+def block_index_map(num_intervals: int,
+                    grid_shape: Tuple[int, int]) -> jax.Array:
+    """(N, N) int32 block id per element, built from iota INSIDE the
+    trace — the traced equivalent of :func:`block_masks`.
+
+    At pod scale the stored masks were the killer: (4, 4096, 4096) f32
+    = 268 MB of LITERALS baked into every jitted program that touched
+    ``kappa`` — over the remote compile service's request limit (round-3
+    capstone, HTTP 413). The iota form is a few elementwise int ops that
+    XLA fuses into the consumer."""
+    bx, by = grid_shape
+    N = num_intervals
+    ex = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    ey = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    return (ey * by // N) * bx + (ex * bx // N)
+
+
 def mass_apply(u: jax.Array, h: float) -> jax.Array:
     """Consistent Q1 mass-matrix apply on the uniform grid, gather form.
 
@@ -150,10 +167,24 @@ class StencilThermalBlock:
         self.grid_shape = grid_shape
         self.num_intervals = num_intervals
         self.dtype = dtype
-        self.masks = block_masks(num_intervals, grid_shape, dtype)
-        self.n_terms = self.masks.shape[0]
+        self.n_terms = grid_shape[0] * grid_shape[1]
         self.n_nodes = num_intervals + 1
         self.h = 1.0 / num_intervals
+        self._masks = None
+
+    @property
+    def masks(self):
+        """(B, N, N) element masks — LAZY host-side compat view. Traced
+        code paths use :func:`block_index_map` instead so pod-scale
+        programs never bake N^2-sized literals (see that docstring)."""
+        if self._masks is None:
+            self._masks = block_masks(
+                self.num_intervals, self.grid_shape, self.dtype
+            )
+        return self._masks
+
+    def _block_index(self) -> jax.Array:
+        return block_index_map(self.num_intervals, self.grid_shape)
 
     @property
     def solution_shape(self):
@@ -161,17 +192,23 @@ class StencilThermalBlock:
 
     def kappa(self, mu) -> jax.Array:
         theta = jnp.asarray(mu["diffusion"], dtype=self.dtype)
-        return jnp.einsum("b,byx->yx", theta, self.masks)
+        blk = self._block_index()
+        out = jnp.zeros(blk.shape, self.dtype)
+        for b in range(self.n_terms):  # select-sum: fuses, no literals
+            out = out + jnp.where(blk == b, theta[b], 0).astype(self.dtype)
+        return out
 
     def apply(self, mu, u: jax.Array) -> jax.Array:
         return stencil_apply(u, self.kappa(mu))
 
     def apply_term(self, b: int, u: jax.Array) -> jax.Array:
-        return stencil_apply(u, self.masks[b])
+        mask = (self._block_index() == b).astype(self.dtype)
+        return stencil_apply(u, mask)
 
     def product_apply(self, u: jax.Array) -> jax.Array:
         """h1_0 product R = A(kappa=1)."""
-        return stencil_apply(u, jnp.ones_like(self.masks[0]))
+        N = self.num_intervals
+        return stencil_apply(u, jnp.ones((N, N), self.dtype))
 
     def rhs(self) -> jax.Array:
         """Load vector for f = 1 (interior nodes get h^2: four adjacent
@@ -264,9 +301,10 @@ class StencilTermOp(FlatGridOp):
         self.term = term
 
     def _kappa(self):
+        N = self.st.num_intervals
         if self.term is None:
-            return jnp.ones_like(self.st.masks[0])
-        return self.st.masks[self.term]
+            return jnp.ones((N, N), self.st.dtype)
+        return (self.st._block_index() == self.term).astype(self.st.dtype)
 
     def _grid_apply(self, grid):
         return stencil_apply(grid, self._kappa())

@@ -461,7 +461,8 @@ def _make_kernel_packed(precision, B, Q):
         dw = dp_ref[0]  # (Q//32, R) uint32
         shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
         bits = (dw[:, None, :] >> shifts) & jnp.uint32(1)  # (Q//32, 32, R)
-        signs = (1.0 - 2.0 * bits.astype(x_ref.dtype)).reshape(
+        # Mosaic has no uint32->float cast; go through int32
+        signs = (1 - 2 * bits.astype(jnp.int32)).astype(x_ref.dtype).reshape(
             Q, dw.shape[-1]
         )
         xb = x_ref[:, 0]  # (B, Q, R)

@@ -65,3 +65,25 @@ def test_output_is_mean():
     s = float(np.asarray(fom.output_functional.apply(u, mu)))
     # integral of u over the domain (load vector = lumped integration)
     assert 0.0 < s < 0.074  # bounded by max(u) * area
+
+
+def test_block_index_map_matches_masks():
+    """Traced iota block ids == stored block_masks (the pod-scale path
+    never bakes (B, N, N) literals; this pins the equivalence)."""
+    from rla4mor_tpu.models.stencil import (
+        StencilThermalBlock,
+        block_index_map,
+        block_masks,
+    )
+
+    for shape, N in (((2, 2), 8), ((3, 2), 12), ((4, 4), 16)):
+        masks = np.asarray(block_masks(N, shape, jnp.float64))
+        blk = np.asarray(block_index_map(N, shape))
+        want = np.argmax(masks, axis=0)
+        assert np.array_equal(blk, want)
+        # and kappa assembly agrees with the einsum-over-masks form
+        st = StencilThermalBlock(shape, N, dtype=jnp.float64)
+        theta = np.linspace(0.2, 1.7, st.n_terms)
+        mu = {"diffusion": jnp.asarray(theta)}
+        want_k = np.einsum("b,byx->yx", theta, masks)
+        assert np.allclose(np.asarray(st.kappa(mu)), want_k, atol=1e-14)

@@ -59,3 +59,21 @@ def test_mg_solve_cg_interface():
                                        precond="mg"))(mu)
     u2 = st.solve_cg(mu, tol=1e-11, maxiter=5000, precond="jacobi")
     assert np.abs(np.asarray(u1) - np.asarray(u2)).max() < 1e-9
+
+
+def test_traced_transfer_matrices_match_numpy_oracle():
+    """Iota-built 1-D transfer factors (used under trace, so pod-scale
+    programs carry no (nf, nc) literals) reproduce the explicit numpy
+    stencil rows exactly."""
+    from rla4mor_tpu.models.multigrid import (
+        _prolong_1d,
+        _prolong_1d_np,
+        _restrict_1d,
+        _restrict_1d_np,
+    )
+
+    for n_fine in (5, 9, 17, 65):
+        R = np.asarray(_restrict_1d(n_fine, jnp.float64))
+        P = np.asarray(_prolong_1d(n_fine, jnp.float64))
+        assert np.array_equal(R, _restrict_1d_np(n_fine, "float64"))
+        assert np.array_equal(P, _prolong_1d_np(n_fine, "float64"))
