@@ -18,6 +18,7 @@ Two worlds coexist:
 
 from __future__ import annotations
 
+import inspect
 from typing import Sequence
 
 import jax
@@ -226,9 +227,19 @@ class CastInputOp(LinOp):
             # Embedding: the product-sqrt factor is often a HOST sparse op
             # (scipy cannot take bf16, and host bytes are not the
             # bottleneck) — cast only the input of the device random
-            # sketch, which is where the HBM read happens
+            # sketch, which is where the HBM read happens. Embeddings
+            # whose apply_random takes out_dtype (SRHT kernels) emit the
+            # f32 accumulator directly — the astype below is then a no-op
+            # instead of a re-promotion of an already-rounded bf16 result
+            # (round-3 review finding).
             x = op._apply_q(jnp.asarray(U))
-            out = op.apply_random(self._cast_in(x))
+            if "out_dtype" in inspect.signature(
+                type(op).apply_random
+            ).parameters:
+                out = op.apply_random(self._cast_in(x),
+                                      out_dtype=self.out_dtype)
+            else:
+                out = op.apply_random(self._cast_in(x))
         else:
             out = op.apply(self._cast_in(U), mu)
         return jnp.asarray(out).astype(

@@ -305,7 +305,7 @@ class SrhtEmbedding(Embedding):
                 "default": jax.lax.Precision.DEFAULT,
             }[self.precision]
         dtype = jnp.dtype(dtype)
-        if dtype in (jnp.float64, jnp.complex128):
+        if dtype == jnp.float64 or jnp.issubdtype(dtype, jnp.complexfloating):
             return jax.lax.Precision.HIGHEST
         if dtype.itemsize <= 2:  # bf16/f16 storage
             return jax.lax.Precision.DEFAULT
@@ -354,8 +354,17 @@ class SrhtEmbedding(Embedding):
         Xt = jnp.pad(X.T, ((0, 0), (0, pad)))
         return Xt.reshape(m, B, R)
 
-    def apply_random(self, X):
+    def apply_random(self, X, out_dtype=None):
+        """``out_dtype`` (optional) emits the sketch in that dtype straight
+        from the kernels' f32 accumulator — the bf16 offline mode
+        (``CastInputOp``) requests f32 output for bf16 input so the only
+        rounding is the input quantization, not an extra 2^-9 on the
+        result (round-3 review finding)."""
         X = jnp.asarray(X)
+        if out_dtype is not None and jnp.iscomplexobj(X):
+            # never drop the imaginary part: a real out_dtype request on
+            # complex data promotes (f32 -> c64 etc.)
+            out_dtype = jnp.promote_types(jnp.dtype(out_dtype), X.dtype)
         if X.ndim == 3:
             # pre-blocked rows layout (m, B, R) with zero tail (see
             # to_blocked); returns (k, m) like the cols paths
@@ -366,6 +375,7 @@ class SrhtEmbedding(Embedding):
             out = srht_onepass_flat(
                 X, self.range_dim, self.key,
                 precision=self._kernel_precision(X.dtype), n=self.l2_dim,
+                out_dtype=out_dtype,
             )
             return out.T
         single = X.ndim == 1
@@ -385,17 +395,28 @@ class SrhtEmbedding(Embedding):
                 # dense 1-D layout, one (B, R) @ (R, K) dot
                 return srht_onepass_vec(
                     X, self.range_dim, self.key, precision=prec,
+                    out_dtype=out_dtype,
                 )
             m = X.shape[1]
             if m >= self._COLS_MIN_WIDTH:
                 return srht_onepass_flat_cols(
                     X, self.range_dim, self.key, precision=prec,
+                    out_dtype=out_dtype,
                 )
             return srht_onepass_cols_bmk(
                 X, self.range_dim, self.key, precision=prec,
+                out_dtype=out_dtype,
             )
         Xm = X[:, None] if single else X
+        if out_dtype is not None and jnp.dtype(out_dtype).itemsize > \
+                Xm.dtype.itemsize:
+            # small-n 3-pass FWHT computes in the input dtype; upcast so
+            # the passes accumulate at the requested width (XLA fuses the
+            # convert into the first multiply — the HBM read stays narrow)
+            Xm = Xm.astype(out_dtype)
         out = srht(Xm.T, self.range_dim, self.key).T
+        if out_dtype is not None:
+            out = out.astype(out_dtype)
         return out[:, 0] if single else out
 
     def random_matrix(self):

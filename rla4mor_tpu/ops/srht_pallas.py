@@ -154,6 +154,7 @@ def srht_onepass_flat(
     precision=jax.lax.Precision.HIGHEST,
     block: int | None = None,
     n: int | None = None,
+    out_dtype=None,
 ) -> jax.Array:
     """Single-pass factored SRHT as ONE flat MXU contraction (no scan).
 
@@ -223,7 +224,7 @@ def srht_onepass_flat(
         preferred_element_type=acc_dtype,
     )  # (m, B_s, K)
     out = jnp.sum(w * hb.T[None].astype(acc_dtype), axis=1)  # (m, K)
-    return (out / math.sqrt(k)).astype(x.dtype)
+    return (out / math.sqrt(k)).astype(x.dtype if out_dtype is None else out_dtype)
 
 
 def _flat_plan(key, n: int, k: int, R: int | None, dtype):
@@ -263,6 +264,7 @@ def srht_onepass_flat_cols(
     key: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
     block: int | None = None,
+    out_dtype=None,
 ) -> jax.Array:
     """SRHT sketch along AXIS 0 of an ``(n, m)`` column matrix — the
     framework's snapshot convention — with no transpose: ``(n, m) ->
@@ -294,7 +296,7 @@ def srht_onepass_flat_cols(
             preferred_element_type=acc_dtype,
         )  # (K, B, m)
         out = jnp.sum(w * hb.astype(acc_dtype)[:, :, None], axis=1)
-        return (out / math.sqrt(k)).astype(x.dtype)
+        return (out / math.sqrt(k)).astype(x.dtype if out_dtype is None else out_dtype)
 
     n, m = x.shape
     R, B_nz, n_full, gr, hb, rademacher = _flat_plan(key, n, k, block, x.dtype)
@@ -309,7 +311,7 @@ def srht_onepass_flat_cols(
             preferred_element_type=acc_dtype,
         )  # (K, B_nz, m)
         out = jnp.sum(w * hb[:, :, None], axis=1)
-        return (out / math.sqrt(k)).astype(x.dtype)
+        return (out / math.sqrt(k)).astype(x.dtype if out_dtype is None else out_dtype)
 
     # complete blocks: leading-axis slice + split, tiling-free
     xm = x[:n_full].reshape(B_nz - 1, R, m)
@@ -327,7 +329,7 @@ def srht_onepass_flat_cols(
     wt = jnp.matmul(gr, xt, precision=precision,
                     preferred_element_type=acc_dtype)  # (K, m)
     out = out + wt * hb[:, B_nz - 1, None]
-    return (out / math.sqrt(k)).astype(x.dtype)
+    return (out / math.sqrt(k)).astype(x.dtype if out_dtype is None else out_dtype)
 
 
 def srht_onepass_vec(
@@ -336,6 +338,7 @@ def srht_onepass_vec(
     key: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
     block: int | None = None,
+    out_dtype=None,
 ) -> jax.Array:
     """SRHT sketch of ONE vector ``(n,) -> (k,)``, any n — the greedy
     ``extend_basis`` hot shape (one new snapshot per iteration).
@@ -359,7 +362,7 @@ def srht_onepass_vec(
             preferred_element_type=acc_dtype,
         )  # (B_nz, K)
         out = jnp.sum(w * hb.T, axis=0)
-        return (out / math.sqrt(k)).astype(x.dtype)
+        return (out / math.sqrt(k)).astype(x.dtype if out_dtype is None else out_dtype)
 
     xm = x[:n_full].reshape(B_nz - 1, R)
     xd = xm * rademacher[:n_full].reshape(B_nz - 1, R).astype(x.dtype)
@@ -374,7 +377,7 @@ def srht_onepass_vec(
     wt = jnp.matmul(gr, xt, precision=precision,
                     preferred_element_type=acc_dtype)  # (K,)
     out = out + wt * hb[:, B_nz - 1]
-    return (out / math.sqrt(k)).astype(x.dtype)
+    return (out / math.sqrt(k)).astype(x.dtype if out_dtype is None else out_dtype)
 
 
 def srht_onepass_cols_bmk(
@@ -383,6 +386,7 @@ def srht_onepass_cols_bmk(
     key: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
     block: int | None = None,
+    out_dtype=None,
 ) -> jax.Array:
     """Skinny-m variant of :func:`srht_onepass_flat_cols`: the R
     contraction produces ``(B, m, K)`` (K minor — full 128-lane tiles
@@ -408,7 +412,7 @@ def srht_onepass_cols_bmk(
     wt = jnp.matmul(gr, xt, precision=precision,
                     preferred_element_type=acc_dtype)  # (K, m)
     out = out + wt * hb[:, B_nz - 1, None]
-    return (out / math.sqrt(k)).astype(x.dtype)
+    return (out / math.sqrt(k)).astype(x.dtype if out_dtype is None else out_dtype)
 
 
 def _make_kernel(precision, block_rows):

@@ -211,13 +211,16 @@ def srht_sketch_sharded_flat(key, k: int, x: jax.Array, mesh: Mesh,
     from rla4mor_tpu.ops.srht_pallas import (
         _hadamard_rows,
         _popcount_parity,
-        _split_pqr,
     )
 
-    if block is None:
-        R = min(1 << _split_pqr(d)[2], n_local)
-    else:
-        R = block
+    # single source of truth for the block size: the SAME derivation the
+    # padding helper used, so a storage padded by flat_shard_rows can
+    # never disagree with the split chosen here (round-3 review finding)
+    n_phys_want, R = flat_shard_rows(n, mesh, axis, block)
+    assert n_phys == n_phys_want, (
+        n_phys, n_phys_want, "storage must be padded via flat_shard_rows "
+        "with the same (mesh, axis, block)"
+    )
     assert R & (R - 1) == 0 and n_local % R == 0, (R, n_local)
     dr = R.bit_length() - 1
     B_local = n_local // R

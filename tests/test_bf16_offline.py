@@ -127,3 +127,67 @@ def test_bf16_offline_greedy_decays(thermal_fom):
     u_rb = np.asarray(red.reconstruct(rom.solve(mu))).ravel()
     rel = np.linalg.norm(u - u_rb) / np.linalg.norm(u)
     assert rel < 0.05, rel
+
+
+def test_srht_out_dtype_keeps_f32_accumulator(rng):
+    """Round-3 review: the one-pass kernels cast their f32 accumulator
+    back to the bf16 input dtype, so the offline mode paid an avoidable
+    extra 2^-9 output rounding. ``apply_random(..., out_dtype=f32)`` must
+    emit the accumulator directly — strictly closer to the f64 oracle of
+    the SAME quantized input than the round-tripped bf16 result."""
+    from rla4mor_tpu.ops.fwht import srht
+
+    n, m, k = 4096, 5, 96
+    S = SrhtEmbedding.make(n, range_dim=k, seed=3)
+    x = jnp.asarray(rng.normal(size=(n, m)))
+    xb = x.astype(jnp.bfloat16)
+
+    # blocked (kernel) path
+    Xb = S.to_blocked(xb)
+    out_f32 = np.asarray(S.apply_random(Xb, out_dtype=jnp.float32))
+    out_bf = np.asarray(S.apply_random(Xb)).astype(np.float32)
+    assert out_f32.dtype == np.float32
+    oracle = np.asarray(srht(xb.astype(jnp.float64).T, k, S.key).T)
+    err_f32 = np.abs(out_f32 - oracle).max()
+    err_bf = np.abs(out_bf - oracle).max()
+    assert err_f32 < 1e-5, err_f32          # f32-level, not bf16-level
+    assert err_bf > 16 * err_f32, (err_bf, err_f32)  # old path: 2^-9 floor
+
+    # small-n 2-D path upcasts through the 3-pass FWHT
+    out2 = np.asarray(S.apply_random(xb, out_dtype=jnp.float32))
+    assert out2.dtype == np.float32
+    assert np.abs(out2 - oracle).max() < 1e-5
+
+    # complex input never loses its imaginary part to a real out_dtype
+    xc = x.astype(jnp.complex128) * (1 + 0.25j)
+    outc = np.asarray(S.apply_random(xc, out_dtype=jnp.float32))
+    assert np.iscomplexobj(outc)
+
+
+def test_cast_input_op_requests_f32_output(rng):
+    """CastInputOp(SRHT, bf16) emits the kernel accumulator: vs the f64
+    oracle of the quantized input it sits at f32 error, not bf16."""
+    from rla4mor_tpu.ops.fwht import srht
+
+    n, k = 4096, 64
+    S = SrhtEmbedding.make(n, range_dim=k, seed=11)
+    op = CastInputOp(S, jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(n, 4)))
+    y = np.asarray(op.apply(x))
+    assert y.dtype == np.float32
+    oracle = np.asarray(
+        srht(x.astype(jnp.bfloat16).astype(jnp.float64).T, k, S.key).T
+    )
+    assert np.abs(y - oracle).max() < 1e-5
+
+
+def test_kernel_precision_complex64_is_highest():
+    """Round-3 review: complex64 fell into the f32 HIGH branch despite the
+    documented 'f64/complex inputs sketch at HIGHEST' contract."""
+    S = SrhtEmbedding.make(256, range_dim=32, seed=0)
+    hi = jax.lax.Precision.HIGHEST
+    assert S._kernel_precision(jnp.complex64) is hi
+    assert S._kernel_precision(jnp.complex128) is hi
+    assert S._kernel_precision(jnp.float64) is hi
+    assert S._kernel_precision(jnp.float32) is jax.lax.Precision.HIGH
+    assert S._kernel_precision(jnp.bfloat16) is jax.lax.Precision.DEFAULT

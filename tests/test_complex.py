@@ -300,3 +300,34 @@ def test_complex_dictionary_recovery_helmholtz():
     for i in range(obs.shape[1]):
         v_i = np.asarray(rm._state_single(obs[:, i], max_steps=32))
         np.testing.assert_allclose(v_b[:, i], v_i, rtol=1e-8, atol=1e-10)
+
+
+def test_batched_recovery_real_dict_complex_obs():
+    """Real dictionary + COMPLEX observations must route the batched
+    device program through the stacked LARS exactly like
+    ``compute_state_path`` (round-3 review: ``_batched_fn`` keyed off the
+    cross-gramian alone, so the real homotopy's while_loop rejected the
+    complex carry and the preferred entry point crashed where the
+    per-column one worked)."""
+    from rla4mor_tpu.core.affine import AffineDense
+    from rla4mor_tpu.estim import DicRecoveryMap, ResidualDistanceDiscrete
+
+    rng = np.random.RandomState(7)
+    n, nv, m = 40, 6, 8
+    V, _ = np.linalg.qr(rng.normal(size=(n, nv)))
+    W, _ = np.linalg.qr(rng.normal(size=(n, m)))
+    mus = [
+        {"p": jnp.asarray(rng.uniform(0.5, 2.0, size=2))} for _ in range(4)
+    ]
+    coeffs = (ProjectionCoefficient("p", 0), ProjectionCoefficient("p", 1))
+    lhs = AffineDense(jnp.asarray(rng.normal(size=(2, 12, nv + m))), coeffs)
+    rhs = AffineDense(jnp.asarray(rng.normal(size=(2, 12, 1))), coeffs)
+    md = ResidualDistanceDiscrete(lhs, rhs, mus)
+    rm = DicRecoveryMap(jnp.asarray(V), jnp.asarray(W),
+                        manifold_distance=md, log_level=30)
+    w = jnp.asarray(rng.normal(size=(m, 3)) + 1j * rng.normal(size=(m, 3)))
+    v_b = np.asarray(rm.compute_state(w, max_steps=40))  # batched route
+    assert np.iscomplexobj(v_b) and v_b.shape == (nv, 3)
+    for i in range(3):
+        v_i = np.asarray(rm._state_single(w[:, i], max_steps=40))
+        np.testing.assert_allclose(v_b[:, i], v_i, rtol=1e-8, atol=1e-10)

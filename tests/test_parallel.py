@@ -620,3 +620,36 @@ def test_pod_greedy_2d_mesh_matches_host(rng):
     np.testing.assert_allclose(
         np.asarray(red_s.rb), np.asarray(red_h.rb), atol=1e-8
     )
+
+
+def test_sharded_flat_srht_single_block_derivation(mesh, rng):
+    """Round-3 review: ``srht_sketch_sharded_flat`` re-derived its R with
+    a formula structurally different from ``flat_shard_rows``; it now
+    CALLS the padding helper (single source of truth), so storage padded
+    with one block size and sketched with another fails loudly instead of
+    splitting differently than the padding assumed."""
+    import pytest
+
+    from rla4mor_tpu.ops.fwht import srht
+    from rla4mor_tpu.parallel import flat_shard_rows, srht_sketch_sharded_flat
+
+    key = jax.random.key(5)
+    n, m, k = 1000, 2, 24
+    x = jnp.asarray(rng.normal(size=(n, m)), jnp.float64)
+
+    # explicit block, pad and sketch with the SAME one -> canonical result
+    n_phys, R = flat_shard_rows(n, mesh, block=64)
+    assert R == 64
+    xp = jnp.pad(x, ((0, n_phys - n), (0, 0)))
+    with mesh:
+        y = np.asarray(srht_sketch_sharded_flat(key, k, xp, mesh, block=64,
+                                                n=n))
+    ref = np.asarray(srht(x.T, k, key).T)
+    assert np.abs(y - ref).max() < 1e-10 * np.abs(ref).max()
+
+    # a DIFFERENT block on the same storage -> loud mismatch, not a
+    # silently different split
+    if flat_shard_rows(n, mesh, block=256)[0] != n_phys:
+        with pytest.raises(AssertionError, match="flat_shard_rows"):
+            with mesh:
+                srht_sketch_sharded_flat(key, k, xp, mesh, block=256, n=n)
