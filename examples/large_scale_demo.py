@@ -36,9 +36,16 @@ def main():
                     help="srht = matrix-free flat sharded SRHT (required "
                     "at >=1e7 DoF: the Gaussian materializes a (k, n) "
                     "strip)")
+    ap.add_argument("--score", choices=["sketched", "exact"],
+                    default="sketched",
+                    help="exact = f64-refined true residual norms per "
+                    "candidate (keeps the basis grids in HBM; breaks the "
+                    "~1e-3 f32 sketched-estimator floor at >=1e7 DoF)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.score == "exact":
+        jax.config.update("jax_enable_x64", True)
 
     import numpy as np
     import jax.numpy as jnp
@@ -82,6 +89,7 @@ def main():
         cg_tol=1e-7, cg_maxiter=300 if use_mg else 6000,
         cg_precond="mg" if use_mg else "jacobi",
         sketch=args.sketch,
+        score=args.score,
     )
     space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
     batch = mu_stack(space.sample_randomly(8, key=1))

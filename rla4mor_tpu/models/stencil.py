@@ -136,7 +136,9 @@ def stencil_apply(u: jax.Array, kappa_el: jax.Array) -> jax.Array:
     M = u.shape[0]
     up = jnp.pad(u, 1)            # (M+2, M+2)
     kp = jnp.pad(kappa_el, 1)     # (M+1, M+1)
-    K = _K_EL
+    # python floats, not numpy f64 scalars: with x64 enabled a np.float64
+    # scalar is strong-typed and would promote an f32 grid to f64
+    K = _K_EL.tolist()
     # u 3x3 neighborhood views: uv[dy][dx] = u[y-1+dy, x-1+dx]
     uv = [[up[dy:dy + M, dx:dx + M] for dx in range(3)] for dy in range(3)]
     # the node (y, x) is corner a of the element whose kappa multiplies:
@@ -190,12 +192,13 @@ class StencilThermalBlock:
     def solution_shape(self):
         return (self.n_nodes, self.n_nodes)
 
-    def kappa(self, mu) -> jax.Array:
-        theta = jnp.asarray(mu["diffusion"], dtype=self.dtype)
+    def kappa(self, mu, dtype=None) -> jax.Array:
+        dt = self.dtype if dtype is None else dtype
+        theta = jnp.asarray(mu["diffusion"], dtype=dt)
         blk = self._block_index()
-        out = jnp.zeros(blk.shape, self.dtype)
+        out = jnp.zeros(blk.shape, dt)
         for b in range(self.n_terms):  # select-sum: fuses, no literals
-            out = out + jnp.where(blk == b, theta[b], 0).astype(self.dtype)
+            out = out + jnp.where(blk == b, theta[b], 0).astype(dt)
         return out
 
     def apply(self, mu, u: jax.Array) -> jax.Array:
@@ -210,11 +213,12 @@ class StencilThermalBlock:
         N = self.num_intervals
         return stencil_apply(u, jnp.ones((N, N), self.dtype))
 
-    def rhs(self) -> jax.Array:
+    def rhs(self, dtype=None) -> jax.Array:
         """Load vector for f = 1 (interior nodes get h^2: four adjacent
         elements x h^2/4)."""
-        load = jnp.full(self.solution_shape, self.h * self.h, dtype=self.dtype)
-        return load * interior_mask(self.n_nodes, self.dtype)
+        dt = self.dtype if dtype is None else dtype
+        load = jnp.full(self.solution_shape, self.h * self.h, dtype=dt)
+        return load * interior_mask(self.n_nodes, dt)
 
     def jacobi_diag(self, mu) -> jax.Array:
         """Diagonal of A(mu) for Jacobi preconditioning: node n gets

@@ -32,15 +32,20 @@ class GreedyState(NamedTuple):
     res_lhs: jax.Array    # (T, k, r_max) sketched residual columns
     res_rhs: jax.Array    # (k,) sketched rhs
     ncols: jax.Array      # () int32 fill counter
+    # (r_max, N+1, N+1) full basis grids, kept only for score="exact"
+    # (None otherwise; invariant: srb[:, j] == sketch(U[j]))
+    U: jax.Array | None = None
 
 
-def init_state(k: int, r_max: int, n_terms: int, res_rhs) -> GreedyState:
+def init_state(k: int, r_max: int, n_terms: int, res_rhs,
+               U0=None) -> GreedyState:
     dt = res_rhs.dtype
     return GreedyState(
         srb=jnp.zeros((k, r_max), dt),
         res_lhs=jnp.zeros((n_terms, k, r_max), dt),
         res_rhs=res_rhs,
         ncols=jnp.asarray(0, jnp.int32),
+        U=U0,
     )
 
 
@@ -54,6 +59,8 @@ def make_sharded_greedy_step(
     cg_maxiter: int = 500,
     cg_precond: str = "jacobi",
     sketch: str = "gaussian",
+    score: str = "sketched",
+    exact_dtype=jnp.float64,
 ):
     """Build (init_state, step) for the sharded greedy. ``step(state, mu,
     mu_batch)`` solves the FOM at mu, extends the sketched state, and
@@ -64,7 +71,21 @@ def make_sharded_greedy_step(
     a (k, n_local) strip per shard — 17 GB at k=256, n=16.8M — so the
     matrix-free SRHT is the only option at >=1e7 DoF on one chip (its
     plan memory is O(k * R), and the contraction streams the snapshot at
-    the HBM roofline; PERF.md round-3 capstone)."""
+    the HBM roofline; PERF.md round-3 capstone).
+
+    ``score``: how the per-mu batch error estimates are computed.
+    ``"sketched"`` (default, online-efficient) differences the f32
+    pre-sketched affine residual columns — at >=1e7 DoF the O(1)-sized
+    pieces cancel against each other and the estimates floor at
+    ~sqrt(n)*eps_f32 (PERF.md round-3 capstone: median drifts back up to
+    ~4e-3 past r=3). ``"exact"`` keeps the (GS-combined) basis grids in
+    the state and scores each candidate by the TRUE residual norm
+    ``||A(mu) (U y) - b||_2`` recomputed matrix-free in ``exact_dtype``
+    (f64 kappa/apply — the "f64 refinement" mode): O(n) per candidate
+    instead of O(k), one stencil pass per mu, floor ~eps_f32 * ||basis||
+    (the f32 storage of U), 3-4 orders below the sketched floor. The ROM
+    coefficients y still come from the sketched Galerkin system — only
+    the scoring is refined."""
     grid_sharding = NamedSharding(mesh, P("dof", None))
     key_theta = jax.random.fold_in(key, 0)
     n_true = fom.n_nodes ** 2
@@ -97,7 +118,19 @@ def make_sharded_greedy_step(
     # rhs sketch (precomputed once)
     rhs_flat = fom.rhs().reshape(-1)
     res_rhs = sketch(rhs_flat)
-    state0 = init_state(k, r_max, fom.n_terms, res_rhs)
+    if score == "exact":
+        if jnp.zeros((), exact_dtype).dtype != jnp.dtype(exact_dtype):
+            raise ValueError(
+                f"score='exact' with exact_dtype={jnp.dtype(exact_dtype)} "
+                "requires jax_enable_x64 (the refinement is pointless at "
+                "the storage precision)"
+            )
+        U0 = jnp.zeros((r_max, *fom.solution_shape), fom.dtype)
+    elif score == "sketched":
+        U0 = None
+    else:
+        raise ValueError(f"unknown score mode {score!r}")
+    state0 = init_state(k, r_max, fom.n_terms, res_rhs, U0=U0)
 
     def rom_solve_and_estimate(state: GreedyState, mu):
         theta = jnp.asarray(mu["diffusion"], dtype=state.srb.dtype)
@@ -110,6 +143,31 @@ def make_sharded_greedy_step(
         y = jnp.linalg.solve(A, b)
         est = jnp.linalg.norm(res @ y - state.res_rhs)
         return y, est
+
+    def exact_estimate(state: GreedyState, mu):
+        """True residual norm ||A(mu) (U y) - b||_2 of the sketched-ROM
+        solution, recomputed matrix-free in ``exact_dtype`` (see the
+        factory docstring). One O(n) stencil pass per candidate mu."""
+        from rla4mor_tpu.models.stencil import stencil_apply
+
+        y, _ = rom_solve_and_estimate(state, mu)
+        col_mask = jnp.arange(r_max) < state.ncols
+        y = jnp.where(col_mask, y, 0).astype(exact_dtype)
+
+        def body(r, acc):
+            # per-column cast: never materializes the (r_max, n) basis
+            # in exact_dtype (537 MB f32 -> 1 GB f64 at 16.8M DoF)
+            return acc + y[r] * state.U[r].astype(exact_dtype)
+
+        u_rom = lax.fori_loop(
+            0, r_max, body, jnp.zeros(fom.solution_shape, exact_dtype)
+        )
+        u_rom = lax.with_sharding_constraint(u_rom, grid_sharding)
+        r_vec = (
+            stencil_apply(u_rom, fom.kappa(mu, dtype=exact_dtype))
+            - fom.rhs(dtype=exact_dtype)
+        )
+        return jnp.linalg.norm(r_vec)
 
     def step(state: GreedyState, mu, mu_batch):
         # 1) sharded FOM solve
@@ -150,12 +208,17 @@ def make_sharded_greedy_step(
         # form (mor/sketched_reductor.py orthonormalize_basis)
         c = state.ncols
         col_mask = (jnp.arange(r_max) < c).astype(su.dtype)
+        ug = u  # GS-combined snapshot grid (kept only for score="exact")
         for _ in range(2):  # one re-orthogonalization pass
             coeffs = (state.srb.conj().T @ su) * col_mask
             su = su - state.srb @ coeffs
             s_terms = s_terms - jnp.einsum(
                 "tkr,r->kt", state.res_lhs, coeffs
             )
+            if score == "exact":
+                # same combination on the stored basis grids, preserving
+                # the invariant srb[:, j] == sketch(U[j])
+                ug = ug - jnp.einsum("r,ryx->yx", coeffs, state.U)
         nrm = jnp.maximum(jnp.linalg.norm(su), 1e-30)
         # saturate at r_max: JAX drops out-of-bounds scatters SILENTLY, so
         # without the guard an extra step would keep incrementing ncols
@@ -166,10 +229,18 @@ def make_sharded_greedy_step(
         res_col = jnp.where(
             ok, s_terms.T / nrm, state.res_lhs[:, :, c_write]
         )
+        new_U = state.U
+        if score == "exact":
+            u_col = jnp.where(ok, ug / nrm, state.U[c_write])
+            new_U = lax.with_sharding_constraint(
+                state.U.at[c_write].set(u_col),
+                NamedSharding(mesh, P(None, "dof", None)),
+            )
         state = state._replace(
             srb=state.srb.at[:, c_write].set(su_col),
             res_lhs=state.res_lhs.at[:, :, c_write].set(res_col),
             ncols=c + ok.astype(c.dtype),
+            U=new_U,
         )
 
         # 4) error sweep over the mu batch (sharded over 'mu')
@@ -179,9 +250,16 @@ def make_sharded_greedy_step(
             ),
             mu_batch,
         )
-        _, estimates = jax.vmap(lambda m: rom_solve_and_estimate(state, m))(
-            mu_batch
-        )
+        if score == "exact":
+            # sequential map: one n-sized f64 intermediate at a time
+            # (a vmap would stack batch-many 16.8M-DoF grids)
+            estimates = lax.map(
+                lambda m: exact_estimate(state, m), mu_batch
+            )
+        else:
+            _, estimates = jax.vmap(
+                lambda m: rom_solve_and_estimate(state, m)
+            )(mu_batch)
         return state, estimates, u
 
     return state0, step

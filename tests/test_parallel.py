@@ -295,6 +295,58 @@ def test_sharded_step_matches_unsharded_oracle():
     )
 
 
+def test_sharded_greedy_step_exact_score():
+    """score='exact' (the f64 refinement mode): the returned estimates are
+    the TRUE residual norms ||A(mu)(U y) - b|| of the sketched-ROM
+    solutions (numpy oracle), and the stored basis grids satisfy the
+    invariant srb[:, j] == sketch(U[j]) after Gram-Schmidt."""
+    from rla4mor_tpu.core import mu_stack
+    from rla4mor_tpu.core.parameters import ParameterSpace
+    from rla4mor_tpu.ops.fwht import srht
+
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("dof", "mu"))
+    fom = StencilThermalBlock((2, 2), 15, dtype=jnp.float64)
+    key = jax.random.key(0)
+    k, r_max, n_batch = 32, 3, 6
+    state0, step = make_sharded_greedy_step(
+        fom, mesh, key, k=k, r_max=r_max, cg_tol=1e-12, cg_maxiter=800,
+        sketch="srht", score="exact",
+    )
+    space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
+    batch = mu_stack(space.sample_randomly(n_batch, key=2))
+    with mesh:
+        jit_step = jax.jit(step)
+        state = state0
+        for i in range(2):
+            mu = space.sample_randomly(1, key=10 + i)[0]
+            state, est, u = jit_step(state, mu, batch)
+    assert int(state.ncols) == 2
+    U = np.asarray(state.U)
+    for j in range(2):  # invariant: sketched basis == sketch of U columns
+        su = np.asarray(
+            srht(U[j].reshape(-1), k, jax.random.fold_in(key, 0))
+        )
+        assert np.abs(np.asarray(state.srb[:, j]) - su).max() < 1e-9
+
+    # numpy oracle: same sketched-Galerkin solve, then the true residual
+    est = np.asarray(est)
+    srb = np.asarray(state.srb)
+    res_lhs = np.asarray(state.res_lhs)
+    res_rhs = np.asarray(state.res_rhs)
+    b = np.asarray(fom.rhs())
+    mask = (np.arange(r_max) < 2).astype(float)
+    for i in range(n_batch):
+        m = {"diffusion": np.asarray(batch["diffusion"])[i]}
+        res = np.einsum("t,tkr->kr", m["diffusion"], res_lhs) * mask
+        A = srb.T @ res * mask[:, None] + np.diag(1 - mask)
+        y = np.linalg.solve(A, (srb.T @ res_rhs) * mask)
+        u_rom = np.einsum("r,ryx->yx", y, U)
+        r_vec = np.asarray(fom.apply(m, jnp.asarray(u_rom))) - b
+        want = np.linalg.norm(r_vec)
+        assert abs(est[i] - want) < 1e-9 * max(1.0, want), (i, est[i], want)
+
+
 def test_sharded_embedding_classes(mesh, rng):
     from rla4mor_tpu.parallel import (
         ShardedGaussianEmbedding,
