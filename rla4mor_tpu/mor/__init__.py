@@ -22,6 +22,11 @@ from rla4mor_tpu.mor.bounds import (
     error_bound,
     inf_sup_error_bound,
 )
+from rla4mor_tpu.mor.scm import (
+    ScmCoercivity,
+    ScmHermitian,
+    ScmInfSup,
+)
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
     load_reductor_state,
@@ -39,6 +44,7 @@ __all__ = [
     "PrimalDualReductor", "CorrectedOutputROM", "dual_fom", "output_greedy",
     "MinThetaCoercivity", "error_bound", "InfSupLowerBound",
     "inf_sup_error_bound",
+    "ScmHermitian", "ScmCoercivity", "ScmInfSup",
     "save_reductor", "load_reductor_state",
     "save_instationary_reductor", "load_instationary_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",

@@ -1,0 +1,151 @@
+"""Successive constraint method (mor/scm.py): rigor and tightness.
+
+Oracle pattern (reference preconditioners/tests.py style): every SCM
+bound is checked against the dense generalized-eigenvalue / SVD truth.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+from rla4mor_tpu.mor import ScmCoercivity, ScmInfSup
+from rla4mor_tpu.mor.bounds import InfSupLowerBound
+
+
+def _alpha_true(fom, R, mu):
+    A = np.asarray(fom.assemble_sparse(mu).toarray())
+    A = 0.5 * (A + A.conj().T)
+    return float(sla.eigh(A, R, subset_by_index=[0, 0],
+                          eigvals_only=True)[0])
+
+
+def _beta_true(fom, Q, mu):
+    A = np.asarray(fom.assemble_sparse(mu).toarray())
+    B = np.linalg.solve(Q.conj().T, A)
+    B = np.linalg.solve(Q.T, B.T).T
+    return float(np.linalg.svd(B, compute_uv=False)[-1])
+
+
+def test_scm_coercivity_thermal_block(thermal_fom):
+    """Fit on a training grid, then: LB <= alpha_true <= UB on unseen
+    mus (rigor), LB > 0, and the certified gap holds on the training
+    set."""
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    R = np.asarray(Ru.op.S.toarray())
+
+    scm = ScmCoercivity(fom, product=Ru)
+    train = fom.parameter_space.sample_randomly(24, key=0)
+    hist = scm.fit(train, tol=0.1, max_anchors=20)
+    assert hist["n_anchors"] <= 20
+    assert hist["max_gap"][-1] <= 0.1
+
+    # certified on the training set
+    for mu in train[:6]:
+        lb, ub = scm.lower(mu), scm.upper(mu)
+        assert 0 < lb <= ub * (1 + 1e-12)
+        assert lb >= (1 - 0.1) * ub - 1e-14
+
+    # rigor on unseen parameters
+    test = fom.parameter_space.sample_randomly(6, key=99)
+    for mu in test:
+        a = _alpha_true(fom, R, mu)
+        lb, ub = scm.lower(mu), scm.upper(mu)
+        assert lb <= a * (1 + 1e-9), (lb, a)
+        assert ub >= a * (1 - 1e-9), (ub, a)
+        assert lb > 0
+
+
+def test_scm_coercivity_certified_tightness(thermal_fom):
+    """Certified tightness: on every training mu the fit guarantees
+    LB >= (1 - tol) * UB, and UB >= alpha_true, hence
+    LB >= (1 - tol) * alpha_true. (Note min-theta is already SHARP for
+    this parametrically coercive family — SCM's value is matching it
+    within tol here while also covering indefinite/non-coercive
+    families, where min-theta does not apply at all.)"""
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    R = np.asarray(Ru.op.S.toarray())
+    tol = 0.05
+    scm = ScmCoercivity(fom, product=Ru)
+    train = fom.parameter_space.sample_randomly(24, key=0)
+    scm.fit(train, tol=tol)
+
+    for mu in train[:8]:
+        lb = scm.lower(mu)
+        a = _alpha_true(fom, R, mu)
+        assert lb >= (1 - tol) * a * (1 - 1e-9), (lb, a)
+
+
+def test_scm_infsup_helmholtz():
+    """Complex-coefficient squared-form SCM on the damped Helmholtz
+    family: beta_LB <= true sigma_min everywhere (rigor), positive and
+    certified after fit, and positive FAR from anchors where the Weyl
+    SCM-lite bound has gone nonpositive."""
+    from rla4mor_tpu.models import helmholtz_fom
+
+    fom = helmholtz_fom(num_intervals=12, wavenumber_range=(2.0, 6.0),
+                        damping=0.5)
+    Ru = fom.h1_0_product
+    Qd = np.asarray(Ru.sqrt.S.toarray() if hasattr(Ru.sqrt, "S")
+                    else Ru.sqrt.matrix())
+
+    scm = ScmInfSup(fom, product=Ru)
+    train = [{"wavenumber": jnp.asarray([w])}
+             for w in np.linspace(2.0, 6.0, 16)]
+    hist = scm.fit(train, tol=0.2, max_anchors=14)
+    assert hist["max_gap"][-1] <= 0.2
+
+    rng = np.random.RandomState(3)
+    for w in rng.uniform(2.0, 6.0, size=5):
+        mu = {"wavenumber": jnp.asarray([w])}
+        blb = scm.lower(mu)
+        bt = _beta_true(fom, Qd, mu)
+        assert blb <= bt * (1 + 1e-8) + 1e-12, (w, blb, bt)
+        assert blb > 0
+
+    # the Weyl bound with a SINGLE far anchor is nonpositive at w=6 while
+    # the SCM (same single anchor + box) stays a valid bound
+    one_ref = [{"wavenumber": jnp.asarray([2.0])}]
+    weyl = InfSupLowerBound(fom, one_ref, product=Ru)
+    far = {"wavenumber": jnp.asarray([6.0])}
+    assert float(np.asarray(weyl(far))) <= 0
+    scm1 = ScmInfSup(fom, product=Ru)
+    scm1.scm.add_anchor(one_ref[0])
+    assert scm1.lower(far) <= _beta_true(fom, Qd, far) * (1 + 1e-8)
+
+
+def test_scm_infsup_certified_error_bound():
+    """ScmInfSup drops into inf_sup_error_bound: with the exact residual
+    estimator the certified bound dominates the true R-norm error."""
+    from rla4mor_tpu.models import helmholtz_fom
+    from rla4mor_tpu.mor import SketchedReductor, inf_sup_error_bound
+    from rla4mor_tpu.ops import IdentityEmbedding
+
+    fom = helmholtz_fom(num_intervals=12, wavenumber_range=(2.0, 6.0),
+                        damping=0.5)
+    Ru = fom.h1_0_product
+    n = fom.solution_dim
+
+    scm = ScmInfSup(fom, product=Ru)
+    train = [{"wavenumber": jnp.asarray([w])}
+             for w in np.linspace(2.0, 6.0, 16)]
+    scm.fit(train, tol=0.2, max_anchors=14)
+
+    theta = IdentityEmbedding(n, sqrt_product=Ru.sqrt)
+    red = SketchedReductor(fom, embedding_primal=theta, product=Ru,
+                           orthonormalize=True, projection="galerkin",
+                           log_level=30)
+    mus = fom.parameter_space.sample_randomly(6, key=3)
+    red.extend_basis(fom.solve_many(mus))
+    rom = red.reduce(seed=5)
+
+    for w in (2.7, 4.9):
+        mu = {"wavenumber": jnp.asarray([w])}
+        u = jnp.asarray(fom.solve(mu))
+        u_r = rom.solve(mu)
+        err = float(Ru.norm(u - red.rb @ u_r))
+        bnd = float(np.asarray(inf_sup_error_bound(rom, mu, scm, u_r=u_r)))
+        assert np.isfinite(bnd)
+        assert err <= bnd * (1 + 1e-9), (w, err, bnd)
