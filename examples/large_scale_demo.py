@@ -41,6 +41,11 @@ def main():
                     help="exact = f64-refined true residual norms per "
                     "candidate (keeps the basis grids in HBM; breaks the "
                     "~1e-3 f32 sketched-estimator floor at >=1e7 DoF)")
+    ap.add_argument("--family", choices=["thermal", "advection"],
+                    default="thermal",
+                    help="advection = the NON-SPD advection-diffusion "
+                    "stencil family (device BiCGStab solves, sketched "
+                    "minres projection)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -63,10 +68,12 @@ def main():
     mesh = Mesh(np.array(jax.devices()[: n_dof]).reshape(n_dof, 1),
                 ("dof", "mu"))
 
-    # multigrid needs power-of-two element counts; sharding needs node
-    # rows divisible by the dof axis (mutually exclusive for now: MG runs
-    # single-device, jacobi when sharded)
-    use_mg = n_dof == 1 and args.precond == "mg"
+    # multigrid needs power-of-two element counts (and the SPD thermal
+    # family); sharding needs node rows divisible by the dof axis
+    # (mutually exclusive for now: MG runs single-device, jacobi when
+    # sharded)
+    use_mg = (n_dof == 1 and args.precond == "mg"
+              and args.family == "thermal")
     N = args.grid
     if use_mg:
         while N & (N - 1):
@@ -74,10 +81,15 @@ def main():
     else:
         while (N + 1) % n_dof:
             N += 1
-    fom = StencilThermalBlock((2, 2), N, dtype=jnp.float32)
+    if args.family == "advection":
+        from rla4mor_tpu.models import StencilAdvectionDiffusion
+
+        fom = StencilAdvectionDiffusion(N, dtype=jnp.float32)
+    else:
+        fom = StencilThermalBlock((2, 2), N, dtype=jnp.float32)
     n = fom.n_nodes ** 2
-    print(f"devices={n_dev} (dof axis {n_dof}), grid {N}x{N}, "
-          f"n = {n / 1e6:.2f}M DoF, sketch k = {args.k}")
+    print(f"devices={n_dev} (dof axis {n_dof}), {args.family} grid "
+          f"{N}x{N}, n = {n / 1e6:.2f}M DoF, sketch k = {args.k}")
 
     # NOTE: the 4M-DoF Laplacian has kappa ~ 1e7; Jacobi-CG needs thousands
     # of iterations for snapshot-quality solves (a multigrid preconditioner
@@ -90,16 +102,21 @@ def main():
         cg_precond="mg" if use_mg else "jacobi",
         sketch=args.sketch,
         score=args.score,
+        projection="minres" if args.family == "advection" else "galerkin",
     )
-    space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
-    batch = mu_stack(space.sample_randomly(8, key=1))
+    if args.family == "advection":
+        sample = fom.sample_parameters
+    else:
+        space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
+        sample = lambda count, key: space.sample_randomly(count, key=key)  # noqa: E731
+    batch = mu_stack(sample(8, 1))
     batch = jax.tree.map(lambda x: x.astype(jnp.float32), batch)
 
     with mesh:
         jit_step = jax.jit(step)
         for it in range(args.steps):
             mu = jax.tree.map(lambda x: x.astype(jnp.float32),
-                              space.sample_randomly(1, key=10 + it)[0])
+                              sample(1, 10 + it)[0])
             t0 = time.perf_counter()
             state, estimates, u = jit_step(state, mu, batch)
             est = np.asarray(estimates)  # forces the transfer = sync

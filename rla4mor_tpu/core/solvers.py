@@ -70,6 +70,62 @@ def cg(
     return CGResult(x, k, jnp.linalg.norm(r))
 
 
+def bicgstab(
+    matvec: Callable,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    precond: Optional[Callable] = None,
+    tol: float = 1e-8,
+    maxiter: int = 1000,
+) -> CGResult:
+    """Preconditioned BiCGStab (van der Vorst) for NONSYMMETRIC
+    ``matvec`` — the device Krylov solver for the advection-diffusion
+    stencil family, where CG does not apply. Same conventions as
+    :func:`cg`: static shapes, ``lax.while_loop``, collectives allowed
+    inside ``matvec``/``precond``; left application of the
+    preconditioner to the search directions (K ~ A, ``precond(r)``
+    approximates A^-1 r)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    M = precond if precond is not None else (lambda r: r)
+
+    bnorm = jnp.linalg.norm(b)
+    r0 = b - matvec(x0)
+    rhat = r0  # fixed shadow residual
+    one = jnp.ones((), r0.dtype)
+
+    def cond(state):
+        _, r, *_, k = state
+        return jnp.logical_and(
+            jnp.linalg.norm(r) > tol * jnp.maximum(bnorm, 1e-30),
+            k < maxiter,
+        )
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, k = state
+        rho_new = jnp.vdot(rhat, r)
+        # breakdown guards: the where's keep the iteration finite; the
+        # residual check in cond() remains the only convergence claim
+        safe = lambda d: jnp.where(jnp.abs(d) > 1e-300, d, 1e-300)  # noqa: E731
+        beta = (rho_new / safe(rho)) * (alpha / safe(omega))
+        p = r + beta * (p - omega * v)
+        ph = M(p)
+        v = matvec(ph)
+        alpha = rho_new / safe(jnp.vdot(rhat, v))
+        s = r - alpha * v
+        sh = M(s)
+        t = matvec(sh)
+        omega = jnp.vdot(t, s) / safe(jnp.vdot(t, t))
+        x = x + alpha * ph + omega * sh
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+
+    state0 = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
+              one, one, one, jnp.asarray(0))
+    x, r, *_, k = lax.while_loop(cond, body, state0)
+    return CGResult(x, k, jnp.linalg.norm(r))
+
+
 def solve_dense(A: jax.Array, b: jax.Array) -> jax.Array:
     """Dense solve (jit-friendly)."""
     return jnp.linalg.solve(A, b)

@@ -7,6 +7,7 @@ from rla4mor_tpu.models.thermal_block import ThermalBlockFOM
 from rla4mor_tpu.models.advection_diffusion import AdvectionDiffusionFOM
 from rla4mor_tpu.models.helmholtz import helmholtz_fom
 from rla4mor_tpu.models.instationary_stencil import InstationaryStencilFOM, MassStencilOp
+from rla4mor_tpu.models.stencil_advection import StencilAdvectionDiffusion
 from rla4mor_tpu.models.instationary import (
     InstationaryFOM,
     InstationaryROM,
@@ -23,4 +24,5 @@ __all__ = [
     "AdvectionDiffusionFOM",
     "InstationaryFOM", "InstationaryROM", "InstationaryReductor",
     "instationary_thermal_block", "pod_greedy", "InstationaryStencilFOM", "MassStencilOp", "helmholtz_fom",
+    "StencilAdvectionDiffusion",
 ]

@@ -165,6 +165,8 @@ def stencil_apply(u: jax.Array, kappa_el: jax.Array) -> jax.Array:
 class StencilThermalBlock:
     """Matrix-free affine thermal block: A(mu) = sum_b mu_b A_b (stencils)."""
 
+    is_spd = True
+
     def __init__(self, grid_shape=(2, 2), num_intervals=64, dtype=jnp.float32):
         self.grid_shape = grid_shape
         self.num_intervals = num_intervals
@@ -201,8 +203,15 @@ class StencilThermalBlock:
             out = out + jnp.where(blk == b, theta[b], 0).astype(dt)
         return out
 
+    def theta_vector(self, mu) -> jax.Array:
+        """Affine coefficient vector (the stencil-FOM protocol used by
+        parallel/driver.py)."""
+        return jnp.asarray(mu["diffusion"])
+
     def apply(self, mu, u: jax.Array) -> jax.Array:
-        return stencil_apply(u, self.kappa(mu))
+        # kappa at u's dtype: an f64 input gets a genuine f64 apply (the
+        # exact-score refinement path), f32 callers are unchanged
+        return stencil_apply(u, self.kappa(mu, dtype=u.dtype))
 
     def apply_term(self, b: int, u: jax.Array) -> jax.Array:
         mask = (self._block_index() == b).astype(self.dtype)

@@ -61,10 +61,26 @@ def make_sharded_greedy_step(
     sketch: str = "gaussian",
     score: str = "sketched",
     exact_dtype=jnp.float64,
+    projection: str = "galerkin",
 ):
     """Build (init_state, step) for the sharded greedy. ``step(state, mu,
     mu_batch)`` solves the FOM at mu, extends the sketched state, and
     returns ROM error estimates over the (mu-sharded) batch.
+
+    ``fom`` is any grid FOM following the stencil protocol
+    (models/stencil.py, models/stencil_advection.py): ``n_nodes``,
+    ``n_terms``, ``solution_shape``, ``theta_vector(mu)``,
+    ``apply(mu, u)`` / ``apply_term(t, u)`` on (N+1, N+1) grids,
+    ``rhs(dtype=None)``, ``jacobi_diag(mu)``, ``is_spd``. Non-SPD
+    families (``is_spd = False``, e.g. advection-diffusion) are solved
+    by device BiCGStab instead of CG; ``cg_precond="mg"`` additionally
+    needs ``kappa(mu)`` (the SPD thermal block).
+
+    ``projection``: ``"galerkin"`` (default) solves the sketched
+    Galerkin system; ``"minres"`` solves the sketched least-squares
+    system (SVD lstsq) — the right choice for non-SPD families, where
+    Galerkin has no best-approximation guarantee (reference
+    mor/sketched_reductor.py:170-187 semantics).
 
     ``sketch``: ``"gaussian"`` (per-shard generated Omega + psum) or
     ``"srht"`` (the flat one-psum sharded SRHT). The Gaussian materializes
@@ -86,6 +102,11 @@ def make_sharded_greedy_step(
     (the f32 storage of U), 3-4 orders below the sketched floor. The ROM
     coefficients y still come from the sketched Galerkin system — only
     the scoring is refined."""
+    if cg_precond == "mg" and not hasattr(fom, "kappa"):
+        raise ValueError(
+            "cg_precond='mg' needs a kappa(mu) grid (SPD stencil thermal "
+            "block); use 'jacobi' for this FOM"
+        )
     grid_sharding = NamedSharding(mesh, P("dof", None))
     key_theta = jax.random.fold_in(key, 0)
     n_true = fom.n_nodes ** 2
@@ -133,14 +154,19 @@ def make_sharded_greedy_step(
     state0 = init_state(k, r_max, fom.n_terms, res_rhs, U0=U0)
 
     def rom_solve_and_estimate(state: GreedyState, mu):
-        theta = jnp.asarray(mu["diffusion"], dtype=state.srb.dtype)
+        theta = fom.theta_vector(mu).astype(state.srb.dtype)
         # mask unused columns: identity rows keep the system solvable
         col_mask = (jnp.arange(r_max) < state.ncols).astype(state.srb.dtype)
         res = jnp.einsum("t,tkr->kr", theta, state.res_lhs) * col_mask[None, :]
-        A = state.srb.conj().T @ res
-        A = A * col_mask[:, None] + jnp.diag(1.0 - col_mask)
-        b = (state.srb.conj().T @ state.res_rhs) * col_mask
-        y = jnp.linalg.solve(A, b)
+        if projection == "minres":
+            # sketched least squares; zero (masked) columns get y = 0
+            # from the min-norm SVD solution
+            y = jnp.linalg.lstsq(res, state.res_rhs)[0]
+        else:
+            A = state.srb.conj().T @ res
+            A = A * col_mask[:, None] + jnp.diag(1.0 - col_mask)
+            b = (state.srb.conj().T @ state.res_rhs) * col_mask
+            y = jnp.linalg.solve(A, b)
         est = jnp.linalg.norm(res @ y - state.res_rhs)
         return y, est
 
@@ -148,8 +174,6 @@ def make_sharded_greedy_step(
         """True residual norm ||A(mu) (U y) - b||_2 of the sketched-ROM
         solution, recomputed matrix-free in ``exact_dtype`` (see the
         factory docstring). One O(n) stencil pass per candidate mu."""
-        from rla4mor_tpu.models.stencil import stencil_apply
-
         y, _ = rom_solve_and_estimate(state, mu)
         col_mask = jnp.arange(r_max) < state.ncols
         y = jnp.where(col_mask, y, 0).astype(exact_dtype)
@@ -163,10 +187,8 @@ def make_sharded_greedy_step(
             0, r_max, body, jnp.zeros(fom.solution_shape, exact_dtype)
         )
         u_rom = lax.with_sharding_constraint(u_rom, grid_sharding)
-        r_vec = (
-            stencil_apply(u_rom, fom.kappa(mu, dtype=exact_dtype))
-            - fom.rhs(dtype=exact_dtype)
-        )
+        # fom.apply runs at the input's dtype (stencil-FOM protocol)
+        r_vec = fom.apply(mu, u_rom) - fom.rhs(dtype=exact_dtype)
         return jnp.linalg.norm(r_vec)
 
     def step(state: GreedyState, mu, mu_batch):
@@ -180,9 +202,10 @@ def make_sharded_greedy_step(
             diag = fom.jacobi_diag(mu)
             M = lambda r: r / diag  # noqa: E731
 
-        from rla4mor_tpu.core.solvers import cg
+        from rla4mor_tpu.core.solvers import bicgstab, cg
 
-        u = cg(
+        solver = cg if getattr(fom, "is_spd", True) else bicgstab
+        u = solver(
             lambda v: fom.apply(mu, v),
             bvec,
             precond=M,
