@@ -47,6 +47,10 @@ def cg(
     z0 = M(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0).real
+    # dtype-aware breakdown floor: a literal like 1e-300 UNDERFLOWS TO
+    # ZERO in f32, turning the guard into a divide-by-zero (review
+    # finding; reproduced as silent all-NaN returns)
+    tiny = float(jnp.finfo(r0.dtype).tiny)
 
     def cond(state):
         _, r, _, _, k = state
@@ -57,12 +61,12 @@ def cg(
     def body(state):
         x, r, p, rz, k = state
         Ap = matvec(p)
-        alpha = rz / jnp.maximum(jnp.vdot(p, Ap).real, 1e-300)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Ap).real, tiny)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         rz_new = jnp.vdot(r, z).real
-        beta = rz_new / jnp.maximum(rz, 1e-300)
+        beta = rz_new / jnp.maximum(rz, tiny)
         p = z + beta * p
         return (x, r, p, rz_new, k + 1)
 
@@ -93,11 +97,14 @@ def bicgstab(
     r0 = b - matvec(x0)
     rhat = r0  # fixed shadow residual
     one = jnp.ones((), r0.dtype)
+    # dtype-aware breakdown floor: 1e-300 underflows to zero in f32 and
+    # a zero denominator would silently return all-NaN "converged"
+    tiny = float(jnp.finfo(r0.dtype).tiny)
 
     def cond(state):
         _, r, *_, k = state
         return jnp.logical_and(
-            jnp.linalg.norm(r) > tol * jnp.maximum(bnorm, 1e-30),
+            jnp.linalg.norm(r) > tol * jnp.maximum(bnorm, tiny),
             k < maxiter,
         )
 
@@ -106,7 +113,7 @@ def bicgstab(
         rho_new = jnp.vdot(rhat, r)
         # breakdown guards: the where's keep the iteration finite; the
         # residual check in cond() remains the only convergence claim
-        safe = lambda d: jnp.where(jnp.abs(d) > 1e-300, d, 1e-300)  # noqa: E731
+        safe = lambda d: jnp.where(jnp.abs(d) > tiny, d, tiny)  # noqa: E731
         beta = (rho_new / safe(rho)) * (alpha / safe(omega))
         p = r + beta * (p - omega * v)
         ph = M(p)

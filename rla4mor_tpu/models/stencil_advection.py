@@ -75,7 +75,7 @@ class StencilAdvectionDiffusion:
 
     def theta_vector(self, mu) -> jax.Array:
         return jnp.concatenate([
-            jnp.atleast_1d(jnp.asarray(mu["eps"]).reshape(-1)),
+            jnp.asarray(mu["eps"]).reshape(-1),
             jnp.asarray(mu["velocity"]).reshape(-1),
         ])
 

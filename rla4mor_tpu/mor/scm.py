@@ -214,10 +214,11 @@ class ScmCoercivity(ScmHermitian):
         def theta_fn(mu):
             th = np.asarray(eval_coefficients(coeffs, mu))
             if np.iscomplexobj(th):
-                assert np.allclose(th.imag, 0), (
-                    "ScmCoercivity needs real coefficients; use ScmInfSup "
-                    "for complex families"
-                )
+                if not np.allclose(th.imag, 0):
+                    raise ValueError(
+                        "ScmCoercivity needs real coefficients; use "
+                        "ScmInfSup for complex families"
+                    )
                 th = th.real
             return np.asarray(th, dtype=np.float64)
 
@@ -279,7 +280,11 @@ class ScmInfSup:
 
     def upper(self, mu: Mu) -> float:
         ub = self.scm.upper(mu)
-        return float(np.sqrt(ub)) if np.isfinite(ub) else float("inf")
+        if not np.isfinite(ub):
+            return float("inf")
+        # clamp: a tiny-negative squared bound near an inf-sup zero must
+        # give 0, not sqrt(negative) = NaN
+        return float(np.sqrt(max(ub, 0.0)))
 
     __call__ = lower
 

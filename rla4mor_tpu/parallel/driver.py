@@ -107,6 +107,8 @@ def make_sharded_greedy_step(
             "cg_precond='mg' needs a kappa(mu) grid (SPD stencil thermal "
             "block); use 'jacobi' for this FOM"
         )
+    if projection not in ("galerkin", "minres"):
+        raise ValueError(f"unknown projection mode {projection!r}")
     grid_sharding = NamedSharding(mesh, P("dof", None))
     key_theta = jax.random.fold_in(key, 0)
     n_true = fom.n_nodes ** 2
@@ -146,7 +148,11 @@ def make_sharded_greedy_step(
                 "requires jax_enable_x64 (the refinement is pointless at "
                 "the storage precision)"
             )
-        U0 = jnp.zeros((r_max, *fom.solution_shape), fom.dtype)
+        U0 = jax.device_put(
+            jnp.zeros((r_max, *fom.solution_shape), fom.dtype),
+            NamedSharding(mesh, P(None, "dof", None)),
+        )  # born sharded: at 16.8M DoF an unsharded init is 537 MB+ on
+        # one device before the first step reshards it
     elif score == "sketched":
         U0 = None
     else:
@@ -170,7 +176,7 @@ def make_sharded_greedy_step(
         est = jnp.linalg.norm(res @ y - state.res_rhs)
         return y, est
 
-    def exact_estimate(state: GreedyState, mu):
+    def exact_estimate(state: GreedyState, mu, rhs_e):
         """True residual norm ||A(mu) (U y) - b||_2 of the sketched-ROM
         solution, recomputed matrix-free in ``exact_dtype`` (see the
         factory docstring). One O(n) stencil pass per candidate mu."""
@@ -183,12 +189,13 @@ def make_sharded_greedy_step(
             # in exact_dtype (537 MB f32 -> 1 GB f64 at 16.8M DoF)
             return acc + y[r] * state.U[r].astype(exact_dtype)
 
+        # traced bound: only the ncols live columns stream from HBM
         u_rom = lax.fori_loop(
-            0, r_max, body, jnp.zeros(fom.solution_shape, exact_dtype)
+            0, state.ncols, body, jnp.zeros(fom.solution_shape, exact_dtype)
         )
         u_rom = lax.with_sharding_constraint(u_rom, grid_sharding)
         # fom.apply runs at the input's dtype (stencil-FOM protocol)
-        r_vec = fom.apply(mu, u_rom) - fom.rhs(dtype=exact_dtype)
+        r_vec = fom.apply(mu, u_rom) - rhs_e
         return jnp.linalg.norm(r_vec)
 
     def step(state: GreedyState, mu, mu_batch):
@@ -275,9 +282,13 @@ def make_sharded_greedy_step(
         )
         if score == "exact":
             # sequential map: one n-sized f64 intermediate at a time
-            # (a vmap would stack batch-many 16.8M-DoF grids)
+            # (a vmap would stack batch-many 16.8M-DoF grids); rhs built
+            # once outside the map
+            rhs_e = lax.with_sharding_constraint(
+                fom.rhs(dtype=exact_dtype), grid_sharding
+            )
             estimates = lax.map(
-                lambda m: exact_estimate(state, m), mu_batch
+                lambda m: exact_estimate(state, m, rhs_e), mu_batch
             )
         else:
             _, estimates = jax.vmap(

@@ -65,6 +65,19 @@ def test_bicgstab_nonsymmetric_small():
     assert float(res.residual_norm) < 1e-11
 
 
+def test_bicgstab_f32_breakdown_guard():
+    """f32 exact-convergence breakdown (identity system converges at the
+    half step, so vdot(t, t) == 0) must return the solution — the old
+    1e-300 guard underflowed to zero in f32 and the solver silently
+    returned all-NaN 'converged' (review finding)."""
+    from rla4mor_tpu.core.solvers import bicgstab
+
+    b = jnp.ones(8, jnp.float32)
+    res = bicgstab(lambda x: x, b, tol=1e-6, maxiter=50)
+    assert np.allclose(np.asarray(res.x), 1.0)
+    assert np.isfinite(float(res.residual_norm))
+
+
 def test_bicgstab_solve_matches_host_lu():
     """Full matrix-free solve (Jacobi-preconditioned BiCGStab) equals the
     host SuperLU solution of the assembled system."""
