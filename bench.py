@@ -196,7 +196,26 @@ def bench_srht(d=24, rows=56, k=256, iters=5, seed=0):
 
 
 def main():
-    backend = jax.default_backend()
+    # the axon tunnel has outage episodes where backend INIT itself fails
+    # (RuntimeError: Unable to initialize backend 'axon': UNAVAILABLE).
+    # Retry for a while, then emit an honest failure record instead of a
+    # bare traceback (the one-JSON-line contract holds either way).
+    backend = None
+    for attempt in range(6):
+        try:
+            backend = jax.default_backend()
+            break
+        except RuntimeError as e:
+            log(f"backend init failed (attempt {attempt + 1}/6): {e}")
+            time.sleep(120)
+    if backend is None:
+        print(json.dumps({
+            "metric": "srht_sketch_throughput_1e7dof_BACKEND_UNAVAILABLE",
+            "value": 0.0,
+            "unit": "GB/s",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
     log(f"backend: {backend}, devices: {jax.devices()}")
     tunnel_probe()
     if backend in ("tpu", "axon"):
