@@ -8,6 +8,7 @@ from rla4mor_tpu.models.advection_diffusion import AdvectionDiffusionFOM
 from rla4mor_tpu.models.helmholtz import helmholtz_fom
 from rla4mor_tpu.models.instationary_stencil import InstationaryStencilFOM, MassStencilOp
 from rla4mor_tpu.models.stencil_advection import StencilAdvectionDiffusion
+from rla4mor_tpu.models.stencil3d import StencilThermalBlock3D
 from rla4mor_tpu.models.instationary import (
     InstationaryFOM,
     InstationaryROM,
@@ -24,5 +25,5 @@ __all__ = [
     "AdvectionDiffusionFOM",
     "InstationaryFOM", "InstationaryROM", "InstationaryReductor",
     "instationary_thermal_block", "pod_greedy", "InstationaryStencilFOM", "MassStencilOp", "helmholtz_fom",
-    "StencilAdvectionDiffusion",
+    "StencilAdvectionDiffusion", "StencilThermalBlock3D",
 ]

@@ -16,6 +16,7 @@ iterations never retrace (SURVEY §7 hard part 5).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -109,9 +110,13 @@ def make_sharded_greedy_step(
         )
     if projection not in ("galerkin", "minres"):
         raise ValueError(f"unknown projection mode {projection!r}")
-    grid_sharding = NamedSharding(mesh, P("dof", None))
+    # rank-generic: solution grids may be (M, M) or (M, M, M) — shard
+    # the leading axis, replicate the rest
+    grid_rank = len(fom.solution_shape)
+    grid_sharding = NamedSharding(mesh, P("dof", *([None] * (grid_rank - 1))))
+    basis_spec = P(None, "dof", *([None] * (grid_rank - 1)))
     key_theta = jax.random.fold_in(key, 0)
-    n_true = fom.n_nodes ** 2
+    n_true = math.prod(fom.solution_shape)
 
     if sketch == "srht":
         from rla4mor_tpu.parallel.sharded_sketch import (
@@ -150,7 +155,7 @@ def make_sharded_greedy_step(
             )
         U0 = jax.device_put(
             jnp.zeros((r_max, *fom.solution_shape), fom.dtype),
-            NamedSharding(mesh, P(None, "dof", None)),
+            NamedSharding(mesh, basis_spec),
         )  # born sharded: at 16.8M DoF an unsharded init is 537 MB+ on
         # one device before the first step reshards it
     elif score == "sketched":
@@ -248,7 +253,7 @@ def make_sharded_greedy_step(
             if score == "exact":
                 # same combination on the stored basis grids, preserving
                 # the invariant srb[:, j] == sketch(U[j])
-                ug = ug - jnp.einsum("r,ryx->yx", coeffs, state.U)
+                ug = ug - jnp.tensordot(coeffs, state.U, axes=1)
         nrm = jnp.maximum(jnp.linalg.norm(su), 1e-30)
         # saturate at r_max: JAX drops out-of-bounds scatters SILENTLY, so
         # without the guard an extra step would keep incrementing ncols
@@ -264,7 +269,7 @@ def make_sharded_greedy_step(
             u_col = jnp.where(ok, ug / nrm, state.U[c_write])
             new_U = lax.with_sharding_constraint(
                 state.U.at[c_write].set(u_col),
-                NamedSharding(mesh, P(None, "dof", None)),
+                NamedSharding(mesh, basis_spec),
             )
         state = state._replace(
             srb=state.srb.at[:, c_write].set(su_col),
