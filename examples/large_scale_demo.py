@@ -41,11 +41,14 @@ def main():
                     help="exact = f64-refined true residual norms per "
                     "candidate (keeps the basis grids in HBM; breaks the "
                     "~1e-3 f32 sketched-estimator floor at >=1e7 DoF)")
-    ap.add_argument("--family", choices=["thermal", "advection"],
+    ap.add_argument("--family", choices=["thermal", "advection",
+                                         "thermal3d"],
                     default="thermal",
                     help="advection = the NON-SPD advection-diffusion "
                     "stencil family (device BiCGStab solves, sketched "
-                    "minres projection)")
+                    "minres projection); thermal3d = trilinear 3-D "
+                    "octant thermal block (--grid 255 -> 256^3 = 16.78M "
+                    "DoF)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -85,11 +88,18 @@ def main():
         from rla4mor_tpu.models import StencilAdvectionDiffusion
 
         fom = StencilAdvectionDiffusion(N, dtype=jnp.float32)
+    elif args.family == "thermal3d":
+        from rla4mor_tpu.models import StencilThermalBlock3D
+
+        fom = StencilThermalBlock3D((2, 2, 2), N, dtype=jnp.float32)
     else:
         fom = StencilThermalBlock((2, 2), N, dtype=jnp.float32)
-    n = fom.n_nodes ** 2
+    import math
+
+    n = math.prod(fom.solution_shape)
+    dims = "x".join(str(N) for _ in fom.solution_shape)
     print(f"devices={n_dev} (dof axis {n_dof}), {args.family} grid "
-          f"{N}x{N}, n = {n / 1e6:.2f}M DoF, sketch k = {args.k}")
+          f"{dims}, n = {n / 1e6:.2f}M DoF, sketch k = {args.k}")
 
     # NOTE: the 4M-DoF Laplacian has kappa ~ 1e7; Jacobi-CG needs thousands
     # of iterations for snapshot-quality solves (a multigrid preconditioner
@@ -104,11 +114,11 @@ def main():
         score=args.score,
         projection="minres" if args.family == "advection" else "galerkin",
     )
-    if args.family == "advection":
-        sample = fom.sample_parameters
-    else:
+    if args.family == "thermal":
         space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
         sample = lambda count, key: space.sample_randomly(count, key=key)  # noqa: E731
+    else:
+        sample = fom.sample_parameters
     batch = mu_stack(sample(8, 1))
     batch = jax.tree.map(lambda x: x.astype(jnp.float32), batch)
 
