@@ -207,7 +207,8 @@ def main():
             break
         except RuntimeError as e:
             log(f"backend init failed (attempt {attempt + 1}/6): {e}")
-            time.sleep(120)
+            if attempt < 5:  # no pointless sleep after the final attempt
+                time.sleep(120)
     if backend is None:
         print(json.dumps({
             "metric": "srht_sketch_throughput_1e7dof_BACKEND_UNAVAILABLE",

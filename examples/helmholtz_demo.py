@@ -80,7 +80,7 @@ def main():
     red.extend_basis(jnp.asarray(fom.solve(train[0])).reshape(-1, 1))
     for it in range(1, args.extensions + 1):
         rom = red.reduce(seed=100 + it)
-        if red.basis_size == 5:
+        if red.basis_size <= 5:  # last r <= 5 ROM wins (never None)
             rom_mid, rb_mid = rom, np.asarray(red.rb).copy()
         ests = np.array([float(np.asarray(rom.estimate_error(mu)))
                          for mu in train])
@@ -97,7 +97,6 @@ def main():
                 red.extend_basis(
                     jnp.asarray(fom.solve(train[j])).reshape(-1, 1))
                 break
-    rom = red.reduce(seed=999)  # final ROM, matching the extended basis
     print(f"greedy: r = {red.basis_size}, median rel err {hist_err[-1]:.2e} "
           f"({time.perf_counter() - t0:.1f}s)")
 
@@ -125,9 +124,10 @@ def main():
     from rla4mor_tpu.estim import DicRecoveryMap, PbdwRecoveryMap
 
     rngl = np.random.RandomState(7)
-    rows = rngl.choice(n, size=30, replace=False)
-    Wd = np.zeros((n, 30))
-    Wd[rows, np.arange(30)] = 1.0
+    m_obs = min(30, n)  # tiny --grid values have < 30 interior DoF
+    rows = rngl.choice(n, size=m_obs, replace=False)
+    Wd = np.zeros((n, m_obs))
+    Wd[rows, np.arange(m_obs)] = 1.0
     W = gram_schmidt(jnp.asarray(np.asarray(Ru.inv.apply(jnp.asarray(Wd)))),
                      product=Ru)
     mus_bg = fom.parameter_space.sample_randomly(8, key=1)

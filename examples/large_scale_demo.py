@@ -77,6 +77,10 @@ def main():
     # sharded)
     use_mg = (n_dof == 1 and args.precond == "mg"
               and args.family == "thermal")
+    if args.precond == "mg" and not use_mg:
+        print("NOTE: --precond mg ignored (multigrid needs the 2-D "
+              "thermal family on a single device); using jacobi — at "
+              ">=1e7 DoF expect slow/poorly-converged CG snapshots")
     N = args.grid
     if use_mg:
         while N & (N - 1):

@@ -69,10 +69,12 @@ def make_sharded_greedy_step(
     returns ROM error estimates over the (mu-sharded) batch.
 
     ``fom`` is any grid FOM following the stencil protocol
-    (models/stencil.py, models/stencil_advection.py): ``n_nodes``,
+    (models/stencil.py, models/stencil_advection.py, models/stencil3d.py):
     ``n_terms``, ``solution_shape``, ``theta_vector(mu)``,
-    ``apply(mu, u)`` / ``apply_term(t, u)`` on (N+1, N+1) grids,
-    ``rhs(dtype=None)``, ``jacobi_diag(mu)``, ``is_spd``. Non-SPD
+    ``apply(mu, u)`` / ``apply_term(t, u)`` on solution-shaped grids of
+    any rank — (M, M) or (M, M, M); the leading grid axis is sharded
+    over 'dof' — plus ``rhs(dtype=None)``, ``jacobi_diag(mu)``,
+    ``is_spd``. Non-SPD
     families (``is_spd = False``, e.g. advection-diffusion) are solved
     by device BiCGStab instead of CG; ``cg_precond="mg"`` additionally
     needs ``kappa(mu)`` (the SPD thermal block).
