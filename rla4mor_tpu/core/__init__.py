@@ -43,6 +43,12 @@ from rla4mor_tpu.core.affine import (
 )
 from rla4mor_tpu.core.products import Product
 from rla4mor_tpu.core.orthonormalize import gram_schmidt, pod
+from rla4mor_tpu.core.rsvd import (
+    range_finder,
+    range_finder_adaptive,
+    rsvd,
+    pod_randomized,
+)
 from rla4mor_tpu.core.image import estimate_image
 from rla4mor_tpu.core.solvers import cg, solve_dense, lstsq_dense, bounded_lstsq
 
@@ -57,5 +63,6 @@ __all__ = [
     "AffineOp", "AffineDense", "as_affine", "compose", "project",
     "project_block", "apply2", "materialize", "concat_affine",
     "Product", "gram_schmidt", "pod", "estimate_image",
+    "range_finder", "range_finder_adaptive", "rsvd", "pod_randomized",
     "cg", "solve_dense", "lstsq_dense", "bounded_lstsq",
 ]

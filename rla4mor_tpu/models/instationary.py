@@ -19,6 +19,7 @@ counterpart); this extends the framework toward pyMOR's
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -372,6 +373,7 @@ def pod_greedy(
     rtol: float = 0.0,
     pad_to: Optional[int] = None,
     mu_sharding=None,
+    pod_method: str = "snapshots",
     log_level: int = 20,
 ) -> Tuple[InstationaryROM, dict]:
     """POD-greedy (Haasdonk/Ohlberger): greedy over mu by the sketched
@@ -381,9 +383,21 @@ def pod_greedy(
 
     ``pad_to=r_max`` runs the sweep on r_max-padded ROMs: ONE compile for
     the whole greedy run (use on the remote-compile TPU platform; the
-    stationary analog is mor.greedy.rb_greedy_no_retrace)."""
-    from rla4mor_tpu.core.orthonormalize import pod
+    stationary analog is mor.greedy.rb_greedy_no_retrace).
+
+    ``pod_method``: ``"snapshots"`` (method of snapshots, (nt, nt) host
+    Gram eigh) or ``"randomized"`` (core.rsvd.pod_randomized — Gram-free
+    device matmuls; prefer for long trajectories or f32 storage)."""
+    from rla4mor_tpu.core.orthonormalize import pod as _pod_snapshots
     from rla4mor_tpu.core.parameters import mu_stack
+    from rla4mor_tpu.core.rsvd import pod_randomized
+
+    if pod_method == "snapshots":
+        pod = _pod_snapshots
+    elif pod_method == "randomized":
+        pod = partial(pod_randomized, rtol=1e-7)
+    else:
+        raise ValueError(f"unknown pod_method {pod_method!r}")
 
     assert reductor.embedding is not None, (
         "pod_greedy drives the greedy by the sketched space-time residual "
