@@ -42,13 +42,14 @@ def main():
                     "candidate (keeps the basis grids in HBM; breaks the "
                     "~1e-3 f32 sketched-estimator floor at >=1e7 DoF)")
     ap.add_argument("--family", choices=["thermal", "advection",
-                                         "thermal3d"],
+                                         "thermal3d", "nonaffine"],
                     default="thermal",
                     help="advection = the NON-SPD advection-diffusion "
                     "stencil family (device BiCGStab solves, sketched "
                     "minres projection); thermal3d = trilinear 3-D "
                     "octant thermal block (--grid 255 -> 256^3 = 16.78M "
-                    "DoF)")
+                    "DoF); nonaffine = Gaussian-bump conductivity made "
+                    "affine by an offline EIM greedy (mor/eim.py)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -96,6 +97,19 @@ def main():
         from rla4mor_tpu.models import StencilThermalBlock3D
 
         fom = StencilThermalBlock3D((2, 2, 2), N, dtype=jnp.float32)
+    elif args.family == "nonaffine":
+        from rla4mor_tpu.models import EimStencilFOM, gaussian_bump_fom
+
+        exact = gaussian_bump_fom(N, dtype=jnp.float32)
+        t0 = time.perf_counter()
+        # EIM training fields are (N^2, 125) f32 — at pod scale run the
+        # offline greedy on a coarser auxiliary grid if memory-bound
+        fom = EimStencilFOM.from_training(
+            exact, exact.parameter_space.sample_uniformly(5), tol=1e-3
+        )
+        print(f"EIM offline: {fom.n_terms} terms / magic points in "
+              f"{time.perf_counter() - t0:.1f}s (training sup err "
+              f"{fom.interpolant.sup_errors[-1]:.2e})")
     else:
         fom = StencilThermalBlock((2, 2), N, dtype=jnp.float32)
     import math

@@ -9,6 +9,11 @@ from rla4mor_tpu.models.helmholtz import helmholtz_fom
 from rla4mor_tpu.models.instationary_stencil import InstationaryStencilFOM, MassStencilOp
 from rla4mor_tpu.models.stencil_advection import StencilAdvectionDiffusion
 from rla4mor_tpu.models.stencil3d import StencilThermalBlock3D
+from rla4mor_tpu.models.stencil_nonaffine import (
+    EimStencilFOM,
+    NonAffineStencilFOM,
+    gaussian_bump_fom,
+)
 from rla4mor_tpu.models.instationary import (
     InstationaryFOM,
     InstationaryROM,
@@ -26,4 +31,5 @@ __all__ = [
     "InstationaryFOM", "InstationaryROM", "InstationaryReductor",
     "instationary_thermal_block", "pod_greedy", "InstationaryStencilFOM", "MassStencilOp", "helmholtz_fom",
     "StencilAdvectionDiffusion", "StencilThermalBlock3D",
+    "NonAffineStencilFOM", "EimStencilFOM", "gaussian_bump_fom",
 ]

@@ -1,0 +1,223 @@
+"""Non-affine diffusion on the matrix-free Q1 stencil, made affine by EIM.
+
+The reference framework handles only affine parametric operators (every
+sketched system there is a pyMOR LincombOperator, SURVEY §2.3). This
+family is genuinely NON-affine — a Gaussian-bump conductivity
+
+    kappa(mu, x) = kappa0 + amp * exp(-|x - c(mu)|^2 / (2 w(mu)^2))
+
+whose mu-dependence (bump center + width) cannot be written as a finite
+theta/term sum. ``EimStencilFOM`` closes it with the empirical
+interpolation method (mor/eim.py): offline, an EIM greedy over training
+kappa fields builds magic element-points + basis fields xi_q; online,
+
+    A(mu) ~= sum_q theta_q(mu) A(xi_q),   theta(mu) = T^{-1} kappa(mu, pts)
+
+which satisfies the pod-scale stencil-FOM protocol of parallel/driver.py
+(``n_terms`` / ``theta_vector`` / ``apply_term`` / ``apply`` / ``rhs`` /
+``jacobi_diag`` / ``is_spd``) — so the fully-sharded sketched greedy,
+the MG/Jacobi CG solvers and the exact-score refinement all run on a
+non-affine family unchanged. theta(mu) costs M field evaluations + one
+(M, M) triangular solve: O(M), independent of the grid.
+
+TPU notes: the exact field apply and every EIM term apply are the same
+pure-gather ``stencil_apply`` pass (models/stencil.py); the EIM kappa
+reconstruction is one (M, N, N) tensordot — fused MXU work. All online
+pieces are jittable with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from rla4mor_tpu.core.parameters import Mu, ParameterSpace
+from rla4mor_tpu.models.stencil import (
+    interior_mask,
+    stencil_apply,
+    stiffness_diag_raw,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class NonAffineStencilFOM:
+    """Exact (non-affine) diffusion stencil FOM.
+
+    ``field_fn(mu, X, Y) -> kappa`` must be jittable and shape-polymorphic
+    (full (N, N) element-center grids AND 1-d magic-point coordinate
+    vectors). No ``theta_vector``/``apply_term``: this class is the
+    ground truth the EIM surrogate is measured against.
+    """
+
+    is_spd = True
+
+    def __init__(self, field_fn: Callable, num_intervals: int = 64,
+                 parameter_space: Optional[ParameterSpace] = None,
+                 dtype=jnp.float32):
+        self.field_fn = field_fn
+        self.num_intervals = num_intervals
+        self.parameter_space = parameter_space
+        self.dtype = dtype
+        self.n_nodes = num_intervals + 1
+        self.h = 1.0 / num_intervals
+
+    @property
+    def solution_shape(self):
+        return (self.n_nodes, self.n_nodes)
+
+    def element_centers(self):
+        """(X, Y) element-center coordinate grids (N, N), row = y."""
+        N = self.num_intervals
+        c = (jnp.arange(N, dtype=self.dtype) + 0.5) * self.h
+        return jnp.meshgrid(c, c, indexing="xy")
+
+    def kappa(self, mu: Mu, dtype=None) -> jax.Array:
+        dt = self.dtype if dtype is None else dtype
+        X, Y = self.element_centers()
+        return self.field_fn(mu, X.astype(dt), Y.astype(dt))
+
+    def apply(self, mu: Mu, u: jax.Array) -> jax.Array:
+        return stencil_apply(u, self.kappa(mu, dtype=u.dtype))
+
+    def rhs(self, dtype=None) -> jax.Array:
+        dt = self.dtype if dtype is None else dtype
+        load = jnp.full(self.solution_shape, self.h * self.h, dtype=dt)
+        return load * interior_mask(self.n_nodes, dt)
+
+    def jacobi_diag(self, mu: Mu) -> jax.Array:
+        d = stiffness_diag_raw(self.kappa(mu))
+        return jnp.where(d > 0, d, 1.0)
+
+    def solve_cg(self, mu: Mu, tol=1e-8, maxiter=2000):
+        from rla4mor_tpu.core.solvers import cg
+
+        diag = self.jacobi_diag(mu)
+        res = cg(lambda u: self.apply(mu, u), self.rhs(),
+                 precond=lambda r: r / diag, tol=tol, maxiter=maxiter)
+        return res.x
+
+    def output(self, u) -> jax.Array:
+        return jnp.sum(u) * self.h * self.h
+
+    def sample_parameters(self, count: int, key=0):
+        assert self.parameter_space is not None
+        return self.parameter_space.sample_randomly(count, key=key)
+
+
+class EimStencilFOM:
+    """EIM-affine surrogate of a :class:`NonAffineStencilFOM` — implements
+    the full stencil-FOM protocol (see module docstring)."""
+
+    is_spd = True
+
+    def __init__(self, exact: NonAffineStencilFOM, interpolant,
+                 kappa_floor: float):
+        from rla4mor_tpu.mor.eim import EimInterpolant
+
+        assert isinstance(interpolant, EimInterpolant)
+        self.exact = exact
+        self.interpolant = interpolant
+        self.kappa_floor = kappa_floor  # min EIM kappa over training
+        self.dtype = exact.dtype
+        self.num_intervals = exact.num_intervals
+        self.n_nodes = exact.n_nodes
+        self.h = exact.h
+        self.parameter_space = exact.parameter_space
+        N = exact.num_intervals
+        # (M, N, N) EIM basis fields + magic-point coordinates
+        self.xi = interpolant.basis.T.reshape(-1, N, N)
+        pts = interpolant.points
+        X, Y = exact.element_centers()
+        self._px = X.reshape(-1)[pts]
+        self._py = Y.reshape(-1)[pts]
+
+    @classmethod
+    def from_training(cls, exact: NonAffineStencilFOM,
+                      training_mus: Sequence[Mu], tol: float = 1e-6,
+                      max_terms: Optional[int] = None) -> "EimStencilFOM":
+        """Offline EIM greedy over the training kappa fields."""
+        from rla4mor_tpu.mor.eim import eim_greedy
+
+        G = jnp.stack(
+            [exact.kappa(mu).reshape(-1) for mu in training_mus], axis=1
+        )
+        interp = eim_greedy(G, tol=tol, max_terms=max_terms)
+        recon = interp.interpolate(G)
+        floor = float(jnp.min(recon))
+        assert floor > 0, (
+            "EIM kappa surrogate loses positivity on the training set "
+            f"(min {floor:.3e}); tighten tol or enlarge training"
+        )
+        return cls(exact, interp, kappa_floor=floor)
+
+    # --- stencil-FOM protocol ------------------------------------------------
+    @property
+    def n_terms(self) -> int:
+        return self.interpolant.n_terms
+
+    @property
+    def solution_shape(self):
+        return self.exact.solution_shape
+
+    def theta_vector(self, mu: Mu) -> jax.Array:
+        """EIM coefficients: M field evaluations at the magic points +
+        one (M, M) unit-lower-triangular solve. O(M), jittable."""
+        g = self.exact.field_fn(mu, self._px, self._py)
+        return self.interpolant.coefficients(g.astype(self.dtype))
+
+    def kappa(self, mu: Mu, dtype=None) -> jax.Array:
+        dt = self.dtype if dtype is None else dtype
+        theta = self.theta_vector(mu).astype(dt)
+        return jnp.tensordot(theta, self.xi.astype(dt), axes=1)
+
+    def apply(self, mu: Mu, u: jax.Array) -> jax.Array:
+        return stencil_apply(u, self.kappa(mu, dtype=u.dtype))
+
+    def apply_term(self, q: int, u: jax.Array) -> jax.Array:
+        return stencil_apply(u, self.xi[q].astype(u.dtype))
+
+    def rhs(self, dtype=None) -> jax.Array:
+        return self.exact.rhs(dtype)
+
+    def jacobi_diag(self, mu: Mu) -> jax.Array:
+        d = stiffness_diag_raw(self.kappa(mu))
+        return jnp.where(d > 0, d, 1.0)
+
+    def output(self, u) -> jax.Array:
+        return self.exact.output(u)
+
+    def sample_parameters(self, count: int, key=0):
+        return self.exact.sample_parameters(count, key=key)
+
+
+def gaussian_bump_field(kappa0: float = 1.0, amp: float = 9.0,
+                        center_range=(0.25, 0.75),
+                        width_range=(0.08, 0.25)) -> Callable:
+    """Field factory: mu['bump'] = (cx, cy, w) in the [0,1] box, affinely
+    mapped into ``center_range`` / ``width_range``."""
+
+    def field(mu: Mu, X, Y):
+        b = jnp.asarray(mu["bump"], X.dtype)
+        c0, c1 = center_range
+        w0, w1 = width_range
+        cx = c0 + (c1 - c0) * b[0]
+        cy = c0 + (c1 - c0) * b[1]
+        w = w0 + (w1 - w0) * b[2]
+        r2 = (X - cx) ** 2 + (Y - cy) ** 2
+        return kappa0 + amp * jnp.exp(-r2 / (2.0 * w * w))
+
+    return field
+
+
+def gaussian_bump_fom(num_intervals: int = 64, dtype=jnp.float32,
+                      **field_kw) -> NonAffineStencilFOM:
+    """Convenience: the Gaussian-bump non-affine diffusion FOM with
+    parameter space mu['bump'] in [0, 1]^3."""
+    ps = ParameterSpace.make({"bump": 3})
+    return NonAffineStencilFOM(
+        gaussian_bump_field(**field_kw), num_intervals,
+        parameter_space=ps, dtype=dtype,
+    )

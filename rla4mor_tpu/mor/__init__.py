@@ -27,6 +27,12 @@ from rla4mor_tpu.mor.scm import (
     ScmHermitian,
     ScmInfSup,
 )
+from rla4mor_tpu.mor.eim import (
+    EimInterpolant,
+    deim,
+    deim_points,
+    eim_greedy,
+)
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
     load_reductor_state,
@@ -45,6 +51,7 @@ __all__ = [
     "MinThetaCoercivity", "error_bound", "InfSupLowerBound",
     "inf_sup_error_bound",
     "ScmHermitian", "ScmCoercivity", "ScmInfSup",
+    "EimInterpolant", "eim_greedy", "deim", "deim_points",
     "save_reductor", "load_reductor_state",
     "save_instationary_reductor", "load_instationary_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",

@@ -1,0 +1,171 @@
+"""Empirical interpolation (EIM / DEIM) for non-affine coefficients.
+
+Beyond-reference addition: the reference framework is affine-only — every
+operator it sketches is a pyMOR LincombOperator with known theta(mu)
+(SURVEY §2.3). EIM closes the gap for NON-affine parametric fields
+kappa(mu, x): the greedy builds magic points + a basis so that
+
+    kappa(mu, .) ~= sum_q theta_q(mu) xi_q(.),
+    theta(mu) = T^{-1} kappa(mu, points)
+
+— an affine surrogate whose coefficients need only M point evaluations
+of the field (O(M), not O(n)). The surrogate slots straight into the
+affine machinery: ``core.affine.AffineOp``, the sketched reductors, and
+the pod-scale stencil-FOM protocol of ``parallel/driver.py``
+(``models/stencil_nonaffine.py`` wires a Gaussian-bump conductivity this
+way).
+
+Algorithms (standard, implemented from the papers):
+
+* EIM greedy — Barrault/Maday/Nguyen/Patera 2004: residual-normalized
+  basis, unit-lower-triangular interpolation matrix, sup-norm greedy on
+  both the snapshot and the point.
+* DEIM — Chaturantabut/Sorensen 2010: POD basis + greedy argmax points,
+  general (dense-solve) interpolation matrix.
+
+TPU shape: the offline greedy is a host loop over at most ``max_terms``
+iterations whose inner work is (n, m)-sized device matmuls; the ONLINE
+evaluation (``coefficients`` / ``interpolate``) is a fixed-shape (M, M)
+triangular/dense solve — jittable, vmappable over mu batches, and static
+under jit when the interpolant is closed over (arrays become
+compile-time constants of the traced program).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class EimInterpolant:
+    """Magic-point interpolant ``g ~= basis @ coefficients(g[points])``.
+
+    ``triangular`` marks the EIM construction (interp_matrix is unit
+    lower triangular — solve_triangular); DEIM uses a general solve.
+    ``sup_errors`` is the greedy's sup-norm error history (EIM) or the
+    POD singular values (DEIM) — both certify the training-set fit.
+    """
+
+    basis: jax.Array          # (n, M)
+    points: jax.Array         # (M,) int32 flat indices into the field
+    interp_matrix: jax.Array  # (M, M) = basis[points, :]
+    triangular: bool
+    sup_errors: Tuple[float, ...] = ()
+
+    @property
+    def n_terms(self) -> int:
+        return int(self.basis.shape[1])
+
+    def coefficients(self, g_at_points: jax.Array) -> jax.Array:
+        """theta (M,) or (M, b) from field values at the magic points
+        ((M,) or (M, b)). Jittable / vmappable."""
+        if self.triangular:
+            return jax.scipy.linalg.solve_triangular(
+                self.interp_matrix, g_at_points, lower=True,
+                unit_diagonal=True,
+            )
+        return jnp.linalg.solve(self.interp_matrix, g_at_points)
+
+    def interpolate(self, g: jax.Array) -> jax.Array:
+        """Interpolate full field snapshots g (n,) or (n, b)."""
+        return self.reconstruct(self.coefficients(g[self.points]))
+
+    def reconstruct(self, theta: jax.Array) -> jax.Array:
+        return jnp.matmul(self.basis, theta, precision=_HI)
+
+
+def eim_greedy(
+    G,
+    tol: float = 1e-8,
+    max_terms: Optional[int] = None,
+    rtol: bool = True,
+) -> EimInterpolant:
+    """EIM greedy over training snapshots G (n, m_train).
+
+    Stops when the worst training-snapshot sup-norm interpolation error
+    drops below ``tol`` (relative to the largest snapshot sup-norm when
+    ``rtol``, absolute otherwise) or at ``max_terms``. The basis is
+    residual-normalized (unit value at its own magic point), making
+    ``interp_matrix`` unit lower triangular — the classic EIM invariant
+    that also bounds the Lebesgue constant growth.
+    """
+    G = jnp.asarray(G)
+    n, m = G.shape
+    max_terms = min(n, m) if max_terms is None else min(max_terms, min(n, m))
+    scale = float(jnp.max(jnp.abs(G))) if rtol else 1.0
+    scale = scale if scale > 0 else 1.0
+
+    basis_cols: list[jnp.ndarray] = []
+    points: list[int] = []
+    history: list[float] = []
+    R = G  # interpolation residuals of ALL training snapshots
+    while True:
+        err_per_snap = jnp.max(jnp.abs(R), axis=0)
+        j = int(jnp.argmax(err_per_snap))
+        sup = float(err_per_snap[j])
+        history.append(sup)
+        if sup <= tol * scale or len(points) >= max_terms:
+            break
+        r = R[:, j]
+        p = int(jnp.argmax(jnp.abs(r)))
+        basis_cols.append(r / r[p])
+        points.append(p)
+        # re-interpolate all snapshots with the grown basis
+        B = jnp.stack(basis_cols, axis=1)
+        pts = jnp.asarray(points, jnp.int32)
+        T = B[pts, :]
+        theta = jax.scipy.linalg.solve_triangular(
+            T, G[pts, :], lower=True, unit_diagonal=True
+        )
+        R = G - jnp.matmul(B, theta, precision=_HI)
+
+    if not points:  # zero field: a single arbitrary point, zero basis
+        basis_cols = [jnp.zeros((n,), G.dtype)]
+        points = [0]
+    B = jnp.stack(basis_cols, axis=1)
+    pts = jnp.asarray(points, jnp.int32)
+    return EimInterpolant(
+        basis=B, points=pts, interp_matrix=B[pts, :], triangular=True,
+        sup_errors=tuple(history),
+    )
+
+
+def deim_points(U) -> jnp.ndarray:
+    """DEIM greedy point selection for an orthonormal-ish basis U (n, M):
+    point l is the argmax of the l-th basis vector's interpolation
+    residual w.r.t. the first l-1 vectors/points."""
+    U = jnp.asarray(U)
+    n, M = U.shape
+    pts = [int(jnp.argmax(jnp.abs(U[:, 0])))]
+    for l in range(1, M):
+        Ul = U[:, :l]
+        pl = jnp.asarray(pts, jnp.int32)
+        c = jnp.linalg.solve(Ul[pl, :], U[pl, l])
+        r = U[:, l] - jnp.matmul(Ul, c, precision=_HI)
+        pts.append(int(jnp.argmax(jnp.abs(r))))
+    return jnp.asarray(pts, jnp.int32)
+
+
+def deim(
+    G,
+    modes: Optional[int] = None,
+    rtol: float = 1e-10,
+) -> EimInterpolant:
+    """DEIM interpolant from snapshots G (n, m_train): POD basis
+    (method-of-snapshots, ``core.orthonormalize.pod``) + greedy points."""
+    from rla4mor_tpu.core.orthonormalize import pod
+
+    U, svals = pod(jnp.asarray(G), modes=modes, rtol=rtol)
+    assert U.shape[1] > 0, "deim: snapshots have zero numerical rank"
+    pts = deim_points(U)
+    return EimInterpolant(
+        basis=U, points=pts, interp_matrix=U[pts, :], triangular=False,
+        sup_errors=tuple(np.asarray(svals).tolist()),
+    )
