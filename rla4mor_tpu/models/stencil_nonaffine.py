@@ -56,11 +56,12 @@ class NonAffineStencilFOM:
 
     def __init__(self, field_fn: Callable, num_intervals: int = 64,
                  parameter_space: Optional[ParameterSpace] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, kappa_lower: Optional[float] = None):
         self.field_fn = field_fn
         self.num_intervals = num_intervals
         self.parameter_space = parameter_space
         self.dtype = dtype
+        self.kappa_lower = kappa_lower  # provable inf_x,mu kappa, if known
         self.n_nodes = num_intervals + 1
         self.h = 1.0 / num_intervals
 
@@ -127,8 +128,10 @@ class EimStencilFOM:
         self.h = exact.h
         self.parameter_space = exact.parameter_space
         N = exact.num_intervals
-        # (M, N, N) EIM basis fields + magic-point coordinates
-        self.xi = interpolant.basis.T.reshape(-1, N, N)
+        # (M, N, N) ACTIVE EIM basis fields + ALL magic-point coordinates
+        # (active first, then the certification reserve)
+        M = interpolant.n_terms
+        self.xi = interpolant.basis[:, :M].T.reshape(-1, N, N)
         pts = interpolant.points
         X, Y = exact.element_centers()
         self._px = X.reshape(-1)[pts]
@@ -137,14 +140,30 @@ class EimStencilFOM:
     @classmethod
     def from_training(cls, exact: NonAffineStencilFOM,
                       training_mus: Sequence[Mu], tol: float = 1e-6,
-                      max_terms: Optional[int] = None) -> "EimStencilFOM":
-        """Offline EIM greedy over the training kappa fields."""
+                      max_terms: Optional[int] = None,
+                      reserve: int = 4) -> "EimStencilFOM":
+        """Offline EIM greedy over the training kappa fields.
+
+        ``reserve`` extra greedy steps past convergence give the online
+        a-posteriori indicator (:meth:`kappa_error_indicator`,
+        :meth:`model_error_bound`). If the greedy exhausts the training
+        set before tol (n_reserve comes back short), a warning is issued
+        — enlarge ``training_mus`` to regain the indicator."""
+        import warnings
+
         from rla4mor_tpu.mor.eim import eim_greedy
 
         G = jnp.stack(
             [exact.kappa(mu).reshape(-1) for mu in training_mus], axis=1
         )
-        interp = eim_greedy(G, tol=tol, max_terms=max_terms)
+        interp = eim_greedy(G, tol=tol, max_terms=max_terms,
+                            reserve=reserve)
+        if interp.n_reserve < reserve:
+            warnings.warn(
+                f"EIM greedy exhausted the training set: n_reserve="
+                f"{interp.n_reserve} < {reserve}; kappa_error_indicator "
+                "unavailable — enlarge training_mus", stacklevel=2,
+            )
         recon = interp.interpolate(G)
         floor = float(jnp.min(recon))
         assert floor > 0, (
@@ -165,8 +184,40 @@ class EimStencilFOM:
     def theta_vector(self, mu: Mu) -> jax.Array:
         """EIM coefficients: M field evaluations at the magic points +
         one (M, M) unit-lower-triangular solve. O(M), jittable."""
-        g = self.exact.field_fn(mu, self._px, self._py)
+        M = self.n_terms
+        g = self.exact.field_fn(mu, self._px[:M], self._py[:M])
         return self.interpolant.coefficients(g.astype(self.dtype))
+
+    def kappa_error_indicator(self, mu: Mu) -> jax.Array:
+        """A-posteriori estimate of ``sup_x |kappa(mu,x) - kappa_EIM(mu,x)|``
+        — the interpolation error at the ``reserve`` next greedy points
+        (a rigorous lower bound that tracks the sup closely on smooth
+        families). O(M + reserve), jittable."""
+        g = self.exact.field_fn(mu, self._px, self._py)
+        return self.interpolant.error_indicator(g.astype(self.dtype))
+
+    def model_error_bound(self, mu: Mu, u_s: jax.Array,
+                          eps: Optional[float] = None) -> jax.Array:
+        """First-order exact-energy-norm bound on the EIM model error:
+        with ``|kappa - kappa_EIM| <= eps`` pointwise and
+        ``kappa >= k0 > 0``,
+
+            ||u_exact - u_s||_{a(mu)}  <=  eps * |u_s|_{H1} / sqrt(k0)
+
+        (test v = u_exact - u_s in the difference of the two weak forms;
+        |.|_{H1}^2 = u^T A_1 u with the unit-conductivity stencil). When
+        ``eps`` is None it is ESTIMATED by :meth:`kappa_error_indicator`
+        — then the output is a tight indicator, not a certificate; pass
+        a certified eps for rigor. ``k0`` is the exact FOM's
+        ``kappa_lower`` if declared, else the training EIM floor
+        (heuristic). Jittable."""
+        if eps is None:
+            eps = self.kappa_error_indicator(mu)
+        k0 = self.exact.kappa_lower
+        k0 = self.kappa_floor if k0 is None else k0
+        ones = jnp.ones((self.num_intervals,) * 2, u_s.dtype)
+        h1 = jnp.sqrt(jnp.vdot(u_s, stencil_apply(u_s, ones)).real)
+        return eps * h1 / jnp.sqrt(jnp.asarray(k0, u_s.dtype))
 
     def kappa(self, mu: Mu, dtype=None) -> jax.Array:
         dt = self.dtype if dtype is None else dtype
@@ -217,7 +268,10 @@ def gaussian_bump_fom(num_intervals: int = 64, dtype=jnp.float32,
     """Convenience: the Gaussian-bump non-affine diffusion FOM with
     parameter space mu['bump'] in [0, 1]^3."""
     ps = ParameterSpace.make({"bump": 3})
+    kappa0 = field_kw.get("kappa0", 1.0)
+    amp = field_kw.get("amp", 9.0)
     return NonAffineStencilFOM(
         gaussian_bump_field(**field_kw), num_intervals,
         parameter_space=ps, dtype=dtype,
+        kappa_lower=kappa0 + min(0.0, amp),  # exp in (0, 1]
     )

@@ -51,34 +51,79 @@ class EimInterpolant:
     lower triangular — solve_triangular); DEIM uses a general solve.
     ``sup_errors`` is the greedy's sup-norm error history (EIM) or the
     POD singular values (DEIM) — both certify the training-set fit.
+
+    The last ``n_reserve`` terms (``eim_greedy(reserve=...)``) are
+    certification-only: interpolation uses the first M = n_terms active
+    terms; the reserve magic points feed ``error_indicator`` — the
+    classic EIM a-posteriori estimate (the interpolation error evaluated
+    at the next greedy points, a LOWER bound on the sup error that
+    tracks it closely on smooth families).
     """
 
-    basis: jax.Array          # (n, M)
-    points: jax.Array         # (M,) int32 flat indices into the field
-    interp_matrix: jax.Array  # (M, M) = basis[points, :]
+    basis: jax.Array          # (n, M + n_reserve)
+    points: jax.Array         # (M + n_reserve,) int32 flat field indices
+    interp_matrix: jax.Array  # (M + R, M + R) = basis[points, :]
     triangular: bool
     sup_errors: Tuple[float, ...] = ()
+    n_reserve: int = 0
 
     @property
     def n_terms(self) -> int:
-        return int(self.basis.shape[1])
+        """Number of ACTIVE interpolation terms (reserve excluded)."""
+        return int(self.basis.shape[1]) - self.n_reserve
+
+    @property
+    def active_points(self) -> jax.Array:
+        return self.points[: self.n_terms]
+
+    @property
+    def reserve_points(self) -> jax.Array:
+        return self.points[self.n_terms:]
 
     def coefficients(self, g_at_points: jax.Array) -> jax.Array:
-        """theta (M,) or (M, b) from field values at the magic points
-        ((M,) or (M, b)). Jittable / vmappable."""
+        """theta (M,) or (M, b) from field values at the ACTIVE magic
+        points ((M,) or (M, b)). Jittable / vmappable."""
+        M = self.n_terms
+        T = self.interp_matrix[:M, :M]
         if self.triangular:
             return jax.scipy.linalg.solve_triangular(
-                self.interp_matrix, g_at_points, lower=True,
-                unit_diagonal=True,
+                T, g_at_points, lower=True, unit_diagonal=True,
             )
-        return jnp.linalg.solve(self.interp_matrix, g_at_points)
+        return jnp.linalg.solve(T, g_at_points)
+
+    def error_indicator(self, g_at_all_points: jax.Array) -> jax.Array:
+        """A-posteriori interpolation-error indicator from field values
+        at ALL M + n_reserve magic points ((M+R,) or (M+R, b)):
+        ``max_j |g(p_{M+j}) - I_M[g](p_{M+j})|`` over the reserve
+        points. A rigorous LOWER bound on the sup-norm error (it IS the
+        error at specific points); scalar (or (b,)). Jittable."""
+        assert self.n_reserve > 0, "built without reserve terms"
+        M = self.n_terms
+        theta = self.coefficients(g_at_all_points[:M])
+        pred = jnp.matmul(self.interp_matrix[M:, :M], theta, precision=_HI)
+        return jnp.max(jnp.abs(g_at_all_points[M:] - pred), axis=0)
+
+    def truncate(self, n_terms: int, n_reserve: int = 0) -> "EimInterpolant":
+        """First ``n_terms`` active terms (+ the next ``n_reserve`` as
+        reserve). For the EIM greedy this equals re-running it with
+        ``max_terms=n_terms`` (the greedy is hierarchical)."""
+        tot = n_terms + n_reserve
+        assert tot <= self.basis.shape[1]
+        return EimInterpolant(
+            basis=self.basis[:, :tot], points=self.points[:tot],
+            interp_matrix=self.interp_matrix[:tot, :tot],
+            triangular=self.triangular,
+            sup_errors=self.sup_errors[: tot + 1],
+            n_reserve=n_reserve,
+        )
 
     def interpolate(self, g: jax.Array) -> jax.Array:
         """Interpolate full field snapshots g (n,) or (n, b)."""
-        return self.reconstruct(self.coefficients(g[self.points]))
+        return self.reconstruct(self.coefficients(g[self.active_points]))
 
     def reconstruct(self, theta: jax.Array) -> jax.Array:
-        return jnp.matmul(self.basis, theta, precision=_HI)
+        M = self.n_terms
+        return jnp.matmul(self.basis[:, :M], theta, precision=_HI)
 
 
 def eim_greedy(
@@ -86,6 +131,7 @@ def eim_greedy(
     tol: float = 1e-8,
     max_terms: Optional[int] = None,
     rtol: bool = True,
+    reserve: int = 0,
 ) -> EimInterpolant:
     """EIM greedy over training snapshots G (n, m_train).
 
@@ -95,24 +141,37 @@ def eim_greedy(
     residual-normalized (unit value at its own magic point), making
     ``interp_matrix`` unit lower triangular — the classic EIM invariant
     that also bounds the Lebesgue constant growth.
+
+    ``reserve > 0`` keeps the greedy running ``reserve`` extra steps past
+    the stopping criterion; the extra magic points are NOT used for
+    interpolation but feed :meth:`EimInterpolant.error_indicator` (the
+    next-points a-posteriori estimate).
     """
     G = jnp.asarray(G)
     n, m = G.shape
-    max_terms = min(n, m) if max_terms is None else min(max_terms, min(n, m))
+    hard_cap = min(n, m)
+    max_terms = hard_cap if max_terms is None else min(max_terms, hard_cap)
     scale = float(jnp.max(jnp.abs(G))) if rtol else 1.0
     scale = scale if scale > 0 else 1.0
 
     basis_cols: list[jnp.ndarray] = []
     points: list[int] = []
     history: list[float] = []
+    n_active: Optional[int] = None
     R = G  # interpolation residuals of ALL training snapshots
     while True:
         err_per_snap = jnp.max(jnp.abs(R), axis=0)
         j = int(jnp.argmax(err_per_snap))
         sup = float(err_per_snap[j])
         history.append(sup)
-        if sup <= tol * scale or len(points) >= max_terms:
-            break
+        if n_active is None and (sup <= tol * scale
+                                 or len(points) >= max_terms):
+            n_active = len(points)
+        if n_active is not None:
+            # sup == 0: the residual is exactly zero, no point can grow
+            if len(points) >= n_active + reserve or sup == 0.0 \
+                    or len(points) >= hard_cap:
+                break
         r = R[:, j]
         p = int(jnp.argmax(jnp.abs(r)))
         basis_cols.append(r / r[p])
@@ -129,11 +188,14 @@ def eim_greedy(
     if not points:  # zero field: a single arbitrary point, zero basis
         basis_cols = [jnp.zeros((n,), G.dtype)]
         points = [0]
+        n_active = 1
     B = jnp.stack(basis_cols, axis=1)
     pts = jnp.asarray(points, jnp.int32)
     return EimInterpolant(
         basis=B, points=pts, interp_matrix=B[pts, :], triangular=True,
         sup_errors=tuple(history),
+        n_reserve=len(points) - (n_active if n_active is not None
+                                 else len(points)),
     )
 
 

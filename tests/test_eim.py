@@ -116,6 +116,73 @@ def test_eim_stencil_fom_is_affine_and_accurate():
     assert rel < 2e-3
 
 
+def test_eim_reserve_indicator_and_truncate():
+    """reserve: active/reserve split semantics; truncate == re-running
+    the greedy with max_terms (hierarchical); error_indicator is a
+    rigorous LOWER bound on the sup error that tracks it within a modest
+    factor on the smooth family."""
+    G = _bump_snapshots(m=60, seed=2)
+    full = eim_greedy(G, tol=1e-6, reserve=4)
+    plain = eim_greedy(G, tol=1e-6)
+    assert full.n_reserve == 4
+    assert full.n_terms == plain.n_terms
+    M = full.n_terms
+    np.testing.assert_array_equal(np.asarray(full.active_points),
+                                  np.asarray(plain.points))
+    # interpolation identical to the reserve-free interpolant
+    H = _bump_snapshots(m=40, seed=77)
+    np.testing.assert_allclose(np.asarray(full.interpolate(H)),
+                               np.asarray(plain.interpolate(H)), atol=1e-14)
+    # truncate == greedy with max_terms (deterministic hierarchy)
+    small = eim_greedy(G, max_terms=M - 3)
+    trunc = full.truncate(M - 3)
+    np.testing.assert_array_equal(np.asarray(trunc.points),
+                                  np.asarray(small.points))
+    np.testing.assert_allclose(np.asarray(trunc.basis),
+                               np.asarray(small.basis), atol=1e-14)
+    assert trunc.sup_errors == small.sup_errors
+
+    # indicator: <= true sup error always; within 100x on this family
+    ind = np.asarray(
+        jax.jit(full.error_indicator)(H[full.points, :])
+    )
+    true_sup = np.abs(np.asarray(full.interpolate(H) - H)).max(axis=0)
+    assert np.all(ind <= true_sup * (1 + 1e-10))
+    assert np.median(true_sup / np.maximum(ind, 1e-300)) < 100
+
+
+def test_eim_stencil_model_error_bound():
+    """The first-order energy bound with the TRUE eps dominates the true
+    exact-energy model error (the theorem); the indicator-based bound is
+    within a modest factor of the true-eps bound."""
+    fom = gaussian_bump_fom(num_intervals=24, dtype=jnp.float64)
+    train = fom.parameter_space.sample_uniformly(5)
+    eim = EimStencilFOM.from_training(fom, train, tol=1e-4, reserve=4)
+    assert eim.interpolant.n_reserve == 4
+
+    from rla4mor_tpu.core.solvers import cg
+
+    for key in (5, 17):
+        mu = fom.sample_parameters(1, key=key)[0]
+        diag = eim.jacobi_diag(mu)
+        u_s = cg(lambda v: eim.apply(mu, v), eim.rhs(),
+                 precond=lambda r: r / diag, tol=1e-13, maxiter=6000).x
+        u_e = fom.solve_cg(mu, tol=1e-13, maxiter=6000)
+        e = u_e - u_s
+        err_energy = float(jnp.sqrt(jnp.vdot(e, fom.apply(mu, e)).real))
+
+        eps_true = float(jnp.max(jnp.abs(eim.kappa(mu) - fom.kappa(mu))))
+        bound_true = float(eim.model_error_bound(mu, u_s, eps=eps_true))
+        assert err_energy <= bound_true * (1 + 1e-8), \
+            (err_energy, bound_true)
+
+        ind = float(eim.kappa_error_indicator(mu))
+        assert ind <= eps_true * (1 + 1e-10)
+        bound_ind = float(eim.model_error_bound(mu, u_s))
+        assert bound_ind <= bound_true * (1 + 1e-10)
+        assert bound_ind > 0.02 * bound_true  # tracks within ~50x
+
+
 def test_nonaffine_sharded_greedy_end_to_end():
     """The fully-sharded sketched greedy runs UNCHANGED on the EIM-affine
     non-affine family (8-device CPU mesh), and the resulting 3-column
