@@ -107,9 +107,11 @@ def main():
         fom = EimStencilFOM.from_training(
             exact, exact.parameter_space.sample_uniformly(5), tol=1e-3
         )
+        # sup_errors[n_terms] = training error of the M ACTIVE terms
+        # (later entries are reserve/certification steps)
         print(f"EIM offline: {fom.n_terms} terms / magic points in "
               f"{time.perf_counter() - t0:.1f}s (training sup err "
-              f"{fom.interpolant.sup_errors[-1]:.2e})")
+              f"{fom.interpolant.sup_errors[fom.n_terms]:.2e})")
     else:
         fom = StencilThermalBlock((2, 2), N, dtype=jnp.float32)
     import math

@@ -110,7 +110,13 @@ class NonAffineStencilFOM:
 
 class EimStencilFOM:
     """EIM-affine surrogate of a :class:`NonAffineStencilFOM` — implements
-    the full stencil-FOM protocol (see module docstring)."""
+    the full stencil-FOM protocol (see module docstring).
+
+    ``is_spd = True`` holds as long as the EIM kappa stays positive.
+    Training positivity is asserted in :meth:`from_training`; for
+    held-out mus check :meth:`ellipticity_margin` — a negative margin
+    means the interpolation error may have made the operator indefinite
+    (CG would silently stall)."""
 
     is_spd = True
 
@@ -216,13 +222,30 @@ class EimStencilFOM:
         k0 = self.exact.kappa_lower
         k0 = self.kappa_floor if k0 is None else k0
         ones = jnp.ones((self.num_intervals,) * 2, u_s.dtype)
-        h1 = jnp.sqrt(jnp.vdot(u_s, stencil_apply(u_s, ones)).real)
+        # elementwise multiply + sum (VPU) — no MXU bf16 truncation
+        h1 = jnp.sqrt(jnp.sum((jnp.conj(u_s) * stencil_apply(u_s, ones))
+                              .real))
         return eps * h1 / jnp.sqrt(jnp.asarray(k0, u_s.dtype))
+
+    def ellipticity_margin(self, mu: Mu) -> jax.Array:
+        """Estimated lower bound on ``inf_x kappa_EIM(mu, x)``:
+        ``kappa_lower - kappa_error_indicator(mu)`` (the surrogate can
+        dip below the exact field by at most sup|kappa - kappa_EIM|).
+        Positivity was asserted on the TRAINING set only — at held-out
+        mus, gate CG/is_spd-dependent paths on this margin staying
+        positive. Estimate quality = the indicator's (rigorous only for
+        a certified eps). O(M + reserve), jittable."""
+        k0 = self.exact.kappa_lower
+        k0 = self.kappa_floor if k0 is None else k0
+        return jnp.asarray(k0, self.dtype) - self.kappa_error_indicator(mu)
 
     def kappa(self, mu: Mu, dtype=None) -> jax.Array:
         dt = self.dtype if dtype is None else dtype
         theta = self.theta_vector(mu).astype(dt)
-        return jnp.tensordot(theta, self.xi.astype(dt), axes=1)
+        # HIGHEST: the TPU bf16 truncation (~2e-3) is the same order as
+        # typical EIM tolerances — it would swamp the certification
+        return jnp.tensordot(theta, self.xi.astype(dt), axes=1,
+                             precision=_HI)
 
     def apply(self, mu: Mu, u: jax.Array) -> jax.Array:
         return stencil_apply(u, self.kappa(mu, dtype=u.dtype))

@@ -130,14 +130,14 @@ def eim_greedy(
     G,
     tol: float = 1e-8,
     max_terms: Optional[int] = None,
-    rtol: bool = True,
+    relative: bool = True,
     reserve: int = 0,
 ) -> EimInterpolant:
     """EIM greedy over training snapshots G (n, m_train).
 
     Stops when the worst training-snapshot sup-norm interpolation error
     drops below ``tol`` (relative to the largest snapshot sup-norm when
-    ``rtol``, absolute otherwise) or at ``max_terms``. The basis is
+    ``relative``, absolute otherwise) or at ``max_terms``. The basis is
     residual-normalized (unit value at its own magic point), making
     ``interp_matrix`` unit lower triangular — the classic EIM invariant
     that also bounds the Lebesgue constant growth.
@@ -146,12 +146,16 @@ def eim_greedy(
     the stopping criterion; the extra magic points are NOT used for
     interpolation but feed :meth:`EimInterpolant.error_indicator` (the
     next-points a-posteriori estimate).
+
+    The residual update is the exact rank-1 EIM recursion
+    ``R -= b_M R[p_M, :]`` (the new basis vector vanishes at all earlier
+    magic points), so each step costs one O(n·m) axpy — not a re-solve.
     """
     G = jnp.asarray(G)
     n, m = G.shape
     hard_cap = min(n, m)
     max_terms = hard_cap if max_terms is None else min(max_terms, hard_cap)
-    scale = float(jnp.max(jnp.abs(G))) if rtol else 1.0
+    scale = float(jnp.max(jnp.abs(G))) if relative else 1.0
     scale = scale if scale > 0 else 1.0
 
     basis_cols: list[jnp.ndarray] = []
@@ -174,16 +178,13 @@ def eim_greedy(
                 break
         r = R[:, j]
         p = int(jnp.argmax(jnp.abs(r)))
-        basis_cols.append(r / r[p])
+        b = r / r[p]
+        basis_cols.append(b)
         points.append(p)
-        # re-interpolate all snapshots with the grown basis
-        B = jnp.stack(basis_cols, axis=1)
-        pts = jnp.asarray(points, jnp.int32)
-        T = B[pts, :]
-        theta = jax.scipy.linalg.solve_triangular(
-            T, G[pts, :], lower=True, unit_diagonal=True
-        )
-        R = G - jnp.matmul(B, theta, precision=_HI)
+        # exact rank-1 interpolation-residual update: I_M[g] =
+        # I_{M-1}[g] + (g - I_{M-1}[g])(p_M) b_M, and b vanishes at all
+        # earlier magic points (keeps R[points, :] == 0 exactly)
+        R = R - b[:, None] * R[p, :]
 
     if not points:  # zero field: a single arbitrary point, zero basis
         basis_cols = [jnp.zeros((n,), G.dtype)]
@@ -218,12 +219,20 @@ def deim_points(U) -> jnp.ndarray:
 def deim(
     G,
     modes: Optional[int] = None,
-    rtol: float = 1e-10,
+    rtol: Optional[float] = 1e-7,
 ) -> EimInterpolant:
     """DEIM interpolant from snapshots G (n, m_train): POD basis
-    (method-of-snapshots, ``core.orthonormalize.pod``) + greedy points."""
+    (method-of-snapshots, ``core.orthonormalize.pod``) + greedy points.
+
+    ``rtol`` truncates the POD at ``rtol * s_0`` — it must stay above the
+    Gram-squaring noise floor (~sqrt(eps) ≈ 1e-8 in f64, the reason
+    ``pod`` itself defaults to 1e-7): magic points picked on noise modes
+    build a meaningless interpolation system. An explicit ``modes``
+    count disables the rtol truncation (the caller's choice wins)."""
     from rla4mor_tpu.core.orthonormalize import pod
 
+    if modes is not None:
+        rtol = None
     U, svals = pod(jnp.asarray(G), modes=modes, rtol=rtol)
     assert U.shape[1] > 0, "deim: snapshots have zero numerical rank"
     pts = deim_points(U)

@@ -182,6 +182,13 @@ def test_eim_stencil_model_error_bound():
         assert bound_ind <= bound_true * (1 + 1e-10)
         assert bound_ind > 0.02 * bound_true  # tracks within ~50x
 
+        # ellipticity gate: kappa_lower - indicator; positive at these
+        # held-out mus (the indicator magnitude itself varies with the
+        # greedy's fp-sensitive point selection)
+        margin = float(jax.jit(eim.ellipticity_margin)(mu))
+        np.testing.assert_allclose(margin, 1.0 - ind, rtol=1e-12)
+        assert margin > 0.0
+
 
 def test_nonaffine_sharded_greedy_end_to_end():
     """The fully-sharded sketched greedy runs UNCHANGED on the EIM-affine
@@ -194,8 +201,14 @@ def test_nonaffine_sharded_greedy_end_to_end():
     devices = np.array(jax.devices()[:8]).reshape(4, 2)
     mesh = Mesh(devices, ("dof", "mu"))
     fom = gaussian_bump_fom(num_intervals=23, dtype=jnp.float64)  # M=24
-    train = fom.sample_parameters(50, key=21)
-    eim = EimStencilFOM.from_training(fom, train, tol=1e-7)
+    # 5^3 tensor-grid training, tol chosen so the greedy CONVERGES with
+    # compression (n_terms < m_train) and keeps its reserve — the test
+    # must exercise actual EIM term selection, not the exhausted
+    # full-rank regime
+    train = fom.parameter_space.sample_uniformly(5)
+    eim = EimStencilFOM.from_training(fom, train, tol=1e-4)
+    assert eim.n_terms < len(train)
+    assert eim.interpolant.n_reserve == 4
 
     key = jax.random.key(0)
     state0, step = make_sharded_greedy_step(
