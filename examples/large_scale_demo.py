@@ -50,6 +50,12 @@ def main():
                     "octant thermal block (--grid 255 -> 256^3 = 16.78M "
                     "DoF); nonaffine = Gaussian-bump conductivity made "
                     "affine by an offline EIM greedy (mor/eim.py)")
+    ap.add_argument("--eim-grid", type=int, default=None,
+                    help="nonaffine family: run the EIM greedy two-grid "
+                    "(coarse selection at this interval count, fine "
+                    "rebuild of only the selected snapshots) — use at "
+                    "pod scale where (N^2, 125) training fields are "
+                    "too hot for the full greedy")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -102,10 +108,12 @@ def main():
 
         exact = gaussian_bump_fom(N, dtype=jnp.float32)
         t0 = time.perf_counter()
-        # EIM training fields are (N^2, 125) f32 — at pod scale run the
-        # offline greedy on a coarser auxiliary grid if memory-bound
+        # EIM training fields are (N^2, 125) f32; at pod scale
+        # --eim-grid G runs the greedy two-grid (coarse selection +
+        # fine rebuild of only the selected snapshots)
         fom = EimStencilFOM.from_training(
-            exact, exact.parameter_space.sample_uniformly(5), tol=1e-3
+            exact, exact.parameter_space.sample_uniformly(5), tol=1e-3,
+            training_intervals=args.eim_grid,
         )
         # sup_errors[n_terms] = training error of the M ACTIVE terms
         # (later entries are reserve/certification steps)

@@ -147,20 +147,39 @@ class EimStencilFOM:
     def from_training(cls, exact: NonAffineStencilFOM,
                       training_mus: Sequence[Mu], tol: float = 1e-6,
                       max_terms: Optional[int] = None,
-                      reserve: int = 4) -> "EimStencilFOM":
+                      reserve: int = 4,
+                      training_intervals: Optional[int] = None,
+                      ) -> "EimStencilFOM":
         """Offline EIM greedy over the training kappa fields.
 
         ``reserve`` extra greedy steps past convergence give the online
         a-posteriori indicator (:meth:`kappa_error_indicator`,
         :meth:`model_error_bound`). If the greedy exhausts the training
         set before tol (n_reserve comes back short), a warning is issued
-        — enlarge ``training_mus`` to regain the indicator."""
+        — enlarge ``training_mus`` to regain the indicator.
+
+        ``training_intervals`` enables TWO-GRID training for pod-scale
+        FOMs: the greedy (which tracks residuals of ALL training fields,
+        O(n_train · m) per step) runs on a coarse auxiliary grid; only
+        the K selected snapshots are then evaluated on the fine grid and
+        the interpolant rebuilt there (``mor.eim.eim_rebuild``, fine
+        argmax magic points). Offline cost drops from O(M · n_fine · m)
+        to O(M · n_coarse · m + M² · n_fine). The certified training
+        history lives on the coarse greedy; fine-grid fit is validated
+        by the positivity floor + the online indicator."""
         import warnings
 
-        from rla4mor_tpu.mor.eim import eim_greedy
+        from rla4mor_tpu.mor.eim import eim_greedy, eim_rebuild
 
+        two_grid = (training_intervals is not None
+                    and training_intervals != exact.num_intervals)
+        trainer = exact if not two_grid else NonAffineStencilFOM(
+            exact.field_fn, training_intervals,
+            parameter_space=exact.parameter_space, dtype=exact.dtype,
+            kappa_lower=exact.kappa_lower,
+        )
         G = jnp.stack(
-            [exact.kappa(mu).reshape(-1) for mu in training_mus], axis=1
+            [trainer.kappa(mu).reshape(-1) for mu in training_mus], axis=1
         )
         interp = eim_greedy(G, tol=tol, max_terms=max_terms,
                             reserve=reserve)
@@ -170,7 +189,17 @@ class EimStencilFOM:
                 f"{interp.n_reserve} < {reserve}; kappa_error_indicator "
                 "unavailable — enlarge training_mus", stacklevel=2,
             )
-        recon = interp.interpolate(G)
+        if two_grid:
+            sel = [training_mus[j] for j in interp.snapshot_ids]
+            G_sel = jnp.stack(
+                [exact.kappa(mu).reshape(-1) for mu in sel], axis=1
+            )
+            interp = eim_rebuild(G_sel, n_reserve=interp.n_reserve)
+            # positivity floor over the SELECTED fine fields (the full
+            # training set was only ever materialized coarse)
+            recon = interp.interpolate(G_sel)
+        else:
+            recon = interp.interpolate(G)
         floor = float(jnp.min(recon))
         assert floor > 0, (
             "EIM kappa surrogate loses positivity on the training set "

@@ -32,6 +32,7 @@ from rla4mor_tpu.mor.eim import (
     deim,
     deim_points,
     eim_greedy,
+    eim_rebuild,
 )
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
@@ -51,7 +52,7 @@ __all__ = [
     "MinThetaCoercivity", "error_bound", "InfSupLowerBound",
     "inf_sup_error_bound",
     "ScmHermitian", "ScmCoercivity", "ScmInfSup",
-    "EimInterpolant", "eim_greedy", "deim", "deim_points",
+    "EimInterpolant", "eim_greedy", "eim_rebuild", "deim", "deim_points",
     "save_reductor", "load_reductor_state",
     "save_instationary_reductor", "load_instationary_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",

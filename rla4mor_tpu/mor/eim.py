@@ -66,6 +66,9 @@ class EimInterpolant:
     triangular: bool
     sup_errors: Tuple[float, ...] = ()
     n_reserve: int = 0
+    # training-snapshot column picked at each greedy step (EIM greedy
+    # only; () for DEIM / rebuilt interpolants) — feeds two-grid rebuilds
+    snapshot_ids: Tuple[int, ...] = ()
 
     @property
     def n_terms(self) -> int:
@@ -115,6 +118,7 @@ class EimInterpolant:
             triangular=self.triangular,
             sup_errors=self.sup_errors[: tot + 1],
             n_reserve=n_reserve,
+            snapshot_ids=self.snapshot_ids[:tot],
         )
 
     def interpolate(self, g: jax.Array) -> jax.Array:
@@ -160,6 +164,7 @@ def eim_greedy(
 
     basis_cols: list[jnp.ndarray] = []
     points: list[int] = []
+    snap_ids: list[int] = []
     history: list[float] = []
     n_active: Optional[int] = None
     R = G  # interpolation residuals of ALL training snapshots
@@ -181,6 +186,7 @@ def eim_greedy(
         b = r / r[p]
         basis_cols.append(b)
         points.append(p)
+        snap_ids.append(j)
         # exact rank-1 interpolation-residual update: I_M[g] =
         # I_{M-1}[g] + (g - I_{M-1}[g])(p_M) b_M, and b vanishes at all
         # earlier magic points (keeps R[points, :] == 0 exactly)
@@ -189,6 +195,7 @@ def eim_greedy(
     if not points:  # zero field: a single arbitrary point, zero basis
         basis_cols = [jnp.zeros((n,), G.dtype)]
         points = [0]
+        snap_ids = [0]
         n_active = 1
     B = jnp.stack(basis_cols, axis=1)
     pts = jnp.asarray(points, jnp.int32)
@@ -197,6 +204,52 @@ def eim_greedy(
         sup_errors=tuple(history),
         n_reserve=len(points) - (n_active if n_active is not None
                                  else len(points)),
+        snapshot_ids=tuple(snap_ids),
+    )
+
+
+def eim_rebuild(G_sel, n_reserve: int = 0) -> EimInterpolant:
+    """EIM construction with a PRESCRIBED snapshot sequence (two-grid /
+    two-stage EIM): column k of ``G_sel`` (n, K) is the snapshot the
+    greedy selects at step k; each step's magic point is the argmax of
+    that snapshot's current interpolation residual.
+
+    Use case: run :func:`eim_greedy` on a CHEAP surrogate of the field
+    family (a coarse grid), then rebuild the interpolant on the fine
+    grid from only the K selected snapshots — the expensive part of the
+    greedy (tracking ALL training residuals) happens once, coarse. The
+    ``sup_errors`` history records each selected snapshot's residual
+    sup-norm (a diagnostic on the selected subset only, not a certified
+    training error — certify on the coarse greedy / a validation set).
+
+    The last ``n_reserve`` columns become certification-only reserve
+    terms, as in ``eim_greedy(reserve=...)``.
+    """
+    G_sel = jnp.asarray(G_sel)
+    n, K = G_sel.shape
+    assert 0 <= n_reserve < K
+    basis_cols: list[jnp.ndarray] = []
+    points: list[int] = []
+    history: list[float] = []
+    R = G_sel
+    for k in range(K):
+        r = R[:, k]
+        p = int(jnp.argmax(jnp.abs(r)))
+        sup = float(jnp.abs(r[p]))
+        history.append(sup)
+        assert sup > 0, (
+            f"two-grid rebuild: selected snapshot {k} is exactly "
+            "interpolated by its predecessors on the fine grid — drop it"
+        )
+        b = r / r[p]
+        basis_cols.append(b)
+        points.append(p)
+        R = R - b[:, None] * R[p, :]
+    B = jnp.stack(basis_cols, axis=1)
+    pts = jnp.asarray(points, jnp.int32)
+    return EimInterpolant(
+        basis=B, points=pts, interp_matrix=B[pts, :], triangular=True,
+        sup_errors=tuple(history), n_reserve=n_reserve,
     )
 
 

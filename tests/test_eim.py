@@ -81,6 +81,61 @@ def test_eim_coefficients_jit_and_vmap():
                                atol=1e-12)
 
 
+def test_eim_rebuild_matches_greedy_on_same_data():
+    """eim_rebuild with the greedy's own snapshot sequence reproduces the
+    greedy interpolant exactly (same points, same basis) — the two-grid
+    path is the identity when coarse == fine."""
+    from rla4mor_tpu.mor import eim_rebuild
+
+    G = _bump_snapshots(m=60, seed=2)
+    ref = eim_greedy(G, tol=1e-6, reserve=3)
+    K = ref.n_terms + ref.n_reserve
+    assert len(ref.snapshot_ids) == K
+    re = eim_rebuild(G[:, list(ref.snapshot_ids)], n_reserve=3)
+    assert re.n_terms == ref.n_terms and re.n_reserve == 3
+    np.testing.assert_array_equal(np.asarray(re.points),
+                                  np.asarray(ref.points))
+    np.testing.assert_allclose(np.asarray(re.basis), np.asarray(ref.basis),
+                               atol=1e-13)
+    # the rebuild history = per-selected-snapshot residual sups = the
+    # greedy history shifted by one (greedy logs BEFORE selecting)
+    np.testing.assert_allclose(np.asarray(re.sup_errors),
+                               np.asarray(ref.sup_errors[:K]), atol=1e-12)
+
+
+def test_twogrid_training_pod_scale_path():
+    """from_training(training_intervals=...) trains coarse, rebuilds fine:
+    the surrogate generalizes comparably to direct fine training, and the
+    full protocol (affinity, indicator, margin) still holds."""
+    fom = gaussian_bump_fom(num_intervals=48, dtype=jnp.float64)
+    train = fom.parameter_space.sample_uniformly(5)
+    direct = EimStencilFOM.from_training(fom, train, tol=1e-3)
+    tg = EimStencilFOM.from_training(fom, train, tol=1e-3,
+                                     training_intervals=24)
+    assert tg.interpolant.n_reserve == 4
+    assert abs(tg.n_terms - direct.n_terms) <= 5  # same selection budget
+
+    mus = fom.sample_parameters(4, key=123)
+    errs_d, errs_t = [], []
+    for mu in mus:
+        k_exact = fom.kappa(mu)
+        errs_d.append(float(jnp.max(jnp.abs(direct.kappa(mu) - k_exact))))
+        errs_t.append(float(jnp.max(jnp.abs(tg.kappa(mu) - k_exact))))
+        assert float(tg.ellipticity_margin(mu)) > 0
+    # coarse selection costs at most a modest factor vs direct training
+    assert max(errs_t) < 10 * max(errs_d) + 1e-3
+
+    # true affinity of the rebuilt surrogate
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal(fom.solution_shape))
+    mu = mus[0]
+    theta = tg.theta_vector(mu)
+    want = sum(float(theta[q]) * tg.apply_term(q, u)
+               for q in range(tg.n_terms))
+    np.testing.assert_allclose(np.asarray(tg.apply(mu, u)),
+                               np.asarray(want), atol=1e-10)
+
+
 def test_eim_stencil_fom_is_affine_and_accurate():
     """EimStencilFOM: apply == sum_q theta_q apply_term (true affinity),
     kappa surrogate close to the exact field, protocol pieces jittable."""
