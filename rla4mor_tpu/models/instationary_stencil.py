@@ -64,10 +64,16 @@ class InstationaryStencilFOM:
         self.h = stencil.h
         shape = stencil.solution_shape
         self.u0 = jnp.zeros(shape, stencil.dtype) if u0 is None else u0
-        bx, by = stencil.grid_shape
-        self.parameter_space = ParameterSpace.make(
-            {"diffusion": bx * by}, *parameter_range
-        )
+        # any stencil-protocol FOM with kappa/rhs/jacobi_diag works (e.g.
+        # the EIM-affine non-affine surrogate); it may bring its own
+        # parameter space — the thermal block builds the per-block one
+        ps = getattr(stencil, "parameter_space", None)
+        if ps is None:
+            bx, by = stencil.grid_shape
+            ps = ParameterSpace.make(
+                {"diffusion": bx * by}, *parameter_range
+            )
+        self.parameter_space = ps
 
     @property
     def solution_shape(self):

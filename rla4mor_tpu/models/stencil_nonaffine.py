@@ -28,6 +28,7 @@ pieces are jittable with static shapes.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -35,6 +36,7 @@ import jax.numpy as jnp
 
 from rla4mor_tpu.core.parameters import Mu, ParameterSpace
 from rla4mor_tpu.models.stencil import (
+    FlatGridOp,
     interior_mask,
     stencil_apply,
     stiffness_diag_raw,
@@ -282,6 +284,34 @@ class EimStencilFOM:
     def apply_term(self, q: int, u: jax.Array) -> jax.Array:
         return stencil_apply(u, self.xi[q].astype(u.dtype))
 
+    def term_linop(self, q: int) -> "EimTermOp":
+        return EimTermOp(self, q)
+
+    def affine_operator(self):
+        """AffineOp over flattened vectors with ExpressionCoefficient
+        thetas (the EIM magic-point solve per term) — the same interface
+        as ``StencilThermalBlock.affine_operator`` (stencil.py:267), so
+        ``InstationaryStencilFOM.as_reductor_fom`` / the sketched
+        reductors consume the non-affine surrogate unchanged. Cached:
+        coefficient identity is the jit-cache key."""
+        if getattr(self, "_affine_op", None) is None:
+            from rla4mor_tpu.core.affine import AffineOp
+            from rla4mor_tpu.core.parameters import ExpressionCoefficient
+
+            def theta_at(mu, q):
+                return self.theta_vector(mu)[q]
+
+            self._affine_op = AffineOp(
+                tuple(self.term_linop(q) for q in range(self.n_terms)),
+                tuple(
+                    ExpressionCoefficient(
+                        partial(theta_at, q=q), name=f"eim_theta[{q}]"
+                    )
+                    for q in range(self.n_terms)
+                ),
+            )
+        return self._affine_op
+
     def rhs(self, dtype=None) -> jax.Array:
         return self.exact.rhs(dtype)
 
@@ -294,6 +324,23 @@ class EimStencilFOM:
 
     def sample_parameters(self, count: int, key=0):
         return self.exact.sample_parameters(count, key=key)
+
+
+class EimTermOp(FlatGridOp):
+    """LinOp view of one EIM term A(xi_q) on flattened vectors (the
+    non-affine analog of ``StencilTermOp``, stencil.py:308)."""
+
+    def __init__(self, fom: EimStencilFOM, q: int):
+        super().__init__(fom.n_nodes)
+        self.fom = fom
+        self.q = q
+
+    def _grid_apply(self, grid):
+        return stencil_apply(grid, self.fom.xi[self.q].astype(grid.dtype))
+
+    @property
+    def H(self):
+        return self
 
 
 def gaussian_bump_field(kappa0: float = 1.0, amp: float = 9.0,

@@ -245,6 +245,49 @@ def test_eim_stencil_model_error_bound():
         assert margin > 0.0
 
 
+def test_nonaffine_parabolic_pod_greedy_composition():
+    """The device-native parabolic FOM and the POD-greedy reductor stack
+    consume the EIM-affine non-affine surrogate unchanged:
+    InstationaryStencilFOM over EimStencilFOM (its own parameter space),
+    trajectories track the exact non-affine parabolic FOM, and
+    pod_greedy runs on as_reductor_fom's ExpressionCoefficient affine
+    operator."""
+    from rla4mor_tpu.models import InstationaryStencilFOM, pod_greedy
+    from rla4mor_tpu.models.instationary import InstationaryReductor
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    fom = gaussian_bump_fom(num_intervals=16, dtype=jnp.float64)
+    train = fom.parameter_space.sample_uniformly(4)
+    eim = EimStencilFOM.from_training(fom, train, tol=1e-4, reserve=2)
+
+    p_eim = InstationaryStencilFOM(eim, T=0.25, nt=8)
+    p_exact = InstationaryStencilFOM(fom, T=0.25, nt=8)
+    assert p_eim.parameter_space is fom.parameter_space
+    mu = fom.sample_parameters(1, key=7)[0]
+    te = np.asarray(p_eim.solve(mu, tol=1e-11, maxiter=3000))
+    tx = np.asarray(p_exact.solve(mu, tol=1e-11, maxiter=3000))
+    rel = np.linalg.norm(te - tx) / np.linalg.norm(tx)
+    # held-out kappa error is ~3e-2 (limited by the 4^3 training grid's
+    # manifold coverage, not tol); the trajectory tracks at that scale
+    assert rel < 8e-2, rel
+
+    view = p_eim.as_reductor_fom(tol=1e-11, maxiter=500)
+    theta = GaussianEmbedding.make(view.solution_dim, range_dim=80, seed=2)
+    red = InstationaryReductor(view, embedding=theta, log_level=30)
+    gtrain = fom.sample_parameters(6, key=13)
+    # localized moving-bump fields decay slowly under POD-greedy — give
+    # it 2 modes/extension so the estimate drop is unambiguous
+    rom, hist = pod_greedy(view, red, gtrain, max_extensions=5,
+                           modes_per_extension=2, log_level=30)
+    est = hist["max_estimates"]
+    assert est[-1] < est[0]
+    mu_t = fom.sample_parameters(1, key=29)[0]
+    rec = red.reconstruct(rom.solve(mu_t))
+    truth = np.asarray(view.solve(mu_t))
+    rel = np.linalg.norm(rec - truth) / np.linalg.norm(truth)
+    assert rel < 0.1, rel
+
+
 def test_nonaffine_sharded_greedy_end_to_end():
     """The fully-sharded sketched greedy runs UNCHANGED on the EIM-affine
     non-affine family (8-device CPU mesh), and the resulting 3-column
