@@ -41,6 +41,8 @@ from rla4mor_tpu.mor.serialization import (
     load_instationary_reductor_state,
     save_padded_reductor,
     load_padded_reductor_state,
+    save_eim_interpolant,
+    load_eim_interpolant,
 )
 
 __all__ = [
@@ -54,6 +56,7 @@ __all__ = [
     "ScmHermitian", "ScmCoercivity", "ScmInfSup",
     "EimInterpolant", "eim_greedy", "eim_rebuild", "deim", "deim_points",
     "save_reductor", "load_reductor_state",
+    "save_eim_interpolant", "load_eim_interpolant",
     "save_instationary_reductor", "load_instationary_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",
 ]

@@ -235,6 +235,40 @@ def load_instationary_reductor_state(reductor, path) -> None:
     reductor.rb = jnp.asarray(d["rb"])
 
 
+def save_eim_interpolant(interp, path) -> None:
+    """``.npz`` round-trip of an :class:`rla4mor_tpu.mor.eim.EimInterpolant`
+    (the EIM offline stage is the expensive part of a non-affine FOM —
+    ship/resume it without retraining; the reference has no non-affine
+    support at all)."""
+    np.savez(
+        Path(path),
+        eim_version=np.asarray(1),
+        basis=np.asarray(interp.basis),
+        points=np.asarray(interp.points),
+        interp_matrix=np.asarray(interp.interp_matrix),
+        triangular=np.asarray(interp.triangular),
+        sup_errors=np.asarray(interp.sup_errors, np.float64),
+        n_reserve=np.asarray(interp.n_reserve),
+        snapshot_ids=np.asarray(interp.snapshot_ids, np.int64),
+    )
+
+
+def load_eim_interpolant(path):
+    from rla4mor_tpu.mor.eim import EimInterpolant
+
+    d = np.load(Path(path))
+    assert int(d["eim_version"]) == 1, "unknown EIM checkpoint version"
+    return EimInterpolant(
+        basis=jnp.asarray(d["basis"]),
+        points=jnp.asarray(d["points"]),
+        interp_matrix=jnp.asarray(d["interp_matrix"]),
+        triangular=bool(d["triangular"]),
+        sup_errors=tuple(d["sup_errors"].tolist()),
+        n_reserve=int(d["n_reserve"]),
+        snapshot_ids=tuple(int(j) for j in d["snapshot_ids"]),
+    )
+
+
 def _check_projection(d, reductor) -> None:
     stored = str(d["projection"]) if "projection" in d else None
     if stored is not None and stored != reductor.projection:

@@ -188,3 +188,41 @@ def test_plain_loader_refuses_wrong_seed_and_fingerprint(thermal_fom, tmp_path):
     red2 = make()
     load_reductor_state(red2, path)
     assert red2.basis_size == 1
+
+
+def test_eim_interpolant_roundtrip(tmp_path):
+    """save/load of the EIM offline stage: all fields, both EIM
+    (triangular, reserve) and DEIM (dense) variants."""
+    import numpy as np
+
+    from rla4mor_tpu.mor import (
+        deim,
+        eim_greedy,
+        load_eim_interpolant,
+        save_eim_interpolant,
+    )
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 1, 300)
+    G = jnp.asarray(np.stack(
+        [1 + 9 * np.exp(-((x - c) ** 2) / (2 * w * w))
+         for c, w in rng.uniform((0.25, 0.08), (0.75, 0.25), (40, 2))],
+        axis=1,
+    ))
+    for interp in (eim_greedy(G, tol=1e-6, reserve=3), deim(G, modes=10)):
+        path = tmp_path / "eim.npz"
+        save_eim_interpolant(interp, path)
+        back = load_eim_interpolant(path)
+        assert back.triangular == interp.triangular
+        assert back.n_terms == interp.n_terms
+        assert back.n_reserve == interp.n_reserve
+        assert back.snapshot_ids == interp.snapshot_ids
+        assert back.sup_errors == interp.sup_errors
+        np.testing.assert_array_equal(np.asarray(back.points),
+                                      np.asarray(interp.points))
+        np.testing.assert_array_equal(np.asarray(back.basis),
+                                      np.asarray(interp.basis))
+        H = G[:, ::3]
+        np.testing.assert_allclose(np.asarray(back.interpolate(H)),
+                                   np.asarray(interp.interpolate(H)),
+                                   atol=1e-14)
