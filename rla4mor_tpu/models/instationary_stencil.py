@@ -69,6 +69,11 @@ class InstationaryStencilFOM:
         # parameter space — the thermal block builds the per-block one
         ps = getattr(stencil, "parameter_space", None)
         if ps is None:
+            assert hasattr(stencil, "grid_shape"), (
+                "stencil-protocol FOM must provide a parameter_space "
+                "(non-thermal-block families) or grid_shape (thermal "
+                f"block): {type(stencil).__name__} has neither"
+            )
             bx, by = stencil.grid_shape
             ps = ParameterSpace.make(
                 {"diffusion": bx * by}, *parameter_range

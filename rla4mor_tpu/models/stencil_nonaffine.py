@@ -192,9 +192,14 @@ class EimStencilFOM:
                 "unavailable — enlarge training_mus", stacklevel=2,
             )
         if two_grid:
-            sel = [training_mus[j] for j in interp.snapshot_ids]
+            # the greedy re-selects training columns (snapshot_ids has
+            # duplicates) — evaluate each unique fine field exactly once
+            fine = {
+                j: exact.kappa(training_mus[j]).reshape(-1)
+                for j in sorted(set(interp.snapshot_ids))
+            }
             G_sel = jnp.stack(
-                [exact.kappa(mu).reshape(-1) for mu in sel], axis=1
+                [fine[j] for j in interp.snapshot_ids], axis=1
             )
             interp = eim_rebuild(G_sel, n_reserve=interp.n_reserve)
             # positivity floor over the SELECTED fine fields (the full
@@ -298,8 +303,25 @@ class EimStencilFOM:
             from rla4mor_tpu.core.affine import AffineOp
             from rla4mor_tpu.core.parameters import ExpressionCoefficient
 
+            # eval_coefficients calls each term coefficient separately;
+            # memoize the (M,) theta solve per mu OBJECT so one
+            # assembly costs one solve, not M. Keyed on leaf identity
+            # with strong refs (ids stay unique while held) — new leaf
+            # arrays/tracers always miss.
+            cache: dict = {}
+
+            def theta_full(mu):
+                key = tuple(id(v) for v in jax.tree.leaves(mu))
+                if cache.get("key") == key:
+                    return cache["theta"]
+                theta = self.theta_vector(mu)
+                cache["key"] = key
+                cache["refs"] = jax.tree.leaves(mu)
+                cache["theta"] = theta
+                return theta
+
             def theta_at(mu, q):
-                return self.theta_vector(mu)[q]
+                return theta_full(mu)[q]
 
             self._affine_op = AffineOp(
                 tuple(self.term_linop(q) for q in range(self.n_terms)),
