@@ -56,6 +56,10 @@ def main():
                     "rebuild of only the selected snapshots) — use at "
                     "pod scale where (N^2, 125) training fields are "
                     "too hot for the full greedy")
+    ap.add_argument("--eim-scan", action="store_true",
+                    help="nonaffine family: run the EIM greedy as one "
+                    "jitted fixed-shape device scan (zero per-step host "
+                    "syncs — prefer on TPU)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -113,7 +117,7 @@ def main():
         # fine rebuild of only the selected snapshots)
         fom = EimStencilFOM.from_training(
             exact, exact.parameter_space.sample_uniformly(5), tol=1e-3,
-            training_intervals=args.eim_grid,
+            training_intervals=args.eim_grid, device_scan=args.eim_scan,
         )
         # direct: sup_errors[n_terms] = certified training error of the M
         # ACTIVE terms (later entries are reserve steps). Two-grid: the

@@ -151,6 +151,7 @@ class EimStencilFOM:
                       max_terms: Optional[int] = None,
                       reserve: int = 4,
                       training_intervals: Optional[int] = None,
+                      device_scan: bool = False,
                       ) -> "EimStencilFOM":
         """Offline EIM greedy over the training kappa fields.
 
@@ -168,10 +169,18 @@ class EimStencilFOM:
         argmax magic points). Offline cost drops from O(M · n_fine · m)
         to O(M · n_coarse · m + M² · n_fine). The certified training
         history lives on the coarse greedy; fine-grid fit is validated
-        by the positivity floor + the online indicator."""
+        by the positivity floor + the online indicator.
+
+        ``device_scan`` runs the greedy as one jitted fixed-shape scan
+        (``eim_greedy_device``) — zero per-step host syncs; prefer on
+        TPU (pass ``max_terms`` to bound the scan's step budget)."""
         import warnings
 
-        from rla4mor_tpu.mor.eim import eim_greedy, eim_rebuild
+        from rla4mor_tpu.mor.eim import (
+            eim_greedy,
+            eim_greedy_device,
+            eim_rebuild,
+        )
 
         two_grid = (training_intervals is not None
                     and training_intervals != exact.num_intervals)
@@ -183,8 +192,8 @@ class EimStencilFOM:
         G = jnp.stack(
             [trainer.kappa(mu).reshape(-1) for mu in training_mus], axis=1
         )
-        interp = eim_greedy(G, tol=tol, max_terms=max_terms,
-                            reserve=reserve)
+        greedy = eim_greedy_device if device_scan else eim_greedy
+        interp = greedy(G, tol=tol, max_terms=max_terms, reserve=reserve)
         if interp.n_reserve < reserve:
             warnings.warn(
                 f"EIM greedy exhausted the training set: n_reserve="

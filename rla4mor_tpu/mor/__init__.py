@@ -32,6 +32,8 @@ from rla4mor_tpu.mor.eim import (
     deim,
     deim_points,
     eim_greedy,
+    eim_greedy_device,
+    eim_greedy_scan,
     eim_rebuild,
 )
 from rla4mor_tpu.mor.serialization import (
@@ -54,7 +56,8 @@ __all__ = [
     "MinThetaCoercivity", "error_bound", "InfSupLowerBound",
     "inf_sup_error_bound",
     "ScmHermitian", "ScmCoercivity", "ScmInfSup",
-    "EimInterpolant", "eim_greedy", "eim_rebuild", "deim", "deim_points",
+    "EimInterpolant", "eim_greedy", "eim_greedy_device", "eim_greedy_scan",
+    "eim_rebuild", "deim", "deim_points",
     "save_reductor", "load_reductor_state",
     "save_eim_interpolant", "load_eim_interpolant",
     "save_instationary_reductor", "load_instationary_reductor_state",

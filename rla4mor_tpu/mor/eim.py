@@ -34,6 +34,7 @@ compile-time constants of the traced program).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -205,6 +206,82 @@ def eim_greedy(
         n_reserve=len(points) - (n_active if n_active is not None
                                  else len(points)),
         snapshot_ids=tuple(snap_ids),
+    )
+
+
+@partial(jax.jit, static_argnums=(1,))
+def eim_greedy_scan(G, n_steps: int):
+    """Fully-device fixed-shape EIM greedy: exactly ``n_steps`` steps as
+    one ``lax.scan`` — zero host syncs (the host loop pays two argmax
+    transfers per step, which dominates on a remote-dispatch TPU).
+    Returns ``(basis (n, K), points (K,), snapshot_ids (K,), sups (K,))``
+    where ``sups[k]`` is the training sup error BEFORE adding term k+1.
+
+    Steps past an exactly-zero residual produce zero columns with
+    ``sups == 0`` — truncate on the host (``eim_greedy_device`` does).
+    """
+    G = jnp.asarray(G)
+
+    def step(R, _):
+        err = jnp.max(jnp.abs(R), axis=0)
+        j = jnp.argmax(err)
+        r = jnp.take(R, j, axis=1)
+        p = jnp.argmax(jnp.abs(r))
+        rp = jnp.take(r, p)
+        b = r / jnp.where(rp == 0, jnp.ones((), R.dtype), rp)
+        R = R - b[:, None] * jnp.take(R, p, axis=0)[None, :]
+        return R, (b, p.astype(jnp.int32), j.astype(jnp.int32), err[j])
+
+    _, (B, pts, ids, sups) = jax.lax.scan(step, G, None, length=n_steps)
+    return B.T, pts, ids, sups
+
+
+def eim_greedy_device(
+    G,
+    tol: float = 1e-8,
+    max_terms: Optional[int] = None,
+    relative: bool = True,
+    reserve: int = 0,
+) -> EimInterpolant:
+    """:func:`eim_greedy` semantics computed by the device scan
+    (:func:`eim_greedy_scan`): the scan runs a fixed
+    ``max_terms + reserve`` step budget in one jitted program, then ONE
+    host transfer truncates by the tol/reserve stopping rule. Identical
+    selections to the host greedy (same argmax tie-breaking); prefer at
+    pod scale / on TPU where per-step host syncs dominate. ``max_terms``
+    is required logic-wise but defaults to min(n, m) like the host path
+    (mind the wasted steps if tol converges much earlier)."""
+    G = jnp.asarray(G)
+    n, m = G.shape
+    hard_cap = min(n, m)
+    max_terms = hard_cap if max_terms is None else min(max_terms, hard_cap)
+    n_steps = min(max_terms + reserve, hard_cap)
+    B, pts, ids, sups = eim_greedy_scan(G, n_steps)
+    sups_h = np.asarray(sups)
+    scale = float(np.max(np.abs(np.asarray(G)))) if relative else 1.0
+    scale = scale if scale > 0 else 1.0
+
+    if not np.any(np.abs(sups_h) > 0):  # zero field
+        return EimInterpolant(
+            basis=jnp.zeros((n, 1), G.dtype),
+            points=jnp.zeros((1,), jnp.int32),
+            interp_matrix=jnp.zeros((1, 1), G.dtype),
+            triangular=True, sup_errors=(0.0,), snapshot_ids=(0,),
+        )
+    below = np.nonzero(sups_h <= tol * scale)[0]
+    n_active = int(below[0]) if below.size else max_terms
+    n_active = min(max(n_active, 1), max_terms)
+    # reserve steps must carry real (nonzero-residual) information
+    nz = np.nonzero(sups_h > 0)[0]
+    last_real = int(nz[-1]) + 1
+    total = min(n_active + reserve, n_steps, last_real)
+    Bs = B[:, :total]
+    ps = pts[:total]
+    return EimInterpolant(
+        basis=Bs, points=ps, interp_matrix=Bs[ps, :], triangular=True,
+        sup_errors=tuple(sups_h[:total].tolist()),
+        n_reserve=total - n_active,
+        snapshot_ids=tuple(int(i) for i in np.asarray(ids)[:total]),
     )
 
 

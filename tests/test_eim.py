@@ -81,6 +81,66 @@ def test_eim_coefficients_jit_and_vmap():
                                atol=1e-12)
 
 
+def test_eim_greedy_device_matches_host():
+    """The fixed-shape device scan greedy (one jitted program, zero
+    per-step host syncs) selects the SAME points/snapshots/basis as the
+    host loop, with the same tol/reserve truncation semantics."""
+    from rla4mor_tpu.mor.eim import eim_greedy_device, eim_greedy_scan
+
+    G = _bump_snapshots(m=60, seed=2)
+    for kw in (dict(tol=1e-6), dict(tol=1e-6, reserve=3),
+               dict(tol=1e-12, max_terms=12)):
+        host = eim_greedy(G, **kw)
+        dev = eim_greedy_device(G, **kw)
+        assert dev.n_terms == host.n_terms, kw
+        assert dev.n_reserve == host.n_reserve, kw
+        assert dev.snapshot_ids == host.snapshot_ids
+        np.testing.assert_array_equal(np.asarray(dev.points),
+                                      np.asarray(host.points))
+        # basis columns are normalized residuals: late columns (tiny
+        # pre-normalization scale) accumulate scan-vs-loop fp drift, so
+        # compare the INTERPOLANTS' action, tight at the training tol
+        H = _bump_snapshots(m=25, seed=5)
+        np.testing.assert_allclose(np.asarray(dev.interpolate(H)),
+                                   np.asarray(host.interpolate(H)),
+                                   atol=1e-8)
+        K = host.n_terms + host.n_reserve
+        # scan vs loop fp associativity: ~1e-11 relative drift
+        np.testing.assert_allclose(np.asarray(dev.sup_errors),
+                                   np.asarray(host.sup_errors[:K]),
+                                   rtol=1e-9)
+    # exact-rank data: steps past the zero residual are truncated
+    rng = np.random.default_rng(1)
+    L = jnp.asarray(rng.standard_normal((100, 4)) @
+                    rng.standard_normal((4, 20)))
+    dev = eim_greedy_device(L, tol=1e-13, max_terms=10, reserve=3)
+    # active terms stop at the numerical rank; reserve points carry
+    # fp-noise residuals (harmless — the indicator reports ~1e-15)
+    assert dev.n_terms == 4
+    err = np.abs(np.asarray(dev.interpolate(L) - L)).max()
+    assert err < 1e-9 * np.abs(np.asarray(L)).max()
+    # the scan itself is one jitted fixed-shape program
+    B, pts, ids, sups = eim_greedy_scan(G, 8)
+    assert B.shape == (G.shape[0], 8) and pts.shape == (8,)
+
+
+def test_from_training_device_scan_dispatch():
+    """from_training(device_scan=True) builds the same surrogate as the
+    host greedy path (same magic points / snapshot selections)."""
+    fom = gaussian_bump_fom(num_intervals=16, dtype=jnp.float64)
+    train = fom.parameter_space.sample_uniformly(4)
+    kw = dict(tol=1e-3, reserve=2)
+    a = EimStencilFOM.from_training(fom, train, **kw)
+    b = EimStencilFOM.from_training(fom, train, device_scan=True, **kw)
+    assert a.n_terms == b.n_terms
+    assert a.interpolant.snapshot_ids == b.interpolant.snapshot_ids
+    np.testing.assert_array_equal(np.asarray(a.interpolant.points),
+                                  np.asarray(b.interpolant.points))
+    mu = fom.sample_parameters(1, key=11)[0]
+    np.testing.assert_allclose(np.asarray(a.kappa(mu)),
+                               np.asarray(b.kappa(mu)), atol=1e-10)
+
+
 def test_eim_rebuild_matches_greedy_on_same_data():
     """eim_rebuild with the greedy's own snapshot sequence reproduces the
     greedy interpolant exactly (same points, same basis) — the two-grid
