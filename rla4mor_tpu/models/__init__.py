@@ -12,7 +12,9 @@ from rla4mor_tpu.models.stencil3d import StencilThermalBlock3D
 from rla4mor_tpu.models.stencil_nonaffine import (
     EimStencilFOM,
     NonAffineStencilFOM,
+    NonAffineStencilFOM3D,
     gaussian_bump_fom,
+    gaussian_bump_fom3d,
 )
 from rla4mor_tpu.models.instationary import (
     InstationaryFOM,
@@ -31,5 +33,6 @@ __all__ = [
     "InstationaryFOM", "InstationaryROM", "InstationaryReductor",
     "instationary_thermal_block", "pod_greedy", "InstationaryStencilFOM", "MassStencilOp", "helmholtz_fom",
     "StencilAdvectionDiffusion", "StencilThermalBlock3D",
-    "NonAffineStencilFOM", "EimStencilFOM", "gaussian_bump_fom",
+    "NonAffineStencilFOM", "NonAffineStencilFOM3D", "EimStencilFOM",
+    "gaussian_bump_fom", "gaussian_bump_fom3d",
 ]

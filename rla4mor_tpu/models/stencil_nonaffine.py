@@ -71,19 +71,32 @@ class NonAffineStencilFOM:
     def solution_shape(self):
         return (self.n_nodes, self.n_nodes)
 
+    @property
+    def element_shape(self):
+        return (self.num_intervals, self.num_intervals)
+
     def element_centers(self):
         """(X, Y) element-center coordinate grids (N, N), row = y."""
         N = self.num_intervals
         c = (jnp.arange(N, dtype=self.dtype) + 0.5) * self.h
         return jnp.meshgrid(c, c, indexing="xy")
 
+    # --- field-generic backend (the EIM surrogate delegates here) ------
+    def apply_field(self, kappa: jax.Array, u: jax.Array) -> jax.Array:
+        """A(kappa) u for an arbitrary per-element coefficient field."""
+        return stencil_apply(u, kappa.astype(u.dtype))
+
+    def diag_field(self, kappa: jax.Array) -> jax.Array:
+        d = stiffness_diag_raw(kappa)
+        return jnp.where(d > 0, d, 1.0)
+
     def kappa(self, mu: Mu, dtype=None) -> jax.Array:
         dt = self.dtype if dtype is None else dtype
-        X, Y = self.element_centers()
-        return self.field_fn(mu, X.astype(dt), Y.astype(dt))
+        coords = self.element_centers()
+        return self.field_fn(mu, *(c.astype(dt) for c in coords))
 
     def apply(self, mu: Mu, u: jax.Array) -> jax.Array:
-        return stencil_apply(u, self.kappa(mu, dtype=u.dtype))
+        return self.apply_field(self.kappa(mu, dtype=u.dtype), u)
 
     def rhs(self, dtype=None) -> jax.Array:
         dt = self.dtype if dtype is None else dtype
@@ -91,8 +104,7 @@ class NonAffineStencilFOM:
         return load * interior_mask(self.n_nodes, dt)
 
     def jacobi_diag(self, mu: Mu) -> jax.Array:
-        d = stiffness_diag_raw(self.kappa(mu))
-        return jnp.where(d > 0, d, 1.0)
+        return self.diag_field(self.kappa(mu))
 
     def solve_cg(self, mu: Mu, tol=1e-8, maxiter=2000):
         from rla4mor_tpu.core.solvers import cg
@@ -108,6 +120,57 @@ class NonAffineStencilFOM:
     def sample_parameters(self, count: int, key=0):
         assert self.parameter_space is not None
         return self.parameter_space.sample_randomly(count, key=key)
+
+    def with_num_intervals(self, num_intervals: int):
+        """Same family on a different grid (two-grid EIM training)."""
+        return type(self)(
+            self.field_fn, num_intervals,
+            parameter_space=self.parameter_space, dtype=self.dtype,
+            kappa_lower=self.kappa_lower,
+        )
+
+
+class NonAffineStencilFOM3D(NonAffineStencilFOM):
+    """3-D analog on the trilinear Q1 hexahedral stencil
+    (models/stencil3d.py): ``field_fn(mu, X, Y, Z) -> kappa`` over
+    (N, N, N) element centers. Inherits the whole non-affine protocol —
+    only the geometry backend differs — so :class:`EimStencilFOM` and
+    the rank-generic sharded driver consume it unchanged."""
+
+    @property
+    def solution_shape(self):
+        return (self.n_nodes,) * 3
+
+    @property
+    def element_shape(self):
+        return (self.num_intervals,) * 3
+
+    def element_centers(self):
+        N = self.num_intervals
+        c = (jnp.arange(N, dtype=self.dtype) + 0.5) * self.h
+        Z, Y, X = jnp.meshgrid(c, c, c, indexing="ij")
+        return (X, Y, Z)
+
+    def apply_field(self, kappa: jax.Array, u: jax.Array) -> jax.Array:
+        from rla4mor_tpu.models.stencil3d import stencil3d_apply
+
+        return stencil3d_apply(u, kappa.astype(u.dtype), self.h)
+
+    def diag_field(self, kappa: jax.Array) -> jax.Array:
+        from rla4mor_tpu.models.stencil3d import _eight_element_sum, k_el_3d
+
+        d = self.h * k_el_3d()[0][0] * _eight_element_sum(kappa)
+        return jnp.where(d > 0, d, 1.0)
+
+    def rhs(self, dtype=None) -> jax.Array:
+        from rla4mor_tpu.models.stencil3d import interior_mask3
+
+        dt = self.dtype if dtype is None else dtype
+        load = jnp.full(self.solution_shape, self.h ** 3, dtype=dt)
+        return load * interior_mask3(self.n_nodes, dt)
+
+    def output(self, u) -> jax.Array:
+        return jnp.sum(u) * self.h ** 3
 
 
 class EimStencilFOM:
@@ -135,15 +198,19 @@ class EimStencilFOM:
         self.n_nodes = exact.n_nodes
         self.h = exact.h
         self.parameter_space = exact.parameter_space
-        N = exact.num_intervals
-        # (M, N, N) ACTIVE EIM basis fields + ALL magic-point coordinates
-        # (active first, then the certification reserve)
+        # (M, *element_shape) ACTIVE EIM basis fields + ALL magic-point
+        # coordinates (active first, then the certification reserve);
+        # dimension-agnostic — any exact FOM with the field-generic
+        # backend (element_shape/element_centers/apply_field/diag_field)
+        # works, 2-D and 3-D alike
         M = interpolant.n_terms
-        self.xi = interpolant.basis[:, :M].T.reshape(-1, N, N)
+        self.xi = interpolant.basis[:, :M].T.reshape(
+            (-1,) + tuple(exact.element_shape)
+        )
         pts = interpolant.points
-        X, Y = exact.element_centers()
-        self._px = X.reshape(-1)[pts]
-        self._py = Y.reshape(-1)[pts]
+        self._pcoords = tuple(
+            c.reshape(-1)[pts] for c in exact.element_centers()
+        )
 
     @classmethod
     def from_training(cls, exact: NonAffineStencilFOM,
@@ -184,11 +251,8 @@ class EimStencilFOM:
 
         two_grid = (training_intervals is not None
                     and training_intervals != exact.num_intervals)
-        trainer = exact if not two_grid else NonAffineStencilFOM(
-            exact.field_fn, training_intervals,
-            parameter_space=exact.parameter_space, dtype=exact.dtype,
-            kappa_lower=exact.kappa_lower,
-        )
+        trainer = (exact if not two_grid
+                   else exact.with_num_intervals(training_intervals))
         G = jnp.stack(
             [trainer.kappa(mu).reshape(-1) for mu in training_mus], axis=1
         )
@@ -236,7 +300,7 @@ class EimStencilFOM:
         """EIM coefficients: M field evaluations at the magic points +
         one (M, M) unit-lower-triangular solve. O(M), jittable."""
         M = self.n_terms
-        g = self.exact.field_fn(mu, self._px[:M], self._py[:M])
+        g = self.exact.field_fn(mu, *(c[:M] for c in self._pcoords))
         return self.interpolant.coefficients(g.astype(self.dtype))
 
     def kappa_error_indicator(self, mu: Mu) -> jax.Array:
@@ -244,7 +308,7 @@ class EimStencilFOM:
         — the interpolation error at the ``reserve`` next greedy points
         (a rigorous lower bound that tracks the sup closely on smooth
         families). O(M + reserve), jittable."""
-        g = self.exact.field_fn(mu, self._px, self._py)
+        g = self.exact.field_fn(mu, *self._pcoords)
         return self.interpolant.error_indicator(g.astype(self.dtype))
 
     def model_error_bound(self, mu: Mu, u_s: jax.Array,
@@ -266,10 +330,11 @@ class EimStencilFOM:
             eps = self.kappa_error_indicator(mu)
         k0 = self.exact.kappa_lower
         k0 = self.kappa_floor if k0 is None else k0
-        ones = jnp.ones((self.num_intervals,) * 2, u_s.dtype)
+        ones = jnp.ones(tuple(self.exact.element_shape), u_s.dtype)
         # elementwise multiply + sum (VPU) — no MXU bf16 truncation
-        h1 = jnp.sqrt(jnp.sum((jnp.conj(u_s) * stencil_apply(u_s, ones))
-                              .real))
+        h1 = jnp.sqrt(jnp.sum(
+            (jnp.conj(u_s) * self.exact.apply_field(ones, u_s)).real
+        ))
         return eps * h1 / jnp.sqrt(jnp.asarray(k0, u_s.dtype))
 
     def ellipticity_margin(self, mu: Mu) -> jax.Array:
@@ -293,12 +358,16 @@ class EimStencilFOM:
                              precision=_HI)
 
     def apply(self, mu: Mu, u: jax.Array) -> jax.Array:
-        return stencil_apply(u, self.kappa(mu, dtype=u.dtype))
+        return self.exact.apply_field(self.kappa(mu, dtype=u.dtype), u)
 
     def apply_term(self, q: int, u: jax.Array) -> jax.Array:
-        return stencil_apply(u, self.xi[q].astype(u.dtype))
+        return self.exact.apply_field(self.xi[q], u)
 
     def term_linop(self, q: int) -> "EimTermOp":
+        assert len(self.exact.element_shape) == 2, (
+            "flat LinOp views (FlatGridOp) are 2-D; the sharded driver "
+            "consumes 3-D families through the protocol methods directly"
+        )
         return EimTermOp(self, q)
 
     def affine_operator(self):
@@ -347,8 +416,7 @@ class EimStencilFOM:
         return self.exact.rhs(dtype)
 
     def jacobi_diag(self, mu: Mu) -> jax.Array:
-        d = stiffness_diag_raw(self.kappa(mu))
-        return jnp.where(d > 0, d, 1.0)
+        return self.exact.diag_field(self.kappa(mu))
 
     def output(self, u) -> jax.Array:
         return self.exact.output(u)
@@ -367,7 +435,7 @@ class EimTermOp(FlatGridOp):
         self.q = q
 
     def _grid_apply(self, grid):
-        return stencil_apply(grid, self.fom.xi[self.q].astype(grid.dtype))
+        return self.fom.exact.apply_field(self.fom.xi[self.q], grid)
 
     @property
     def H(self):
@@ -404,4 +472,37 @@ def gaussian_bump_fom(num_intervals: int = 64, dtype=jnp.float32,
         gaussian_bump_field(**field_kw), num_intervals,
         parameter_space=ps, dtype=dtype,
         kappa_lower=kappa0 + min(0.0, amp),  # exp in (0, 1]
+    )
+
+
+def gaussian_bump_field3d(kappa0: float = 1.0, amp: float = 9.0,
+                          center_range=(0.25, 0.75),
+                          width_range=(0.1, 0.3)) -> Callable:
+    """3-D field factory: mu['bump'] = (cx, cy, cz, w) in [0, 1]^4."""
+
+    def field(mu: Mu, X, Y, Z):
+        b = jnp.asarray(mu["bump"], X.dtype)
+        c0, c1 = center_range
+        w0, w1 = width_range
+        cx = c0 + (c1 - c0) * b[0]
+        cy = c0 + (c1 - c0) * b[1]
+        cz = c0 + (c1 - c0) * b[2]
+        w = w0 + (w1 - w0) * b[3]
+        r2 = (X - cx) ** 2 + (Y - cy) ** 2 + (Z - cz) ** 2
+        return kappa0 + amp * jnp.exp(-r2 / (2.0 * w * w))
+
+    return field
+
+
+def gaussian_bump_fom3d(num_intervals: int = 32, dtype=jnp.float32,
+                        **field_kw) -> NonAffineStencilFOM3D:
+    """Convenience: the 3-D Gaussian-bump non-affine diffusion FOM with
+    parameter space mu['bump'] in [0, 1]^4."""
+    ps = ParameterSpace.make({"bump": 4})
+    kappa0 = field_kw.get("kappa0", 1.0)
+    amp = field_kw.get("amp", 9.0)
+    return NonAffineStencilFOM3D(
+        gaussian_bump_field3d(**field_kw), num_intervals,
+        parameter_space=ps, dtype=dtype,
+        kappa_lower=kappa0 + min(0.0, amp),
     )

@@ -305,6 +305,73 @@ def test_eim_stencil_model_error_bound():
         assert margin > 0.0
 
 
+def test_nonaffine_3d_eim_family():
+    """3-D non-affine family (trilinear hexahedral stencil): the
+    dimension-agnostic EIM surrogate is truly affine, converges to the
+    exact non-affine solve, certifies (indicator/margin), and runs the
+    rank-generic sharded greedy unchanged on the 8-device mesh."""
+    from rla4mor_tpu.core import mu_stack
+    from rla4mor_tpu.models import EimStencilFOM, gaussian_bump_fom3d
+    from rla4mor_tpu.parallel import make_sharded_greedy_step
+
+    fom = gaussian_bump_fom3d(num_intervals=15, dtype=jnp.float64,
+                              center_range=(0.4, 0.6),
+                              width_range=(0.2, 0.35))
+    train = fom.parameter_space.sample_uniformly(4)  # 4^4 = 256 fields
+    eim = EimStencilFOM.from_training(fom, train, tol=1e-3, reserve=2)
+    assert eim.interpolant.n_reserve == 2
+    assert eim.n_terms < len(train)
+
+    mu = fom.sample_parameters(1, key=77)[0]
+    k_err = float(jnp.max(jnp.abs(eim.kappa(mu) - fom.kappa(mu))))
+    ind = float(eim.kappa_error_indicator(mu))
+    assert ind <= k_err * (1 + 1e-10)
+    assert float(eim.ellipticity_margin(mu)) > 0
+
+    # true affinity on the 3-D stencil
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(fom.solution_shape))
+    theta = eim.theta_vector(mu)
+    want = sum(float(theta[q]) * eim.apply_term(q, u)
+               for q in range(eim.n_terms))
+    got = jax.jit(lambda uu: eim.apply(mu, uu))(u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-10)
+
+    # EIM solve tracks the exact non-affine solve
+    from rla4mor_tpu.core.solvers import cg
+
+    u_e = fom.solve_cg(mu, tol=1e-12, maxiter=3000)
+    diag = eim.jacobi_diag(mu)
+    u_s = cg(lambda v: eim.apply(mu, v), eim.rhs(),
+             precond=lambda r: r / diag, tol=1e-12, maxiter=3000).x
+    rel = float(jnp.linalg.norm(u_s - u_e) / jnp.linalg.norm(u_e))
+    assert rel < 5e-2, rel
+    # the energy bound with the TRUE eps dominates the true error
+    e = u_e - u_s
+    err_energy = float(jnp.sqrt(jnp.sum(e * fom.apply(mu, e))))
+    bound = float(eim.model_error_bound(mu, u_s, eps=k_err))
+    assert err_energy <= bound * (1 + 1e-8)
+
+    # rank-generic sharded greedy on the EIM 3-D family (M = 16, /4 ok)
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("dof", "mu"))
+    state0, step = make_sharded_greedy_step(
+        eim, mesh, jax.random.key(0), k=32, r_max=2, cg_tol=1e-10,
+        cg_maxiter=1000, sketch="srht",
+    )
+    batch = mu_stack(fom.sample_parameters(4, key=5))
+    with mesh:
+        jit_step = jax.jit(step)
+        state, est1, _ = jit_step(
+            state0, fom.sample_parameters(1, key=21)[0], batch)
+        state, est2, _ = jit_step(
+            state, fom.sample_parameters(1, key=22)[0], batch)
+    assert int(state.ncols) == 2
+    assert np.all(np.isfinite(np.asarray(est1)))
+    assert np.median(np.asarray(est2)) < np.median(np.asarray(est1))
+
+
 def test_nonaffine_parabolic_pod_greedy_composition():
     """The device-native parabolic FOM and the POD-greedy reductor stack
     consume the EIM-affine non-affine surrogate unchanged:
