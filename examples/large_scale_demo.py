@@ -87,11 +87,11 @@ def main():
     # (mutually exclusive for now: MG runs single-device, jacobi when
     # sharded)
     use_mg = (n_dof == 1 and args.precond == "mg"
-              and args.family == "thermal")
+              and args.family in ("thermal", "nonaffine"))
     if args.precond == "mg" and not use_mg:
-        print("NOTE: --precond mg ignored (multigrid needs the 2-D "
-              "thermal family on a single device); using jacobi — at "
-              ">=1e7 DoF expect slow/poorly-converged CG snapshots")
+        print("NOTE: --precond mg ignored (multigrid needs a 2-D SPD "
+              "kappa-field family on a single device); using jacobi — "
+              "at >=1e7 DoF expect slow/poorly-converged CG snapshots")
     N = args.grid
     if use_mg:
         while N & (N - 1):
