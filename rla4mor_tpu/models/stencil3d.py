@@ -111,6 +111,15 @@ def _eight_element_sum(kappa_el: jax.Array) -> jax.Array:
     )
 
 
+def stiffness3d_diag_raw(kappa_el: jax.Array, h: float) -> jax.Array:
+    """Diagonal of A(kappa) on the node grid: each node's 8 adjacent
+    elements weighted by the (all-equal) corner self-coefficient. Shared
+    by the thermal block's jacobi_diag and the non-affine families'
+    diag_field (one formula, one site)."""
+    kdiag = k_el_3d()[0][0]  # all equal by symmetry
+    return h * kdiag * _eight_element_sum(kappa_el)
+
+
 class StencilThermalBlock3D:
     """Matrix-free 3-D affine thermal block:
     A(mu) = sum_b mu_b A_b over a (bx, by, bz) octant partition."""
@@ -168,8 +177,7 @@ class StencilThermalBlock3D:
         return load * interior_mask3(self.n_nodes, dt)
 
     def jacobi_diag(self, mu) -> jax.Array:
-        kdiag = k_el_3d()[0][0]  # all equal by symmetry
-        d = self.h * kdiag * _eight_element_sum(self._kappa(mu))
+        d = stiffness3d_diag_raw(self._kappa(mu), self.h)
         return jnp.where(d > 0, d, 1.0)
 
     def solve_cg(self, mu, tol=1e-8, maxiter=2000):

@@ -157,9 +157,9 @@ class NonAffineStencilFOM3D(NonAffineStencilFOM):
         return stencil3d_apply(u, kappa.astype(u.dtype), self.h)
 
     def diag_field(self, kappa: jax.Array) -> jax.Array:
-        from rla4mor_tpu.models.stencil3d import _eight_element_sum, k_el_3d
+        from rla4mor_tpu.models.stencil3d import stiffness3d_diag_raw
 
-        d = self.h * k_el_3d()[0][0] * _eight_element_sum(kappa)
+        d = stiffness3d_diag_raw(kappa, self.h)
         return jnp.where(d > 0, d, 1.0)
 
     def rhs(self, dtype=None) -> jax.Array:
@@ -238,9 +238,9 @@ class EimStencilFOM:
         history lives on the coarse greedy; fine-grid fit is validated
         by the positivity floor + the online indicator.
 
-        ``device_scan`` runs the greedy as one jitted fixed-shape scan
-        (``eim_greedy_device``) — zero per-step host syncs; prefer on
-        TPU (pass ``max_terms`` to bound the scan's step budget)."""
+        ``device_scan`` runs the greedy as jitted fixed-shape scan
+        chunks (``eim_greedy_device``) — zero per-step host syncs, one
+        per chunk, early stopping; prefer on TPU."""
         import warnings
 
         from rla4mor_tpu.mor.eim import (
@@ -364,10 +364,12 @@ class EimStencilFOM:
         return self.exact.apply_field(self.xi[q], u)
 
     def term_linop(self, q: int) -> "EimTermOp":
-        assert len(self.exact.element_shape) == 2, (
-            "flat LinOp views (FlatGridOp) are 2-D; the sharded driver "
-            "consumes 3-D families through the protocol methods directly"
-        )
+        if len(self.exact.element_shape) != 2:
+            raise NotImplementedError(
+                "flat LinOp views (FlatGridOp) are 2-D; the sharded "
+                "driver consumes 3-D families through the protocol "
+                "methods directly"
+            )
         return EimTermOp(self, q)
 
     def affine_operator(self):

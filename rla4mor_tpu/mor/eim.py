@@ -214,8 +214,10 @@ def eim_greedy_scan(G, n_steps: int):
     """Fully-device fixed-shape EIM greedy: exactly ``n_steps`` steps as
     one ``lax.scan`` — zero host syncs (the host loop pays two argmax
     transfers per step, which dominates on a remote-dispatch TPU).
-    Returns ``(basis (n, K), points (K,), snapshot_ids (K,), sups (K,))``
-    where ``sups[k]`` is the training sup error BEFORE adding term k+1.
+    Returns ``(basis (n, K), points (K,), snapshot_ids (K,), sups (K,),
+    R (n, m))`` where ``sups[k]`` is the training sup error BEFORE adding
+    term k+1 and ``R`` is the final residual carry (pass it back in to
+    continue the greedy — ``eim_greedy_device`` chunks this way).
 
     Steps past an exactly-zero residual produce zero columns with
     ``sups == 0`` — truncate on the host (``eim_greedy_device`` does).
@@ -232,8 +234,8 @@ def eim_greedy_scan(G, n_steps: int):
         R = R - b[:, None] * jnp.take(R, p, axis=0)[None, :]
         return R, (b, p.astype(jnp.int32), j.astype(jnp.int32), err[j])
 
-    _, (B, pts, ids, sups) = jax.lax.scan(step, G, None, length=n_steps)
-    return B.T, pts, ids, sups
+    R, (B, pts, ids, sups) = jax.lax.scan(step, G, None, length=n_steps)
+    return B.T, pts, ids, sups, R
 
 
 def eim_greedy_device(
@@ -242,24 +244,52 @@ def eim_greedy_device(
     max_terms: Optional[int] = None,
     relative: bool = True,
     reserve: int = 0,
+    chunk: int = 32,
 ) -> EimInterpolant:
     """:func:`eim_greedy` semantics computed by the device scan
-    (:func:`eim_greedy_scan`): the scan runs a fixed
-    ``max_terms + reserve`` step budget in one jitted program, then ONE
-    host transfer truncates by the tol/reserve stopping rule. Identical
-    selections to the host greedy (same argmax tie-breaking); prefer at
-    pod scale / on TPU where per-step host syncs dominate. ``max_terms``
-    is required logic-wise but defaults to min(n, m) like the host path
-    (mind the wasted steps if tol converges much earlier)."""
+    (:func:`eim_greedy_scan`): the greedy runs in fixed-shape
+    ``chunk``-step scan programs (ONE compile, reused), with one host
+    transfer of the chunk's sup history between chunks to stop early —
+    at most ``chunk - 1`` wasted steps vs the host loop's two transfers
+    per step. Identical selections to the host greedy (same argmax
+    tie-breaking, same tol/reserve/max_terms truncation); prefer at pod
+    scale / on TPU where per-step host syncs dominate."""
     G = jnp.asarray(G)
     n, m = G.shape
     hard_cap = min(n, m)
     max_terms = hard_cap if max_terms is None else min(max_terms, hard_cap)
-    n_steps = min(max_terms + reserve, hard_cap)
-    B, pts, ids, sups = eim_greedy_scan(G, n_steps)
-    sups_h = np.asarray(sups)
-    scale = float(np.max(np.abs(np.asarray(G)))) if relative else 1.0
-    scale = scale if scale > 0 else 1.0
+    budget = min(max_terms + reserve, hard_cap)
+    chunk = max(1, min(chunk, budget))
+
+    Bs_l, pts_l, ids_l, sups_l = [], [], [], []
+    R = G
+    done = 0
+    scale = None
+    while done < budget:
+        steps = min(chunk, budget - done)
+        B, pts, ids, sups, R = eim_greedy_scan(R, steps)
+        sups_h = np.asarray(sups)
+        Bs_l.append(B)
+        pts_l.append(np.asarray(pts))
+        ids_l.append(np.asarray(ids))
+        sups_l.append(sups_h)
+        done += steps
+        if scale is None:  # residual at step 0 is G: sups[0] = max|G|
+            scale = float(sups_h[0]) if relative else 1.0
+            scale = scale if scale > 0 else 1.0
+        # stop once tol is certified with the reserve steps in hand (or
+        # the residual is exactly zero — nothing more can be selected)
+        all_sups = np.concatenate(sups_l)
+        below = np.nonzero(all_sups <= tol * scale)[0]
+        if below.size and done >= min(int(below[0]) + reserve, budget):
+            break
+        if sups_h[-1] == 0.0:
+            break
+
+    sups_h = np.concatenate(sups_l)
+    B = jnp.concatenate(Bs_l, axis=1) if len(Bs_l) > 1 else Bs_l[0]
+    pts = np.concatenate(pts_l)
+    ids = np.concatenate(ids_l)
 
     if not np.any(np.abs(sups_h) > 0):  # zero field
         return EimInterpolant(
@@ -269,19 +299,33 @@ def eim_greedy_device(
             triangular=True, sup_errors=(0.0,), snapshot_ids=(0,),
         )
     below = np.nonzero(sups_h <= tol * scale)[0]
-    n_active = int(below[0]) if below.size else max_terms
-    n_active = min(max(n_active, 1), max_terms)
+    n_active = min(int(below[0]) if below.size else max_terms, max_terms)
     # reserve steps must carry real (nonzero-residual) information
     nz = np.nonzero(sups_h > 0)[0]
     last_real = int(nz[-1]) + 1
-    total = min(n_active + reserve, n_steps, last_real)
+    total = min(n_active + reserve, budget, last_real)
+    if total == 0:  # tol met before any term: the host's zero fallback
+        return EimInterpolant(
+            basis=jnp.zeros((n, 1), G.dtype),
+            points=jnp.zeros((1,), jnp.int32),
+            interp_matrix=jnp.zeros((1, 1), G.dtype),
+            triangular=True, sup_errors=(float(sups_h[0]),),
+            snapshot_ids=(0,),
+        )
+    # the host greedy's history also logs the error AFTER the last term
+    # (its final break iteration): sups_h[total] when the scan ran past
+    # total, else the final carry residual's sup
+    if total < len(sups_h):
+        tail = float(sups_h[total])
+    else:
+        tail = float(jnp.max(jnp.abs(R)))
     Bs = B[:, :total]
-    ps = pts[:total]
+    ps = jnp.asarray(pts[:total])
     return EimInterpolant(
         basis=Bs, points=ps, interp_matrix=Bs[ps, :], triangular=True,
-        sup_errors=tuple(sups_h[:total].tolist()),
+        sup_errors=tuple(sups_h[:total].tolist()) + (tail,),
         n_reserve=total - n_active,
-        snapshot_ids=tuple(int(i) for i in np.asarray(ids)[:total]),
+        snapshot_ids=tuple(int(i) for i in ids[:total]),
     )
 
 
