@@ -159,6 +159,16 @@ def main():
     batch = mu_stack(sample(8, 1))
     batch = jax.tree.map(lambda x: x.astype(jnp.float32), batch)
 
+    if args.family == "nonaffine":
+        # honest total-error story: the sketched estimates measure the
+        # RB error w.r.t. the EIM surrogate; the kappa indicator bounds
+        # (estimates) the EIM model error on the candidate batch
+        ind_batch = jax.jit(jax.vmap(fom.kappa_error_indicator))(batch)
+        print(f"EIM kappa indicator over the mu batch: "
+              f"max {float(jnp.max(ind_batch)):.2e} "
+              f"(ellipticity margin min "
+              f"{float(jnp.min(jax.vmap(fom.ellipticity_margin)(batch))):.3f})")
+
     with mesh:
         jit_step = jax.jit(step)
         for it in range(args.steps):
