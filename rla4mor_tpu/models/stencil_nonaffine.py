@@ -28,7 +28,6 @@ pieces are jittable with static shapes.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -381,36 +380,19 @@ class EimStencilFOM:
         coefficient identity is the jit-cache key."""
         if getattr(self, "_affine_op", None) is None:
             from rla4mor_tpu.core.affine import AffineOp
-            from rla4mor_tpu.core.parameters import ExpressionCoefficient
+            from rla4mor_tpu.mor.eim import theta_coefficients
 
-            # eval_coefficients calls each term coefficient separately;
-            # memoize the (M,) theta solve per mu OBJECT so one
-            # assembly costs one solve, not M. Keyed on leaf identity
-            # with strong refs (ids stay unique while held) — new leaf
-            # arrays/tracers always miss.
-            cache: dict = {}
-
-            def theta_full(mu):
-                key = tuple(id(v) for v in jax.tree.leaves(mu))
-                if cache.get("key") == key:
-                    return cache["theta"]
-                theta = self.theta_vector(mu)
-                cache["key"] = key
-                cache["refs"] = jax.tree.leaves(mu)
-                cache["theta"] = theta
-                return theta
-
-            def theta_at(mu, q):
-                return theta_full(mu)[q]
+            def entries(mu):
+                M = self.n_terms
+                g = self.exact.field_fn(
+                    mu, *(c[:M] for c in self._pcoords)
+                )
+                return g.astype(self.dtype)
 
             self._affine_op = AffineOp(
                 tuple(self.term_linop(q) for q in range(self.n_terms)),
-                tuple(
-                    ExpressionCoefficient(
-                        partial(theta_at, q=q), name=f"eim_theta[{q}]"
-                    )
-                    for q in range(self.n_terms)
-                ),
+                theta_coefficients(self.interpolant, entries,
+                                   name="eim_theta"),
             )
         return self._affine_op
 

@@ -29,12 +29,15 @@ from rla4mor_tpu.mor.scm import (
 )
 from rla4mor_tpu.mor.eim import (
     EimInterpolant,
+    MdeimOperator,
     deim,
     deim_points,
     eim_greedy,
     eim_greedy_device,
     eim_greedy_scan,
     eim_rebuild,
+    mdeim,
+    theta_coefficients,
 )
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
@@ -58,6 +61,7 @@ __all__ = [
     "ScmHermitian", "ScmCoercivity", "ScmInfSup",
     "EimInterpolant", "eim_greedy", "eim_greedy_device", "eim_greedy_scan",
     "eim_rebuild", "deim", "deim_points",
+    "MdeimOperator", "mdeim", "theta_coefficients",
     "save_reductor", "load_reductor_state",
     "save_eim_interpolant", "load_eim_interpolant",
     "save_instationary_reductor", "load_instationary_reductor_state",

@@ -374,6 +374,151 @@ def eim_rebuild(G_sel, n_reserve: int = 0) -> EimInterpolant:
     )
 
 
+def theta_coefficients(interpolant: EimInterpolant, entries_fn,
+                       name: str = "eim_theta"):
+    """Tuple of ``ExpressionCoefficient`` theta_q(mu) for an affine
+    surrogate built from ``interpolant``: ``entries_fn(mu) -> (M,)``
+    evaluates the underlying quantity at the ACTIVE magic points
+    (jittable), and all M coefficients share ONE memoized triangular
+    solve per mu object (``eval_coefficients`` calls term coefficients
+    independently; the cache is keyed on mu leaf identity with strong
+    refs, so new arrays/tracers always miss)."""
+    from rla4mor_tpu.core.parameters import ExpressionCoefficient
+
+    cache: dict = {}
+
+    def theta_full(mu):
+        key = tuple(id(v) for v in jax.tree.leaves(mu))
+        if cache.get("key") == key:
+            return cache["theta"]
+        theta = interpolant.coefficients(jnp.asarray(entries_fn(mu)))
+        cache["key"] = key
+        cache["refs"] = jax.tree.leaves(mu)
+        cache["theta"] = theta
+        return theta
+
+    def theta_at(mu, q):
+        return theta_full(mu)[q]
+
+    return tuple(
+        ExpressionCoefficient(partial(theta_at, q=q), name=f"{name}[{q}]")
+        for q in range(interpolant.n_terms)
+    )
+
+
+class MdeimOperator:
+    """Matrix-DEIM (Negri/Manzoni/Amsallem 2015): an affine surrogate of
+    a NON-affine parametric SPARSE operator ``A(mu)``, built by the EIM
+    greedy on the shared-sparsity-pattern nnz data vectors of operator
+    snapshots — the host-FEM-path companion of the stencil families'
+    :class:`~rla4mor_tpu.models.stencil_nonaffine.EimStencilFOM`
+    (beyond reference: the reference is affine-only).
+
+        A(mu) ~= sum_q theta_q(mu) A_q,
+        theta(mu) = T^{-1} [A(mu)]_{magic nnz positions}
+
+    Online theta needs only the M magic matrix ENTRIES (rows/cols in
+    ``magic_rows``/``magic_cols``); the reserve entries feed the same
+    a-posteriori indicator as EIM. Offline/host object (scipy sparse),
+    per the repo's offline/online split (docs/DESIGN.md §4)."""
+
+    def __init__(self, interpolant: EimInterpolant, indices, indptr,
+                 shape):
+        self.interpolant = interpolant
+        self.indices = np.asarray(indices)
+        self.indptr = np.asarray(indptr)
+        self.shape = tuple(shape)
+        pts = np.asarray(interpolant.points)
+        self.magic_cols = self.indices[pts]
+        self.magic_rows = (
+            np.searchsorted(self.indptr, pts, side="right") - 1
+        ).astype(self.magic_cols.dtype)
+
+    @property
+    def n_terms(self) -> int:
+        return self.interpolant.n_terms
+
+    def term_matrix(self, q: int):
+        """Sparse term A_q (csr) with the shared pattern and the q-th
+        EIM basis vector as data."""
+        import scipy.sparse as sps
+
+        return sps.csr_matrix(
+            (np.asarray(self.interpolant.basis[:, q]), self.indices,
+             self.indptr), shape=self.shape,
+        )
+
+    def entries_from_matrix(self, A) -> np.ndarray:
+        """A(mu)'s values at ALL magic positions (active + reserve).
+        ``A`` must carry the shared sparsity pattern."""
+        Ac = A.tocsr()
+        Ac.sort_indices()
+        return np.asarray(Ac.data)[np.asarray(self.interpolant.points)]
+
+    def theta_from_matrix(self, A) -> jnp.ndarray:
+        e = self.entries_from_matrix(A)[: self.n_terms]
+        return self.interpolant.coefficients(jnp.asarray(e))
+
+    def indicator_from_matrix(self, A) -> float:
+        """A-posteriori estimate of ``max_nnz |A(mu) - A_MDEIM(mu)|``
+        (reserve-entry interpolation error; rigorous lower bound)."""
+        return float(self.interpolant.error_indicator(
+            jnp.asarray(self.entries_from_matrix(A))
+        ))
+
+    def assemble(self, theta):
+        """A_MDEIM = sum_q theta_q A_q as one csr."""
+        import scipy.sparse as sps
+
+        M = self.n_terms
+        data = np.asarray(jnp.matmul(
+            self.interpolant.basis[:, :M], jnp.asarray(theta),
+            precision=_HI,
+        ))
+        return sps.csr_matrix((data, self.indices, self.indptr),
+                              shape=self.shape)
+
+    def affine_op(self, entries_fn):
+        """``core.affine.AffineOp`` over ``HostSparseOp`` terms with
+        shared-solve theta coefficients; ``entries_fn(mu) -> (M,)``
+        evaluates the magic matrix entries (e.g. M local FEM element
+        assemblies — O(M), grid-independent)."""
+        from rla4mor_tpu.core.affine import AffineOp
+        from rla4mor_tpu.core.linops import HostSparseOp
+
+        return AffineOp(
+            tuple(HostSparseOp(self.term_matrix(q))
+                  for q in range(self.n_terms)),
+            theta_coefficients(self.interpolant, entries_fn,
+                               name="mdeim_theta"),
+        )
+
+
+def mdeim(
+    mats,
+    tol: float = 1e-8,
+    max_terms: Optional[int] = None,
+    reserve: int = 0,
+) -> MdeimOperator:
+    """Build an :class:`MdeimOperator` from operator snapshots ``mats``
+    (scipy sparse, all on the SAME sparsity pattern — assemble with
+    identical structure, e.g. fixed FEM mesh/quadrature)."""
+    base = mats[0].tocsr().copy()
+    base.sort_indices()
+    datas = []
+    for A in mats:
+        Ac = A.tocsr()
+        Ac.sort_indices()
+        assert Ac.shape == base.shape and \
+            np.array_equal(Ac.indices, base.indices) and \
+            np.array_equal(Ac.indptr, base.indptr), \
+            "mdeim: operator snapshots must share one sparsity pattern"
+        datas.append(np.asarray(Ac.data))
+    G = jnp.asarray(np.stack(datas, axis=1))
+    interp = eim_greedy(G, tol=tol, max_terms=max_terms, reserve=reserve)
+    return MdeimOperator(interp, base.indices, base.indptr, base.shape)
+
+
 def deim_points(U) -> jnp.ndarray:
     """DEIM greedy point selection for an orthonormal-ish basis U (n, M):
     point l is the argmax of the l-th basis vector's interpolation
