@@ -48,6 +48,8 @@ from rla4mor_tpu.mor.serialization import (
     load_padded_reductor_state,
     save_eim_interpolant,
     load_eim_interpolant,
+    save_mdeim_operator,
+    load_mdeim_operator,
 )
 
 __all__ = [
@@ -64,6 +66,7 @@ __all__ = [
     "MdeimOperator", "mdeim", "theta_coefficients",
     "save_reductor", "load_reductor_state",
     "save_eim_interpolant", "load_eim_interpolant",
+    "save_mdeim_operator", "load_mdeim_operator",
     "save_instationary_reductor", "load_instationary_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",
 ]

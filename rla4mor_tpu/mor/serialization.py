@@ -269,6 +269,43 @@ def load_eim_interpolant(path):
     )
 
 
+def save_mdeim_operator(op, path) -> None:
+    """``.npz`` round-trip of a :class:`rla4mor_tpu.mor.eim.MdeimOperator`
+    (EIM interpolant + the shared CSR sparsity pattern)."""
+    np.savez(
+        Path(path),
+        mdeim_version=np.asarray(1),
+        basis=np.asarray(op.interpolant.basis),
+        points=np.asarray(op.interpolant.points),
+        interp_matrix=np.asarray(op.interpolant.interp_matrix),
+        triangular=np.asarray(op.interpolant.triangular),
+        sup_errors=np.asarray(op.interpolant.sup_errors, np.float64),
+        n_reserve=np.asarray(op.interpolant.n_reserve),
+        snapshot_ids=np.asarray(op.interpolant.snapshot_ids, np.int64),
+        indices=op.indices,
+        indptr=op.indptr,
+        shape=np.asarray(op.shape),
+    )
+
+
+def load_mdeim_operator(path):
+    from rla4mor_tpu.mor.eim import EimInterpolant, MdeimOperator
+
+    d = np.load(Path(path))
+    assert int(d["mdeim_version"]) == 1, "unknown MDEIM checkpoint version"
+    interp = EimInterpolant(
+        basis=jnp.asarray(d["basis"]),
+        points=jnp.asarray(d["points"]),
+        interp_matrix=jnp.asarray(d["interp_matrix"]),
+        triangular=bool(d["triangular"]),
+        sup_errors=tuple(d["sup_errors"].tolist()),
+        n_reserve=int(d["n_reserve"]),
+        snapshot_ids=tuple(int(j) for j in d["snapshot_ids"]),
+    )
+    return MdeimOperator(interp, d["indices"], d["indptr"],
+                         tuple(int(s) for s in d["shape"]))
+
+
 def _check_projection(d, reductor) -> None:
     stored = str(d["projection"]) if "projection" in d else None
     if stored is not None and stored != reductor.projection:

@@ -158,3 +158,23 @@ def test_mdeim_affine_op_and_sketched_reductor():
     rel = np.linalg.norm(np.asarray(u_r) - u_t) / np.linalg.norm(u_t)
     assert rel < 1e-6, rel
     assert np.isfinite(float(rom.estimate_error(mu_t)))
+
+
+def test_mdeim_roundtrip(tmp_path):
+    from rla4mor_tpu.mor import load_mdeim_operator, save_mdeim_operator
+
+    assemble, _ = _bump_stiffness_problem(nx=10)
+    mats = [assemble(mu) for mu in _mus_grid(3)]
+    op = mdeim(mats, tol=1e-5, reserve=2)
+    path = tmp_path / "mdeim.npz"
+    save_mdeim_operator(op, path)
+    back = load_mdeim_operator(path)
+    assert back.shape == op.shape and back.n_terms == op.n_terms
+    np.testing.assert_array_equal(back.indices, op.indices)
+    np.testing.assert_array_equal(back.magic_rows, op.magic_rows)
+    A = mats[1]
+    np.testing.assert_allclose(
+        np.asarray(back.theta_from_matrix(A)),
+        np.asarray(op.theta_from_matrix(A)), atol=1e-14)
+    assert (back.assemble(back.theta_from_matrix(A)) != op.assemble(
+        op.theta_from_matrix(A))).nnz == 0
