@@ -417,10 +417,12 @@ class MdeimOperator:
         A(mu) ~= sum_q theta_q(mu) A_q,
         theta(mu) = T^{-1} [A(mu)]_{magic nnz positions}
 
-    Online theta needs only the M magic matrix ENTRIES (rows/cols in
-    ``magic_rows``/``magic_cols``); the reserve entries feed the same
-    a-posteriori indicator as EIM. Offline/host object (scipy sparse),
-    per the repo's offline/online split (docs/DESIGN.md §4)."""
+    Online theta needs only the M ACTIVE magic matrix ENTRIES — rows and
+    cols ``magic_rows[:n_terms]`` / ``magic_cols[:n_terms]`` (the arrays
+    hold M + n_reserve positions: the trailing reserve entries feed the
+    same a-posteriori indicator as EIM and are NOT part of theta).
+    Offline/host object (scipy sparse), per the repo's offline/online
+    split (docs/DESIGN.md §4)."""
 
     def __init__(self, interpolant: EimInterpolant, indices, indptr,
                  shape):
@@ -451,8 +453,7 @@ class MdeimOperator:
     def entries_from_matrix(self, A) -> np.ndarray:
         """A(mu)'s values at ALL magic positions (active + reserve).
         ``A`` must carry the shared sparsity pattern."""
-        Ac = A.tocsr()
-        Ac.sort_indices()
+        Ac = _canonical_csr(A)
         return np.asarray(Ac.data)[np.asarray(self.interpolant.points)]
 
     def theta_from_matrix(self, A) -> jnp.ndarray:
@@ -481,17 +482,36 @@ class MdeimOperator:
     def affine_op(self, entries_fn):
         """``core.affine.AffineOp`` over ``HostSparseOp`` terms with
         shared-solve theta coefficients; ``entries_fn(mu) -> (M,)``
-        evaluates the magic matrix entries (e.g. M local FEM element
-        assemblies — O(M), grid-independent)."""
+        evaluates the ACTIVE magic matrix entries
+        (``magic_rows[:n_terms]`` / ``magic_cols[:n_terms]`` — e.g. M
+        local FEM element assemblies, O(M), grid-independent). Cached
+        per ``entries_fn`` identity: coefficient identity is the
+        jit-cache key (same rationale as EimStencilFOM)."""
+        cached = getattr(self, "_affine_cache", None)
+        if cached is not None and cached[0] is entries_fn:
+            return cached[1]
         from rla4mor_tpu.core.affine import AffineOp
         from rla4mor_tpu.core.linops import HostSparseOp
 
-        return AffineOp(
+        op = AffineOp(
             tuple(HostSparseOp(self.term_matrix(q))
                   for q in range(self.n_terms)),
             theta_coefficients(self.interpolant, entries_fn,
                                name="mdeim_theta"),
         )
+        self._affine_cache = (entries_fn, op)
+        return op
+
+
+def _canonical_csr(A):
+    """CSR with sorted indices, WITHOUT mutating the caller's matrix
+    (``A.tocsr()`` returns A itself when already CSR, and an in-place
+    ``sort_indices`` would permute user-owned data/indices arrays)."""
+    Ac = A.tocsr()
+    if not Ac.has_sorted_indices:
+        Ac = Ac.copy()
+        Ac.sort_indices()
+    return Ac
 
 
 def mdeim(
@@ -503,12 +523,10 @@ def mdeim(
     """Build an :class:`MdeimOperator` from operator snapshots ``mats``
     (scipy sparse, all on the SAME sparsity pattern — assemble with
     identical structure, e.g. fixed FEM mesh/quadrature)."""
-    base = mats[0].tocsr().copy()
-    base.sort_indices()
+    base = _canonical_csr(mats[0])
     datas = []
     for A in mats:
-        Ac = A.tocsr()
-        Ac.sort_indices()
+        Ac = _canonical_csr(A)
         assert Ac.shape == base.shape and \
             np.array_equal(Ac.indices, base.indices) and \
             np.array_equal(Ac.indptr, base.indptr), \

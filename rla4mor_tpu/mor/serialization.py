@@ -235,14 +235,10 @@ def load_instationary_reductor_state(reductor, path) -> None:
     reductor.rb = jnp.asarray(d["rb"])
 
 
-def save_eim_interpolant(interp, path) -> None:
-    """``.npz`` round-trip of an :class:`rla4mor_tpu.mor.eim.EimInterpolant`
-    (the EIM offline stage is the expensive part of a non-affine FOM —
-    ship/resume it without retraining; the reference has no non-affine
-    support at all)."""
-    np.savez(
-        Path(path),
-        eim_version=np.asarray(1),
+def _eim_interp_arrays(interp) -> dict:
+    """EimInterpolant -> npz-ready field dict (one site; the mdeim
+    round-trip reuses it so the two can never diverge)."""
+    return dict(
         basis=np.asarray(interp.basis),
         points=np.asarray(interp.points),
         interp_matrix=np.asarray(interp.interp_matrix),
@@ -253,11 +249,9 @@ def save_eim_interpolant(interp, path) -> None:
     )
 
 
-def load_eim_interpolant(path):
+def _eim_interp_from(d):
     from rla4mor_tpu.mor.eim import EimInterpolant
 
-    d = np.load(Path(path))
-    assert int(d["eim_version"]) == 1, "unknown EIM checkpoint version"
     return EimInterpolant(
         basis=jnp.asarray(d["basis"]),
         points=jnp.asarray(d["points"]),
@@ -269,40 +263,40 @@ def load_eim_interpolant(path):
     )
 
 
+def save_eim_interpolant(interp, path) -> None:
+    """``.npz`` round-trip of an :class:`rla4mor_tpu.mor.eim.EimInterpolant`
+    (the EIM offline stage is the expensive part of a non-affine FOM —
+    ship/resume it without retraining; the reference has no non-affine
+    support at all)."""
+    np.savez(Path(path), eim_version=np.asarray(1),
+             **_eim_interp_arrays(interp))
+
+
+def load_eim_interpolant(path):
+    d = np.load(Path(path))
+    assert int(d["eim_version"]) == 1, "unknown EIM checkpoint version"
+    return _eim_interp_from(d)
+
+
 def save_mdeim_operator(op, path) -> None:
     """``.npz`` round-trip of a :class:`rla4mor_tpu.mor.eim.MdeimOperator`
     (EIM interpolant + the shared CSR sparsity pattern)."""
     np.savez(
         Path(path),
         mdeim_version=np.asarray(1),
-        basis=np.asarray(op.interpolant.basis),
-        points=np.asarray(op.interpolant.points),
-        interp_matrix=np.asarray(op.interpolant.interp_matrix),
-        triangular=np.asarray(op.interpolant.triangular),
-        sup_errors=np.asarray(op.interpolant.sup_errors, np.float64),
-        n_reserve=np.asarray(op.interpolant.n_reserve),
-        snapshot_ids=np.asarray(op.interpolant.snapshot_ids, np.int64),
         indices=op.indices,
         indptr=op.indptr,
         shape=np.asarray(op.shape),
+        **_eim_interp_arrays(op.interpolant),
     )
 
 
 def load_mdeim_operator(path):
-    from rla4mor_tpu.mor.eim import EimInterpolant, MdeimOperator
+    from rla4mor_tpu.mor.eim import MdeimOperator
 
     d = np.load(Path(path))
     assert int(d["mdeim_version"]) == 1, "unknown MDEIM checkpoint version"
-    interp = EimInterpolant(
-        basis=jnp.asarray(d["basis"]),
-        points=jnp.asarray(d["points"]),
-        interp_matrix=jnp.asarray(d["interp_matrix"]),
-        triangular=bool(d["triangular"]),
-        sup_errors=tuple(d["sup_errors"].tolist()),
-        n_reserve=int(d["n_reserve"]),
-        snapshot_ids=tuple(int(j) for j in d["snapshot_ids"]),
-    )
-    return MdeimOperator(interp, d["indices"], d["indptr"],
+    return MdeimOperator(_eim_interp_from(d), d["indices"], d["indptr"],
                          tuple(int(s) for s in d["shape"]))
 
 

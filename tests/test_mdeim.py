@@ -178,3 +178,28 @@ def test_mdeim_roundtrip(tmp_path):
         np.asarray(op.theta_from_matrix(A)), atol=1e-14)
     assert (back.assemble(back.theta_from_matrix(A)) != op.assemble(
         op.theta_from_matrix(A))).nnz == 0
+
+
+def test_mdeim_does_not_mutate_caller_matrices():
+    """tocsr() returns the matrix itself when already CSR; mdeim and the
+    entry/indicator readers must canonicalize on a COPY, never permuting
+    user-owned data/indices arrays in place."""
+    assemble, _ = _bump_stiffness_problem(nx=8)
+    mus = _mus_grid(2)
+    # unsorted-indices CSR (CSR*CSR products come out unsorted)
+    mats = []
+    for mu in mus:
+        A = assemble(mu)
+        P = sps.random(A.shape[0], A.shape[0], density=0.0,
+                       format="csr") + sps.eye(A.shape[0], format="csr")
+        B = (P @ A @ P).tocsr()  # same values, possibly unsorted
+        B.has_sorted_indices = False  # force the canonicalization path
+        mats.append(B)
+    before = [(m.indices.copy(), m.data.copy()) for m in mats]
+    op = mdeim(mats, tol=1e-4, reserve=1)
+    op.entries_from_matrix(mats[0])
+    if op.interpolant.n_reserve:  # tiny training may exhaust the reserve
+        op.indicator_from_matrix(mats[0])
+    for m, (idx, dat) in zip(mats, before):
+        np.testing.assert_array_equal(m.indices, idx)
+        np.testing.assert_array_equal(m.data, dat)
