@@ -150,6 +150,11 @@ def main():
         sketch=args.sketch,
         score=args.score,
         projection="minres" if args.family == "advection" else "galerkin",
+        # non-affine + exact score: estimates become TOTAL indicators
+        # (RB residual + EIM model-error bound per candidate)
+        model_error=(fom.model_error_bound
+                     if args.family == "nonaffine"
+                     and args.score == "exact" else None),
     )
     if args.family == "thermal":
         space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)

@@ -63,6 +63,7 @@ def make_sharded_greedy_step(
     score: str = "sketched",
     exact_dtype=jnp.float64,
     projection: str = "galerkin",
+    model_error=None,
 ):
     """Build (init_state, step) for the sharded greedy. ``step(state, mu,
     mu_batch)`` solves the FOM at mu, extends the sketched state, and
@@ -104,7 +105,14 @@ def make_sharded_greedy_step(
     instead of O(k), one stencil pass per mu, floor ~eps_f32 * ||basis||
     (the f32 storage of U), 3-4 orders below the sketched floor. The ROM
     coefficients y still come from the sketched Galerkin system — only
-    the scoring is refined."""
+    the scoring is refined.
+
+    ``model_error`` (requires score='exact'): jittable
+    ``(mu, u_grid) -> scalar`` added to each candidate's exact estimate —
+    a TOTAL error indicator vs the exact operator when the fom is itself
+    a surrogate, e.g. ``EimStencilFOM.model_error_bound`` for the EIM
+    non-affine families (RB residual + kappa-interpolation energy
+    bound)."""
     if cg_precond == "mg" and not hasattr(fom, "kappa"):
         raise ValueError(
             "cg_precond='mg' needs a kappa(mu) grid (SPD stencil thermal "
@@ -148,6 +156,11 @@ def make_sharded_greedy_step(
     # rhs sketch (precomputed once)
     rhs_flat = fom.rhs().reshape(-1)
     res_rhs = sketch(rhs_flat)
+    if model_error is not None and score != "exact":
+        raise ValueError(
+            "model_error needs the candidate's reconstructed grid, which "
+            "only score='exact' keeps (the sketched score never forms U y)"
+        )
     if score == "exact":
         if jnp.zeros((), exact_dtype).dtype != jnp.dtype(exact_dtype):
             raise ValueError(
@@ -203,7 +216,14 @@ def make_sharded_greedy_step(
         u_rom = lax.with_sharding_constraint(u_rom, grid_sharding)
         # fom.apply runs at the input's dtype (stencil-FOM protocol)
         r_vec = fom.apply(mu, u_rom) - rhs_e
-        return jnp.linalg.norm(r_vec)
+        est = jnp.linalg.norm(r_vec)
+        if model_error is not None:
+            # surrogate-model error added to the RB residual: a TOTAL
+            # error indicator vs the exact operator (e.g. the EIM
+            # family's model_error_bound(mu, u) — jittable, O(M) + one
+            # extra stencil pass)
+            est = est + model_error(mu, u_rom).astype(est.dtype)
+        return est
 
     def step(state: GreedyState, mu, mu_batch):
         # 1) sharded FOM solve

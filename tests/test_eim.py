@@ -390,6 +390,53 @@ def test_nonaffine_3d_eim_family():
     assert np.median(np.asarray(est2)) < np.median(np.asarray(est1))
 
 
+def test_nonaffine_exact_score_with_model_error_hook():
+    """score='exact' + model_error: each candidate's estimate is the true
+    surrogate residual PLUS the EIM model-error bound of the candidate's
+    reconstructed grid — checked against the hook-free run plus the
+    manually computed bound; requires-exact guard enforced."""
+    import pytest
+
+    from rla4mor_tpu.core import mu_stack
+    from rla4mor_tpu.parallel import make_sharded_greedy_step
+
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("dof", "mu"))
+    fom = gaussian_bump_fom(num_intervals=23, dtype=jnp.float64)
+    train = fom.parameter_space.sample_uniformly(4)
+    eim = EimStencilFOM.from_training(fom, train, tol=1e-3, reserve=2)
+
+    key = jax.random.key(0)
+    kw = dict(k=48, r_max=2, cg_tol=1e-11, cg_maxiter=2000,
+              score="exact", exact_dtype=jnp.float64)
+    s0a, step_a = make_sharded_greedy_step(eim, mesh, key, **kw)
+    # exact identity check: a constant hook shifts every estimate by
+    # exactly that constant
+    s0c, step_c = make_sharded_greedy_step(
+        eim, mesh, key, model_error=lambda mu, u: jnp.asarray(1.5, u.dtype),
+        **kw)
+    s0b, step_b = make_sharded_greedy_step(
+        eim, mesh, key, model_error=eim.model_error_bound, **kw)
+    mu = fom.sample_parameters(1, key=3)[0]
+    batch = mu_stack(fom.sample_parameters(4, key=5))
+    with mesh:
+        _, est_plain, _ = jax.jit(step_a)(s0a, mu, batch)
+        _, est_const, _ = jax.jit(step_c)(s0c, mu, batch)
+        _, est_hook, _ = jax.jit(step_b)(s0b, mu, batch)
+
+    np.testing.assert_allclose(np.asarray(est_const),
+                               np.asarray(est_plain) + 1.5, rtol=1e-12)
+    diff = np.asarray(est_hook) - np.asarray(est_plain)
+    assert np.all(diff > 0) and np.all(np.isfinite(diff))
+    # the added term scales with the per-mu kappa indicator
+    inds = np.asarray(jax.jit(jax.vmap(eim.kappa_error_indicator))(batch))
+    assert np.all(diff / inds > 0)
+
+    with pytest.raises(ValueError, match="model_error"):
+        make_sharded_greedy_step(eim, mesh, key, k=48, r_max=2,
+                                 model_error=eim.model_error_bound)
+
+
 def test_nonaffine_state_estimation_pbdw():
     """Inverse problems x non-affine: PBDW needs only snapshots (no
     affine structure), so the recovery stack runs on the non-affine bump
