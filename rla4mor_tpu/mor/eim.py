@@ -221,6 +221,11 @@ def eim_greedy_scan(G, n_steps: int):
 
     Steps past an exactly-zero residual produce zero columns with
     ``sups == 0`` — truncate on the host (``eim_greedy_device`` does).
+
+    Shards: pass G placed with a DoF-axis ``NamedSharding`` and the same
+    program runs under GSPMD (argmax/take become collectives), returning
+    a DoF-sharded basis — bit-identical to the unsharded scan (tested).
+    Pod-scale non-affine offline therefore runs fully sharded.
     """
     G = jnp.asarray(G)
 

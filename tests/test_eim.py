@@ -159,6 +159,29 @@ def test_from_training_device_scan_dispatch():
                                np.asarray(b.kappa(mu)), atol=1e-10)
 
 
+def test_eim_greedy_scan_sharded_matches_unsharded():
+    """The device scan runs under GSPMD on a DoF-sharded training matrix
+    (argmax/take become collectives) and is bit-identical to the
+    unsharded program, with the basis coming back DoF-sharded — the
+    pod-scale sharded non-affine offline path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rla4mor_tpu.mor.eim import eim_greedy_scan
+
+    G = _bump_snapshots(n=800, m=40, seed=0)
+    B0, p0, i0, s0, _ = eim_greedy_scan(G, 12)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("dof",))
+    Gs = jax.device_put(G, NamedSharding(mesh, P("dof", None)))
+    with mesh:
+        B1, p1, i1, s1, _ = eim_greedy_scan(Gs, 12)
+        jax.block_until_ready(B1)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(B0), np.asarray(B1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    assert "dof" in str(B1.sharding)
+
+
 def test_eim_rebuild_matches_greedy_on_same_data():
     """eim_rebuild with the greedy's own snapshot sequence reproduces the
     greedy interpolant exactly (same points, same basis) — the two-grid
