@@ -120,6 +120,20 @@ def make_sharded_greedy_step(
         )
     if projection not in ("galerkin", "minres"):
         raise ValueError(f"unknown projection mode {projection!r}")
+    # validate cheap arguments BEFORE the sketch plan / rhs sketch are
+    # built (misuse must fail fast, not after a 2-10 min remote compile)
+    if model_error is not None and score != "exact":
+        raise ValueError(
+            "model_error needs the candidate's reconstructed grid, which "
+            "only score='exact' keeps (the sketched score never forms U y)"
+        )
+    if score == "exact" and \
+            jnp.zeros((), exact_dtype).dtype != jnp.dtype(exact_dtype):
+        raise ValueError(
+            f"score='exact' with exact_dtype={jnp.dtype(exact_dtype)} "
+            "requires jax_enable_x64 (the refinement is pointless at "
+            "the storage precision)"
+        )
     # rank-generic: solution grids may be (M, M) or (M, M, M) — shard
     # the leading axis, replicate the rest
     grid_rank = len(fom.solution_shape)
@@ -156,18 +170,7 @@ def make_sharded_greedy_step(
     # rhs sketch (precomputed once)
     rhs_flat = fom.rhs().reshape(-1)
     res_rhs = sketch(rhs_flat)
-    if model_error is not None and score != "exact":
-        raise ValueError(
-            "model_error needs the candidate's reconstructed grid, which "
-            "only score='exact' keeps (the sketched score never forms U y)"
-        )
     if score == "exact":
-        if jnp.zeros((), exact_dtype).dtype != jnp.dtype(exact_dtype):
-            raise ValueError(
-                f"score='exact' with exact_dtype={jnp.dtype(exact_dtype)} "
-                "requires jax_enable_x64 (the refinement is pointless at "
-                "the storage precision)"
-            )
         U0 = jax.device_put(
             jnp.zeros((r_max, *fom.solution_shape), fom.dtype),
             NamedSharding(mesh, basis_spec),
