@@ -256,9 +256,12 @@ def eim_greedy_device(
     ``chunk``-step scan programs (ONE compile, reused), with one host
     transfer of the chunk's sup history between chunks to stop early —
     at most ``chunk - 1`` wasted steps vs the host loop's two transfers
-    per step. Identical selections to the host greedy (same argmax
-    tie-breaking, same tol/reserve/max_terms truncation); prefer at pod
-    scale / on TPU where per-step host syncs dominate."""
+    per step. Selections match the host greedy in exact arithmetic (same
+    argmax tie-breaking, same tol/reserve/max_terms truncation;
+    bit-equal at f64 — tested). At f32, scan-vs-loop reduction-order
+    noise can flip a late argmax and the paths diverge from there; both
+    remain valid greedies with the same certified-history semantics.
+    Prefer at pod scale / on TPU where per-step host syncs dominate."""
     G = jnp.asarray(G)
     n, m = G.shape
     hard_cap = min(n, m)
