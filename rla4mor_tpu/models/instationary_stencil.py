@@ -22,6 +22,7 @@ equal the host-LU ``InstationaryFOM`` on the same mesh to CG tolerance
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Optional
 
@@ -74,11 +75,34 @@ class InstationaryStencilFOM:
                 "(non-thermal-block families) or grid_shape (thermal "
                 f"block): {type(stencil).__name__} has neither"
             )
-            bx, by = stencil.grid_shape
             ps = ParameterSpace.make(
-                {"diffusion": bx * by}, *parameter_range
+                {"diffusion": math.prod(stencil.grid_shape)},
+                *parameter_range,
             )
         self.parameter_space = ps
+
+    # -- rank-generic backend dispatch ----------------------------------
+    # 2-D families use the consistent Q1 mass / fused 2-D stencil from
+    # models/stencil.py; any family exposing the protocol hooks
+    # (mass_apply_grid / mass_diag_grid / apply_field — the 3-D and
+    # non-affine members) is consumed through them instead.
+    def _mass_apply(self, v: jax.Array) -> jax.Array:
+        st = self.stencil
+        if hasattr(st, "mass_apply_grid"):
+            return st.mass_apply_grid(v)
+        return mass_apply(v, self.h)
+
+    def _mass_diag(self) -> jax.Array:
+        st = self.stencil
+        if hasattr(st, "mass_diag_grid"):
+            return st.mass_diag_grid()
+        return mass_diag(st.n_nodes, self.h, st.dtype)
+
+    def _stiff_apply(self, v: jax.Array, kappa: jax.Array) -> jax.Array:
+        st = self.stencil
+        if hasattr(st, "apply_field"):
+            return st.apply_field(kappa, v)
+        return stencil_apply(v, kappa)
 
     @property
     def solution_shape(self):
@@ -104,20 +128,24 @@ class InstationaryStencilFOM:
         from rla4mor_tpu.core.solvers import cg
 
         st = self.stencil
-        dt, h, th = self.dt, self.h, self.time_theta
+        dt, th = self.dt, self.time_theta
         kappa = st.kappa(mu)
         b = st.rhs()
 
         def B(v):  # implicit side: M + theta dt A
-            return mass_apply(v, h) + th * dt * stencil_apply(v, kappa)
+            return self._mass_apply(v) + th * dt * self._stiff_apply(v, kappa)
 
         if precond == "mg":
+            if len(self.solution_shape) != 2:
+                raise ValueError(
+                    "precond='mg' is 2-D only (models/multigrid.py); "
+                    "use 'jacobi' for 3-D families"
+                )
             from rla4mor_tpu.models.multigrid import make_vcycle
 
             M_pre = make_vcycle(kappa, mass_dt=th * dt)
         else:
-            dia = mass_diag(st.n_nodes, h, st.dtype) \
-                + th * dt * st.jacobi_diag(mu)
+            dia = self._mass_diag() + th * dt * st.jacobi_diag(mu)
             M_pre = lambda r: r / dia  # noqa: E731
 
         if self.nt % store_every != 0:
@@ -128,7 +156,9 @@ class InstationaryStencilFOM:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sharding = NamedSharding(mesh, P(axis, None))
+            sharding = NamedSharding(
+                mesh, P(axis, *([None] * (len(self.solution_shape) - 1)))
+            )
 
             def constrain(u):
                 return jax.lax.with_sharding_constraint(u, sharding)
@@ -138,9 +168,9 @@ class InstationaryStencilFOM:
 
         def outer(u, _):
             def step(u, _):
-                rhs = mass_apply(u, h) + dt * b  # explicit side:
-                if th < 1.0:                     # (M - (1-th) dt A) u
-                    rhs = rhs - (1.0 - th) * dt * stencil_apply(u, kappa)
+                rhs = self._mass_apply(u) + dt * b  # explicit side:
+                if th < 1.0:                        # (M - (1-th) dt A) u
+                    rhs = rhs - (1.0 - th) * dt * self._stiff_apply(u, kappa)
                 u_new = cg(B, rhs, x0=u, precond=M_pre, tol=tol,
                            maxiter=maxiter).x
                 return constrain(u_new), None
@@ -151,9 +181,10 @@ class InstationaryStencilFOM:
         _, stored = jax.lax.scan(
             outer, self.u0, None, length=self.nt // store_every
         )
-        return jnp.concatenate(
-            [self.u0[None], stored], axis=0
-        ).transpose(1, 2, 0)
+        # time axis last: (*solution_shape, n_stored)
+        return jnp.moveaxis(
+            jnp.concatenate([self.u0[None], stored], axis=0), 0, -1
+        )
 
     def solve_flat(self, mu, **kw) -> jax.Array:
         """(n, n_stored) flat-column view of :meth:`solve`."""
@@ -171,14 +202,15 @@ class InstationaryStencilFOM:
 
 
 class MassStencilOp(FlatGridOp):
-    """LinOp view of the consistent Q1 mass matrix on flat vectors."""
+    """LinOp view of the FOM's mass matrix on flat vectors (consistent
+    Q1 in 2-D, the family's ``mass_apply_grid`` hook otherwise)."""
 
     def __init__(self, fom: InstationaryStencilFOM):
-        super().__init__(fom.stencil.n_nodes)
+        super().__init__(grid_shape=fom.solution_shape)
         self.fom = fom
 
     def _grid_apply(self, grid):
-        return mass_apply(grid, self.fom.h)
+        return self.fom._mass_apply(grid)
 
     @property
     def H(self):
@@ -200,7 +232,7 @@ class _FlatParabolicView:
         self.operator = st.affine_operator()
         self.rhs = AffineOp((DenseOp(st.rhs().reshape(-1, 1)),), (ONE,))
         self.mass = MassStencilOp(fom)
-        self.solution_dim = st.n_nodes * st.n_nodes
+        self.solution_dim = math.prod(fom.solution_shape)
         self.u0 = fom.u0.reshape(-1)
         self.T, self.nt, self.dt = fom.T, fom.nt, fom.dt
         self.time_theta = fom.time_theta

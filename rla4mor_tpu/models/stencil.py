@@ -14,6 +14,7 @@ boundary ring is masked, not eliminated, to keep shapes shard-friendly).
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -213,6 +214,12 @@ class StencilThermalBlock:
         # exact-score refinement path), f32 callers are unchanged
         return stencil_apply(u, self.kappa(mu, dtype=u.dtype))
 
+    def apply_field(self, kappa_el: jax.Array, u: jax.Array) -> jax.Array:
+        """A(kappa) u for an arbitrary per-element field (the generic
+        backend InstationaryStencilFOM / EIM dispatch on; 3-D analog
+        stencil3d.py:205)."""
+        return stencil_apply(u, kappa_el.astype(u.dtype))
+
     def apply_term(self, b: int, u: jax.Array) -> jax.Array:
         mask = (self._block_index() == b).astype(self.dtype)
         return stencil_apply(u, mask)
@@ -281,19 +288,25 @@ class StencilThermalBlock:
 
 class FlatGridOp:
     """Base: a symmetric grid operator viewed as a LinOp on flattened
-    (n_nodes^2,) vectors — jittable, shardable. Subclasses implement
-    ``_grid_apply(grid) -> grid``."""
+    vectors — jittable, shardable. Subclasses implement
+    ``_grid_apply(grid) -> grid``. Rank-generic: pass ``n_nodes`` for
+    the square (n, n) grid or ``grid_shape`` for any rank (the 3-D
+    families use (M, M, M))."""
 
-    def __init__(self, n_nodes: int):
-        self.n_nodes = n_nodes
-        self.source_dim = self.range_dim = n_nodes * n_nodes
+    def __init__(self, n_nodes: int = None, grid_shape=None):
+        if grid_shape is None:
+            grid_shape = (n_nodes, n_nodes)
+        self.grid_shape = tuple(grid_shape)
+        self.n_nodes = self.grid_shape[0]
+        self.source_dim = self.range_dim = math.prod(self.grid_shape)
 
     def _grid_apply(self, grid):
         raise NotImplementedError
 
     def _apply_one(self, u_flat):
-        n = self.n_nodes
-        return self._grid_apply(u_flat.reshape(n, n)).reshape(-1)
+        return self._grid_apply(
+            u_flat.reshape(self.grid_shape)
+        ).reshape(-1)
 
     def apply(self, U, mu=None):
         U = jnp.asarray(U)

@@ -27,6 +27,7 @@ import numpy as np
 
 from rla4mor_tpu.core.parameters import ParameterSpace
 from rla4mor_tpu.core.solvers import cg
+from rla4mor_tpu.models.stencil import FlatGridOp
 
 
 @lru_cache(maxsize=1)
@@ -158,6 +159,11 @@ class StencilThermalBlock3D:
             out = out + jnp.where(blk == b, theta[b], 0).astype(dt)
         return out
 
+    def kappa(self, mu, dtype=None) -> jax.Array:
+        """Public per-element coefficient field (the stencil-FOM
+        protocol name the parabolic backend dispatches on)."""
+        return self._kappa(mu, dtype=dtype)
+
     def apply(self, mu, u: jax.Array) -> jax.Array:
         return stencil3d_apply(u, self._kappa(mu, dtype=u.dtype), self.h)
 
@@ -191,6 +197,62 @@ class StencilThermalBlock3D:
         """Mean-value functional (lumped integral)."""
         return jnp.sum(u) * self.h ** 3
 
+    # lumped Q1 mass (h^3 per interior node: 8 adjacent elements x
+    # h^3/8) — the parabolic hooks InstationaryStencilFOM dispatches on
+    # (the 2-D path uses the consistent mass; lumping is the standard
+    # 3-D simplification and is a convergent scheme of the same order)
+    def mass_apply_grid(self, u: jax.Array) -> jax.Array:
+        return (self.h ** 3) * u * interior_mask3(u.shape[0], u.dtype)
+
+    def mass_diag_grid(self) -> jax.Array:
+        return jnp.full(self.solution_shape, self.h ** 3, self.dtype)
+
+    def apply_field(self, kappa_el: jax.Array, u: jax.Array) -> jax.Array:
+        """A(kappa) u for an arbitrary per-element field (the generic
+        backend InstationaryStencilFOM/EIM dispatch on)."""
+        return stencil3d_apply(u, kappa_el.astype(u.dtype), self.h)
+
+    def term_linop(self, b: int) -> "Stencil3DTermOp":
+        return Stencil3DTermOp(self, b)
+
+    def affine_operator(self):
+        """AffineOp over flattened vectors (same coefficient structure
+        as the 2-D thermal block, stencil.py:267) — feeds the parabolic
+        reductor view in 3-D."""
+        from rla4mor_tpu.core.affine import AffineOp
+        from rla4mor_tpu.core.parameters import ProjectionCoefficient
+
+        return AffineOp(
+            tuple(self.term_linop(b) for b in range(self.n_terms)),
+            tuple(
+                ProjectionCoefficient("diffusion", b)
+                for b in range(self.n_terms)
+            ),
+        )
+
     def sample_parameters(self, count: int, key=0):
         space = ParameterSpace.make({"diffusion": self.n_terms}, 0.1, 1.0)
         return space.sample_randomly(count, key=key)
+
+
+class Stencil3DTermOp(FlatGridOp):
+    """LinOp view of one 3-D stencil term on flattened vectors (the 3-D
+    analog of ``StencilTermOp``, stencil.py:308; rank-generic base)."""
+
+    def __init__(self, st: StencilThermalBlock3D, term):
+        super().__init__(grid_shape=st.solution_shape)
+        self.st = st
+        self.term = term
+
+    def _kappa(self):
+        N = self.st.num_intervals
+        if self.term is None:
+            return jnp.ones((N,) * 3, self.st.dtype)
+        return (self.st._block_index() == self.term).astype(self.st.dtype)
+
+    def _grid_apply(self, grid):
+        return stencil3d_apply(grid, self._kappa(), self.st.h)
+
+    @property
+    def H(self):
+        return self

@@ -71,6 +71,12 @@ class NonAffineStencilFOM:
         return (self.n_nodes, self.n_nodes)
 
     @property
+    def n_dof(self) -> int:
+        import math
+
+        return math.prod(self.solution_shape)
+
+    @property
     def element_shape(self):
         return (self.num_intervals, self.num_intervals)
 
@@ -171,6 +177,15 @@ class NonAffineStencilFOM3D(NonAffineStencilFOM):
     def output(self, u) -> jax.Array:
         return jnp.sum(u) * self.h ** 3
 
+    # lumped-mass parabolic hooks (see StencilThermalBlock3D)
+    def mass_apply_grid(self, u: jax.Array) -> jax.Array:
+        from rla4mor_tpu.models.stencil3d import interior_mask3
+
+        return (self.h ** 3) * u * interior_mask3(u.shape[0], u.dtype)
+
+    def mass_diag_grid(self) -> jax.Array:
+        return jnp.full(self.solution_shape, self.h ** 3, self.dtype)
+
 
 class EimStencilFOM:
     """EIM-affine surrogate of a :class:`NonAffineStencilFOM` — implements
@@ -210,6 +225,12 @@ class EimStencilFOM:
         self._pcoords = tuple(
             c.reshape(-1)[pts] for c in exact.element_centers()
         )
+        # parabolic mass hooks: forward only when the exact FOM defines
+        # them (3-D lumped mass; the 2-D path uses the consistent mass
+        # defaults inside InstationaryStencilFOM)
+        if hasattr(exact, "mass_apply_grid"):
+            self.mass_apply_grid = exact.mass_apply_grid
+            self.mass_diag_grid = exact.mass_diag_grid
 
     @classmethod
     def from_training(cls, exact: NonAffineStencilFOM,
@@ -359,16 +380,16 @@ class EimStencilFOM:
     def apply(self, mu: Mu, u: jax.Array) -> jax.Array:
         return self.exact.apply_field(self.kappa(mu, dtype=u.dtype), u)
 
+    def apply_field(self, kappa_el: jax.Array, u: jax.Array) -> jax.Array:
+        """Field-generic backend delegation (rank-generic: the parabolic
+        FOM applies the interpolated EIM field through the exact FOM's
+        geometry, 2-D and 3-D alike)."""
+        return self.exact.apply_field(kappa_el, u)
+
     def apply_term(self, q: int, u: jax.Array) -> jax.Array:
         return self.exact.apply_field(self.xi[q], u)
 
     def term_linop(self, q: int) -> "EimTermOp":
-        if len(self.exact.element_shape) != 2:
-            raise NotImplementedError(
-                "flat LinOp views (FlatGridOp) are 2-D; the sharded "
-                "driver consumes 3-D families through the protocol "
-                "methods directly"
-            )
         return EimTermOp(self, q)
 
     def affine_operator(self):
@@ -411,10 +432,11 @@ class EimStencilFOM:
 
 class EimTermOp(FlatGridOp):
     """LinOp view of one EIM term A(xi_q) on flattened vectors (the
-    non-affine analog of ``StencilTermOp``, stencil.py:308)."""
+    non-affine analog of ``StencilTermOp``, stencil.py:308);
+    rank-generic (2-D and 3-D grids)."""
 
     def __init__(self, fom: EimStencilFOM, q: int):
-        super().__init__(fom.n_nodes)
+        super().__init__(grid_shape=fom.solution_shape)
         self.fom = fom
         self.q = q
 

@@ -593,3 +593,36 @@ def test_nonaffine_sharded_greedy_end_to_end():
         proj = B @ (B.T @ ue)
         rel = np.linalg.norm(ue - proj) / np.linalg.norm(ue)
         assert rel < 1e-2, rel
+
+
+def test_nonaffine_parabolic_3d_composition():
+    """3-D non-affine parabolic composition: InstationaryStencilFOM
+    consumes the 3-D EIM surrogate through the rank-generic backend
+    (lumped-mass hooks + apply_field); the surrogate trajectory tracks
+    the exact non-affine 3-D parabolic FOM."""
+    from rla4mor_tpu.models import (
+        EimStencilFOM, InstationaryStencilFOM, gaussian_bump_fom3d,
+    )
+
+    fom = gaussian_bump_fom3d(num_intervals=7, dtype=jnp.float64,
+                              center_range=(0.4, 0.6),
+                              width_range=(0.25, 0.4))
+    train = fom.parameter_space.sample_uniformly(3)  # 3^4 = 81 fields
+    eim = EimStencilFOM.from_training(fom, train, tol=1e-4, reserve=2)
+    assert hasattr(eim, "mass_apply_grid")  # hooks forwarded
+
+    p_eim = InstationaryStencilFOM(eim, T=0.25, nt=6)
+    p_exact = InstationaryStencilFOM(fom, T=0.25, nt=6)
+    mu = fom.sample_parameters(1, key=7)[0]
+    te = np.asarray(p_eim.solve(mu, tol=1e-11, maxiter=2000))
+    tx = np.asarray(p_exact.solve(mu, tol=1e-11, maxiter=2000))
+    assert te.shape == (*fom.solution_shape, 7)
+    rel = np.linalg.norm(te - tx) / np.linalg.norm(tx)
+    assert rel < 8e-2, rel
+
+    # the reductor view wires the 3-D affine LinOps + lumped mass
+    view = p_eim.as_reductor_fom(tol=1e-11, maxiter=500)
+    assert view.solution_dim == fom.n_dof
+    traj = np.asarray(view.solve(mu))
+    assert traj.shape == (fom.n_dof, 7)
+    np.testing.assert_allclose(traj, te.reshape(fom.n_dof, 7), atol=0)

@@ -318,3 +318,76 @@ def test_rom_crank_nicolson_matches_fom():
     rec = np.asarray(red.reconstruct(traj_r))
     assert np.abs(rec - np.asarray(traj)).max() < 1e-8
     assert float(eta) < 1e-7
+
+
+def test_instationary_stencil_3d_matches_dense():
+    """3-D parabolic stencil FOM (lumped mass + matrix-free CG inside one
+    scan) == a dense implicit-Euler oracle assembled from the same
+    operators on the interior nodes."""
+    from rla4mor_tpu.models import InstationaryStencilFOM
+    from rla4mor_tpu.models.stencil3d import (
+        StencilThermalBlock3D, interior_mask3,
+    )
+
+    N, nt, T = 4, 8, 0.25
+    st = StencilThermalBlock3D((2, 2, 2), N, dtype=jnp.float64)
+    dev = InstationaryStencilFOM(st, T=T, nt=nt)
+    mu = dev.parameter_space.sample_randomly(1, key=3)[0]
+    traj = np.asarray(dev.solve(mu, tol=1e-13, maxiter=500))
+    assert traj.shape == (*st.solution_shape, nt + 1)
+
+    interior = np.flatnonzero(
+        np.asarray(interior_mask3(st.n_nodes, jnp.float64)).reshape(-1)
+    )
+    n_int = interior.size
+    shape = st.solution_shape
+    cols = []
+    for j in interior:
+        e = np.zeros(st.n_dof)
+        e[j] = 1.0
+        cols.append(np.asarray(
+            st.apply(mu, jnp.asarray(e.reshape(shape)))
+        ).reshape(-1)[interior])
+    A = np.stack(cols, axis=1)
+    M = st.h ** 3 * np.eye(n_int)
+    b = np.asarray(st.rhs()).reshape(-1)[interior]
+    u = np.zeros(n_int)
+    out = [u]
+    for _ in range(nt):
+        u = np.linalg.solve(M + dev.dt * A, M @ u + dev.dt * b)
+        out.append(u)
+    want = np.stack(out, axis=1)
+    got = traj.reshape(-1, nt + 1)[interior]
+    assert np.abs(got - want).max() < 1e-9 * np.abs(want).max()
+
+    # boundary shell stays exactly zero
+    bdry = np.setdiff1d(np.arange(st.n_dof), interior)
+    assert np.abs(traj.reshape(-1, nt + 1)[bdry]).max() == 0.0
+
+
+def test_pod_greedy_on_3d_stencil_fom():
+    """POD-greedy over the 3-D parabolic stencil FOM end-to-end (the
+    rank-generic as_reductor_fom view: affine 3-D term LinOps + lumped
+    mass)."""
+    from rla4mor_tpu.models import (
+        InstationaryReductor, InstationaryStencilFOM, pod_greedy,
+    )
+    from rla4mor_tpu.models.stencil3d import StencilThermalBlock3D
+
+    st = StencilThermalBlock3D((2, 2, 2), 4, dtype=jnp.float64)
+    dev = InstationaryStencilFOM(st, T=0.25, nt=8)
+    view = dev.as_reductor_fom(tol=1e-11, maxiter=500)
+    assert view.solution_dim == st.n_dof
+    theta = GaussianEmbedding.make(view.solution_dim, range_dim=100, seed=2)
+    red = InstationaryReductor(view, embedding=theta, log_level=30)
+    train = view.parameter_space.sample_randomly(8, key=7)
+    rom, hist = pod_greedy(view, red, train, max_extensions=8, pad_to=16,
+                           modes_per_extension=2, log_level=30)
+    est = hist["max_estimates"]
+    assert est[-1] < est[0]
+
+    mu_t = view.parameter_space.sample_randomly(1, key=9)[0]
+    rec = red.reconstruct(rom.solve(mu_t))
+    truth = np.asarray(view.solve(mu_t))
+    rel = np.linalg.norm(rec - truth) / np.linalg.norm(truth)
+    assert rel < 0.06
