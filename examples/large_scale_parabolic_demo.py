@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--nt", type=int, default=50)
     ap.add_argument("--ext", type=int, default=5)
     ap.add_argument("--k", type=int, default=128)
+    ap.add_argument("--family", choices=["thermal", "thermal3d"],
+                    default="thermal",
+                    help="thermal3d: 3-D Q1 hexahedral thermal block "
+                         "(lumped mass, jacobi only)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -44,12 +48,23 @@ def main():
 
     N = args.grid
     precond = args.precond
-    if precond == "auto":  # MG needs power-of-two element counts
-        precond = "mg" if N & (N - 1) == 0 else "jacobi"
-    st = StencilThermalBlock((2, 2), N, dtype=jnp.float32)
+    if args.family == "thermal3d":
+        from rla4mor_tpu.models import StencilThermalBlock3D
+
+        if precond == "mg":
+            ap.error("--precond mg is 2-D only; thermal3d uses jacobi")
+        precond = "jacobi"
+        st = StencilThermalBlock3D((2, 2, 2), N, dtype=jnp.float32)
+        n = st.n_dof
+        desc = f"grid {N}^3 elements"
+    else:
+        if precond == "auto":  # MG needs power-of-two element counts
+            precond = "mg" if N & (N - 1) == 0 else "jacobi"
+        st = StencilThermalBlock((2, 2), N, dtype=jnp.float32)
+        n = st.n_nodes ** 2
+        desc = f"grid {N}x{N} elements"
     dev = InstationaryStencilFOM(st, T=1.0, nt=args.nt)
-    n = st.n_nodes ** 2
-    print(f"grid {N}x{N} elements, n = {n / 1e6:.2f}M nodes, "
+    print(f"{desc}, n = {n / 1e6:.2f}M nodes, "
           f"nt = {args.nt}, sketch k = {args.k}")
 
     store_every = max(1, args.nt // 10)

@@ -539,6 +539,23 @@ def test_instationary_stencil_sharded_matches_unsharded(mesh):
     assert np.abs(got - ref).max() < 1e-9 * max(1.0, np.abs(ref).max())
 
 
+def test_instationary_stencil_3d_sharded_matches_unsharded(mesh):
+    """3-D parabolic loop with the state sharded over the leading (z)
+    grid axis — the rank-generic sharding constraint P('dof', None, None)
+    plus GSPMD halo exchanges for the 3-D stencil gathers: identical
+    trajectory to the unsharded run."""
+    from rla4mor_tpu.models import InstationaryStencilFOM
+    from rla4mor_tpu.models.stencil3d import StencilThermalBlock3D
+
+    st = StencilThermalBlock3D((2, 2, 2), 15, dtype=jnp.float64)  # 16 z-rows
+    fom = InstationaryStencilFOM(st, T=0.25, nt=4)
+    mu = fom.parameter_space.sample_randomly(1, key=2)[0]
+    ref = np.asarray(fom.solve(mu, tol=1e-12, maxiter=400))
+    with mesh:
+        got = np.asarray(fom.solve(mu, tol=1e-12, maxiter=400, mesh=mesh))
+    assert np.abs(got - ref).max() < 1e-9 * max(1.0, np.abs(ref).max())
+
+
 def test_sharded_flat_srht_any_n(mesh, rng):
     """VERDICT r2 item 8: the flat (one-psum) sharded SRHT at NON-pow2
     DoF counts equals the canonical single-device srht — the zero-block
