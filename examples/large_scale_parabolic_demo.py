@@ -23,7 +23,9 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--grid", type=int, default=1024)
+    ap.add_argument("--grid", type=int, default=None,
+                    help="elements per axis (default 1024 for thermal, "
+                         "255 for thermal3d)")
     ap.add_argument("--precond", choices=["auto", "jacobi", "mg"],
                     default="auto")
     ap.add_argument("--nt", type=int, default=50)
@@ -47,6 +49,8 @@ def main():
     from rla4mor_tpu.ops import StreamedGaussianEmbedding
 
     N = args.grid
+    if N is None:
+        N = 255 if args.family == "thermal3d" else 1024
     precond = args.precond
     if args.family == "thermal3d":
         from rla4mor_tpu.models import StencilThermalBlock3D

@@ -113,7 +113,8 @@ class InstationaryStencilFOM:
     def solve(self, mu, tol: float = 1e-7, maxiter: int = 200,
               precond: str = "jacobi", store_every: int = 1,
               mesh=None, axis: str = "dof") -> jax.Array:
-        """(N+1, N+1, n_stored) trajectory including u0.
+        """(*solution_shape, n_stored) trajectory including u0 (time
+        axis last; (N+1, N+1, n_stored) for the 2-D thermal block).
 
         ``store_every=s`` keeps every s-th step (memory control at big n:
         a 2048^2 grid stores 16.8 MB per kept step). ``precond``:

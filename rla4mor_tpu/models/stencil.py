@@ -216,8 +216,8 @@ class StencilThermalBlock:
 
     def apply_field(self, kappa_el: jax.Array, u: jax.Array) -> jax.Array:
         """A(kappa) u for an arbitrary per-element field (the generic
-        backend InstationaryStencilFOM / EIM dispatch on; 3-D analog
-        stencil3d.py:205)."""
+        backend InstationaryStencilFOM / EIM dispatch on; 3-D analog in
+        stencil3d.py)."""
         return stencil_apply(u, kappa_el.astype(u.dtype))
 
     def apply_term(self, b: int, u: jax.Array) -> jax.Array:
@@ -294,6 +294,10 @@ class FlatGridOp:
     families use (M, M, M))."""
 
     def __init__(self, n_nodes: int = None, grid_shape=None):
+        if (n_nodes is None) == (grid_shape is None):
+            raise TypeError(
+                "FlatGridOp: pass exactly one of n_nodes / grid_shape"
+            )
         if grid_shape is None:
             grid_shape = (n_nodes, n_nodes)
         self.grid_shape = tuple(grid_shape)

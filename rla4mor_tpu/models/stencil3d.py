@@ -63,6 +63,24 @@ def interior_mask3(n_nodes: int, dtype=jnp.float32) -> jax.Array:
     return m.at[1:-1, 1:-1, 1:-1].set(1.0)
 
 
+def lumped_mass3_apply(u: jax.Array, h: float) -> jax.Array:
+    """Lumped Q1 mass: h^3 per interior node (8 adjacent elements x
+    h^3/8), Dirichlet shell masked. One formula, one site — shared by
+    the 3-D thermal block and the 3-D non-affine family (the parabolic
+    ``mass_apply_grid`` hook; lumping is the standard 3-D
+    simplification, a convergent scheme of the same order as the
+    consistent mass the 2-D path uses)."""
+    return (h ** 3) * u * interior_mask3(u.shape[0], u.dtype)
+
+
+def lumped_mass3_diag(n_nodes: int, h: float, dtype) -> jax.Array:
+    """Diagonal of the lumped Q1 mass on the FULL node grid (boundary
+    entries included: only the Jacobi preconditioner consumes this, and
+    a nonzero shell diagonal is harmless there — CG never leaves the
+    interior subspace)."""
+    return jnp.full((n_nodes,) * 3, h ** 3, dtype)
+
+
 def block_index_map3(num_intervals: int,
                      grid_shape: Tuple[int, int, int]) -> jax.Array:
     """(N, N, N) int32 block id per element from iota inside the trace
@@ -197,15 +215,12 @@ class StencilThermalBlock3D:
         """Mean-value functional (lumped integral)."""
         return jnp.sum(u) * self.h ** 3
 
-    # lumped Q1 mass (h^3 per interior node: 8 adjacent elements x
-    # h^3/8) — the parabolic hooks InstationaryStencilFOM dispatches on
-    # (the 2-D path uses the consistent mass; lumping is the standard
-    # 3-D simplification and is a convergent scheme of the same order)
+    # parabolic hooks InstationaryStencilFOM dispatches on
     def mass_apply_grid(self, u: jax.Array) -> jax.Array:
-        return (self.h ** 3) * u * interior_mask3(u.shape[0], u.dtype)
+        return lumped_mass3_apply(u, self.h)
 
     def mass_diag_grid(self) -> jax.Array:
-        return jnp.full(self.solution_shape, self.h ** 3, self.dtype)
+        return lumped_mass3_diag(self.n_nodes, self.h, self.dtype)
 
     def apply_field(self, kappa_el: jax.Array, u: jax.Array) -> jax.Array:
         """A(kappa) u for an arbitrary per-element field (the generic
@@ -237,7 +252,7 @@ class StencilThermalBlock3D:
 
 class Stencil3DTermOp(FlatGridOp):
     """LinOp view of one 3-D stencil term on flattened vectors (the 3-D
-    analog of ``StencilTermOp``, stencil.py:308; rank-generic base)."""
+    analog of ``StencilTermOp`` in stencil.py; rank-generic base)."""
 
     def __init__(self, st: StencilThermalBlock3D, term):
         super().__init__(grid_shape=st.solution_shape)

@@ -28,6 +28,7 @@ pieces are jittable with static shapes.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -72,8 +73,6 @@ class NonAffineStencilFOM:
 
     @property
     def n_dof(self) -> int:
-        import math
-
         return math.prod(self.solution_shape)
 
     @property
@@ -177,14 +176,16 @@ class NonAffineStencilFOM3D(NonAffineStencilFOM):
     def output(self, u) -> jax.Array:
         return jnp.sum(u) * self.h ** 3
 
-    # lumped-mass parabolic hooks (see StencilThermalBlock3D)
+    # lumped-mass parabolic hooks (shared formula: stencil3d.py)
     def mass_apply_grid(self, u: jax.Array) -> jax.Array:
-        from rla4mor_tpu.models.stencil3d import interior_mask3
+        from rla4mor_tpu.models.stencil3d import lumped_mass3_apply
 
-        return (self.h ** 3) * u * interior_mask3(u.shape[0], u.dtype)
+        return lumped_mass3_apply(u, self.h)
 
     def mass_diag_grid(self) -> jax.Array:
-        return jnp.full(self.solution_shape, self.h ** 3, self.dtype)
+        from rla4mor_tpu.models.stencil3d import lumped_mass3_diag
+
+        return lumped_mass3_diag(self.n_nodes, self.h, self.dtype)
 
 
 class EimStencilFOM:
@@ -432,7 +433,7 @@ class EimStencilFOM:
 
 class EimTermOp(FlatGridOp):
     """LinOp view of one EIM term A(xi_q) on flattened vectors (the
-    non-affine analog of ``StencilTermOp``, stencil.py:308);
+    non-affine analog of ``StencilTermOp`` in stencil.py);
     rank-generic (2-D and 3-D grids)."""
 
     def __init__(self, fom: EimStencilFOM, q: int):
