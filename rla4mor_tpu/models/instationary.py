@@ -83,6 +83,12 @@ class InstationaryFOM:
             out = m if out is None else out + m
         return out.tocsc()
 
+    def assemble_sparse(self, mu: Mu) -> sps.csc_matrix:
+        """Host-sparse A(mu) (the StationaryFOM protocol name —
+        mor.bounds coercivity constants consume parabolic FOMs
+        through it)."""
+        return self._assemble_A(mu)
+
     def assemble_rhs(self, mu: Mu) -> np.ndarray:
         if isinstance(self.rhs, AffineDense):
             return np.asarray(self.rhs.assemble_vec(mu))

@@ -21,6 +21,7 @@ from rla4mor_tpu.mor.bounds import (
     MinThetaCoercivity,
     error_bound,
     inf_sup_error_bound,
+    parabolic_error_bound,
 )
 from rla4mor_tpu.mor.scm import (
     ScmCoercivity,
@@ -59,7 +60,7 @@ __all__ = [
     "PaddedSketchedReductor", "rb_greedy_no_retrace",
     "PrimalDualReductor", "CorrectedOutputROM", "dual_fom", "output_greedy",
     "MinThetaCoercivity", "error_bound", "InfSupLowerBound",
-    "inf_sup_error_bound",
+    "inf_sup_error_bound", "parabolic_error_bound",
     "ScmHermitian", "ScmCoercivity", "ScmInfSup",
     "EimInterpolant", "eim_greedy", "eim_greedy_device", "eim_greedy_scan",
     "eim_rebuild", "deim", "deim_points",

@@ -391,3 +391,65 @@ def test_pod_greedy_on_3d_stencil_fom():
     truth = np.asarray(view.solve(mu_t))
     rel = np.linalg.norm(rec - truth) / np.linalg.norm(truth)
     assert rel < 0.06
+
+
+def test_parabolic_error_bound_certified():
+    """Grepl-Patera parabolic bound: eta/sqrt(alpha_LB) dominates the
+    true final-time M-norm error and eta/alpha_LB the theta-averaged
+    space-time R-norm error, for implicit Euler AND Crank-Nicolson, at
+    tight effectivity; theta < 1/2 is rejected."""
+    from rla4mor_tpu.core.orthonormalize import pod
+    from rla4mor_tpu.models import instationary_thermal_block
+    from rla4mor_tpu.mor import MinThetaCoercivity, parabolic_error_bound
+
+    mu_ref = {"diffusion": jnp.full(4, 0.55)}
+    emb = None
+
+    def check(theta):
+        nonlocal emb
+        pfom = instationary_thermal_block((2, 2), 10, T=0.5, nt=12,
+                                          time_theta=theta)
+        Ru = pfom.products["h1_0"]
+        if emb is None:
+            emb = GaussianEmbedding.make(
+                pfom.solution_dim, sqrt_product=Ru.sqrt, range_dim=150,
+                seed=3,
+            )
+        red = InstationaryReductor(pfom, embedding=emb, product=Ru,
+                                   log_level=30)
+        for mu in pfom.parameter_space.sample_randomly(2, key=1):
+            modes, _ = pod(pfom.solve(mu), product=Ru, rtol=1e-6)
+            red.extend_basis(modes[:, :4])
+        rom = red.reduce()
+        alpha = MinThetaCoercivity(pfom, mu_ref, product=Ru)
+        mu_t = pfom.parameter_space.sample_randomly(1, key=9)[0]
+
+        rec = np.asarray(red.reconstruct(rom.solve(mu_t)))
+        e = rec - np.asarray(pfom.solve(mu_t))
+        M = sps.csc_matrix(pfom.mass.S).toarray()
+        err_final = float(np.sqrt(e[:, -1] @ (M @ e[:, -1])))
+        eth = theta * e[:, 1:] + (1.0 - theta) * e[:, :-1]
+        err_st = float(np.sqrt(pfom.dt * np.sum(
+            np.asarray(Ru.norm(jnp.asarray(eth))) ** 2
+        )))
+        b_final = float(parabolic_error_bound(rom, mu_t, alpha))
+        b_st = float(parabolic_error_bound(rom, mu_t, alpha,
+                                           kind="spacetime"))
+        # certified (the sketch's 1+-eps distortion is well inside the
+        # observed 1.4-3.7x effectivity margin), and not vacuous
+        assert err_final <= b_final <= 50 * err_final, (theta, b_final)
+        assert err_st <= b_st <= 50 * err_st, (theta, b_st)
+        return rom, alpha
+
+    check(1.0)            # implicit Euler
+    rom, alpha = check(0.5)  # Crank-Nicolson
+
+    mu_t = {"diffusion": jnp.asarray([0.3, 0.8, 0.5, 1.0])}
+    rom.time_theta = 0.25  # plain attribute; restore below
+    try:
+        with pytest.raises(ValueError, match="time_theta"):
+            parabolic_error_bound(rom, mu_t, alpha)
+    finally:
+        rom.time_theta = 0.5
+    with pytest.raises(ValueError, match="kind"):
+        parabolic_error_bound(rom, mu_t, alpha, kind="l2")
