@@ -104,6 +104,17 @@ class InstationaryStencilFOM:
             return st.apply_field(kappa, v)
         return stencil_apply(v, kappa)
 
+    def _make_stiff(self, mu):
+        """A(mu) as a grid->grid closure: kappa-field families evaluate
+        the coefficient field ONCE per mu (loop-invariant); families
+        without a kappa protocol (e.g. the non-SPD advection-diffusion
+        stencil) apply the affine operator directly."""
+        st = self.stencil
+        if hasattr(st, "kappa"):
+            kappa = st.kappa(mu)
+            return lambda v: self._stiff_apply(v, kappa), kappa
+        return (lambda v: st.apply(mu, v)), None
+
     @property
     def solution_shape(self):
         return self.stencil.solution_shape
@@ -126,21 +137,24 @@ class InstationaryStencilFOM:
         stencil/mass gathers (node rows must divide the axis size);
         identical values to the unsharded run (tested on the CPU mesh).
         """
-        from rla4mor_tpu.core.solvers import cg
+        from rla4mor_tpu.core.solvers import bicgstab, cg
 
         st = self.stencil
         dt, th = self.dt, self.time_theta
-        kappa = st.kappa(mu)
+        A_mu, kappa = self._make_stiff(mu)
         b = st.rhs()
+        # M + theta dt A is SPD iff A is; non-SPD families (advection-
+        # diffusion) solve each implicit step by warm-started BiCGStab
+        solver = cg if getattr(st, "is_spd", True) else bicgstab
 
         def B(v):  # implicit side: M + theta dt A
-            return self._mass_apply(v) + th * dt * self._stiff_apply(v, kappa)
+            return self._mass_apply(v) + th * dt * A_mu(v)
 
         if precond == "mg":
-            if len(self.solution_shape) != 2:
+            if len(self.solution_shape) != 2 or kappa is None:
                 raise ValueError(
-                    "precond='mg' is 2-D only (models/multigrid.py); "
-                    "use 'jacobi' for 3-D families"
+                    "precond='mg' needs a 2-D kappa-field family "
+                    "(models/multigrid.py); use 'jacobi' otherwise"
                 )
             from rla4mor_tpu.models.multigrid import make_vcycle
 
@@ -171,9 +185,9 @@ class InstationaryStencilFOM:
             def step(u, _):
                 rhs = self._mass_apply(u) + dt * b  # explicit side:
                 if th < 1.0:                        # (M - (1-th) dt A) u
-                    rhs = rhs - (1.0 - th) * dt * self._stiff_apply(u, kappa)
-                u_new = cg(B, rhs, x0=u, precond=M_pre, tol=tol,
-                           maxiter=maxiter).x
+                    rhs = rhs - (1.0 - th) * dt * A_mu(u)
+                u_new = solver(B, rhs, x0=u, precond=M_pre, tol=tol,
+                               maxiter=maxiter).x
                 return constrain(u_new), None
 
             u, _ = jax.lax.scan(step, u, None, length=store_every)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from rla4mor_tpu.core.parameters import ParameterSpace
 from rla4mor_tpu.core.solvers import bicgstab
 from rla4mor_tpu.models.stencil import (
+    FlatGridOp,
     interior_mask,
     stencil_apply,
     stiffness_diag_raw,
@@ -125,6 +126,29 @@ class StencilAdvectionDiffusion:
         stencil's."""
         return jnp.sum(u) * self.h * self.h
 
+    # -- flattened-vector LinOp views (the parabolic reductor path) -----
+    def term_linop(self, t: int) -> "AdvectionTermOp":
+        return AdvectionTermOp(self, t)
+
+    def affine_operator(self):
+        """AffineOp over flattened vectors: eps K + bx Cx + by Cy with
+        ProjectionCoefficient thetas — the same interface as
+        ``StencilThermalBlock.affine_operator``, so
+        ``InstationaryStencilFOM.as_reductor_fom`` consumes the non-SPD
+        family (the time-stepping then runs BiCGStab per implicit
+        step)."""
+        from rla4mor_tpu.core.affine import AffineOp
+        from rla4mor_tpu.core.parameters import ProjectionCoefficient
+
+        return AffineOp(
+            tuple(self.term_linop(t) for t in range(self.n_terms)),
+            (
+                ProjectionCoefficient("eps", 0),
+                ProjectionCoefficient("velocity", 0),
+                ProjectionCoefficient("velocity", 1),
+            ),
+        )
+
     def sample_parameters(self, count: int, key=0):
         """Samples honoring the per-name ranges (eps > 0) — mirrors
         ``AdvectionDiffusionFOM.sample_parameters``."""
@@ -145,3 +169,27 @@ class StencilAdvectionDiffusion:
                 ),
             })
         return out
+
+
+class AdvectionTermOp(FlatGridOp):
+    """LinOp view of one advection-diffusion term on flattened vectors.
+    t=0: the (symmetric) diffusion stiffness K; t=1/2: the central-
+    difference advection C_x / C_y, which is ANTI-symmetric on interior
+    nodes — ``H`` returns the negated operator."""
+
+    def __init__(self, fom: StencilAdvectionDiffusion, t: int,
+                 sign: float = 1.0):
+        super().__init__(fom.n_nodes)
+        self.fom = fom
+        self.t = t
+        self.sign = sign
+
+    def _grid_apply(self, grid):
+        out = self.fom.apply_term(self.t, grid)
+        return out if self.sign == 1.0 else self.sign * out
+
+    @property
+    def H(self):
+        if self.t == 0:
+            return self
+        return AdvectionTermOp(self.fom, self.t, sign=-self.sign)
