@@ -380,6 +380,7 @@ def pod_greedy(
     pad_to: Optional[int] = None,
     mu_sharding=None,
     pod_method: str = "snapshots",
+    coercivity=None,
     log_level: int = 20,
 ) -> Tuple[InstationaryROM, dict]:
     """POD-greedy (Haasdonk/Ohlberger): greedy over mu by the sketched
@@ -393,7 +394,14 @@ def pod_greedy(
 
     ``pod_method``: ``"snapshots"`` (method of snapshots, (nt, nt) host
     Gram eigh) or ``"randomized"`` (core.rsvd.pod_randomized — Gram-free
-    device matmuls; prefer for long trajectories or f32 storage)."""
+    device matmuls; prefer for long trajectories or f32 storage).
+
+    ``coercivity``: a jittable ``mu -> alpha_LB(mu)`` (e.g.
+    ``mor.bounds.MinThetaCoercivity``) upgrades the sweep scores to the
+    CERTIFIED final-time bounds eta/sqrt(alpha_LB) — selection then
+    targets the bound, and ``atol``/``rtol`` terminate on certified
+    error, not the indicator (``mor.bounds.parabolic_error_bound``;
+    needs ``fom.time_theta >= 1/2``)."""
     from rla4mor_tpu.core.orthonormalize import pod as _pod_snapshots
     from rla4mor_tpu.core.parameters import mu_stack
     from rla4mor_tpu.core.rsvd import pod_randomized
@@ -433,10 +441,20 @@ def pod_greedy(
     reductor.extend_basis(modes)
     history["selected_mus"].append(mu0)
 
+    if coercivity is not None and fom.time_theta < 0.5:
+        raise ValueError(
+            "certified POD-greedy (coercivity=...) needs time_theta >= "
+            f"1/2 (got {fom.time_theta}); see mor.bounds."
+            "parabolic_error_bound"
+        )
+
     first_max = None
     rom = reductor.reduce(pad_to=pad_to)
     for _it in range(1, max_extensions):
         estimates = np.asarray(_estimate_sweep(rom, mus_batched))
+        if coercivity is not None:
+            alphas = np.asarray(jax.jit(jax.vmap(coercivity))(mus_batched))
+            estimates = estimates / np.sqrt(alphas)
         imax = int(np.argmax(estimates))
         emax = float(estimates[imax])
         history["max_estimates"].append(emax)

@@ -453,3 +453,48 @@ def test_parabolic_error_bound_certified():
         rom.time_theta = 0.5
     with pytest.raises(ValueError, match="kind"):
         parabolic_error_bound(rom, mu_t, alpha, kind="l2")
+
+
+def test_pod_greedy_certified(pfom):
+    """coercivity= upgrades the sweep scores to certified final-time
+    bounds eta/sqrt(alpha_LB): the greedy runs to completion on them and
+    the final ROM's certified bound dominates the true final-time M-norm
+    error at the training mus; theta < 1/2 is rejected up front."""
+    from rla4mor_tpu.mor import MinThetaCoercivity, parabolic_error_bound
+
+    Ru = pfom.products["h1_0"]
+    mu_ref = {"diffusion": jnp.full(4, 0.55)}
+    alpha = MinThetaCoercivity(pfom, mu_ref, product=Ru)
+    train = pfom.parameter_space.sample_randomly(10, key=6)
+
+    def run(coer):
+        theta = GaussianEmbedding.make(
+            pfom.solution_dim, sqrt_product=Ru.sqrt, range_dim=80, seed=5
+        )
+        red = InstationaryReductor(pfom, embedding=theta, product=Ru,
+                                   log_level=30)
+        rom, hist = pod_greedy(pfom, red, train, max_extensions=5,
+                               coercivity=coer, log_level=30)
+        return red, rom, hist
+
+    red_c, rom_c, hist_c = run(alpha)
+    assert all(np.isfinite(hist_c["max_estimates"]))
+
+    # certified bound dominates the true error on the training set
+    for mu in train[:3]:
+        rec = np.asarray(red_c.reconstruct(rom_c.solve(mu)))
+        e = rec - np.asarray(pfom.solve(mu))
+        M = sps.csc_matrix(pfom.mass.S).toarray()
+        err_final = float(np.sqrt(e[:, -1] @ (M @ e[:, -1])))
+        bnd = float(parabolic_error_bound(rom_c, mu, alpha))
+        assert err_final <= bnd * (1 + 1e-9), (err_final, bnd)
+
+    # theta < 1/2 rejected up front
+    pf_bad = instationary_thermal_block((2, 2), 6, T=0.5, nt=4,
+                                        time_theta=0.4)
+    emb = GaussianEmbedding.make(pf_bad.solution_dim, range_dim=20, seed=1)
+    red_bad = InstationaryReductor(pf_bad, embedding=emb, log_level=30)
+    with pytest.raises(ValueError, match="time_theta"):
+        pod_greedy(pf_bad, red_bad,
+                   pf_bad.parameter_space.sample_randomly(2, key=1),
+                   max_extensions=2, coercivity=alpha, log_level=30)
