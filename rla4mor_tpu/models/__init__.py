@@ -23,6 +23,12 @@ from rla4mor_tpu.models.instationary import (
     instationary_thermal_block,
     pod_greedy,
 )
+from rla4mor_tpu.models.instationary_primal_dual import (
+    InstationaryCorrectedOutputROM,
+    InstationaryPrimalDualReductor,
+    output_pod_greedy,
+    solve_dual,
+)
 
 __all__ = [
     "StationaryFOM",
@@ -35,4 +41,6 @@ __all__ = [
     "StencilAdvectionDiffusion", "StencilThermalBlock3D",
     "NonAffineStencilFOM", "NonAffineStencilFOM3D", "EimStencilFOM",
     "gaussian_bump_fom", "gaussian_bump_fom3d",
+    "InstationaryCorrectedOutputROM", "InstationaryPrimalDualReductor",
+    "output_pod_greedy", "solve_dual",
 ]

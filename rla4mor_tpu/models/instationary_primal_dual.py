@@ -1,0 +1,372 @@
+"""Goal-oriented parabolic MOR: discrete-adjoint corrected outputs.
+
+The stationary stack has primal-dual output correction + an output error
+indicator (mor/primal_dual.py); this is the parabolic counterpart, built
+on the DISCRETE adjoint of the theta scheme — so the correction identity
+is exact at the discrete level, with no time-continuous dual or
+quadrature error. The reference is stationary-only and has no output
+error control at all (SURVEY §2.3).
+
+For the theta-scheme primal recursion (S = M + theta dt A,
+C = M - (1-theta) dt A)
+
+    S u_k = C u_{k-1} + dt b,         k = 1..K,
+
+and the final-time output s(mu) = l(mu)^H u_K, the discrete adjoint runs
+BACKWARD:
+
+    S^H z_K = l,      S^H z_k = C^H z_{k+1}   (k = K-1..1),
+
+and summation by parts gives the exact identity (e_0 = 0, i.e. u0 in the
+reduced space — e.g. u0 = 0)
+
+    s - s_r = sum_k z_k^H r_k,   r_k = C u_{r,k-1} + dt b - S u_{r,k}.
+
+Replacing z by its reduced-basis approximation Z zeta yields the
+dual-corrected output
+
+    s_c = s_r + sum_k zeta_k^H ( Z^H M V (a_{k-1} - a_k)
+                                 - dt Z^H A V a_th,k + dt Z^H b ),
+
+with s - s_c = sum_k (z_k - Z zeta_k)^H r_k — a PRODUCT of the dual and
+primal approximation errors (exact when EITHER basis captures its
+trajectory; tested in both limits). Both factors are estimated by the
+sketched space-time residual machinery, giving the output indicator
+
+    eta_s = eta_pr * eta_du
+
+(same status as the stationary module's: an indicator that tracks the
+true output error; a rigorous bound would additionally need a stability
+lower bound).
+
+Everything online is dense-affine; ``output_corrected`` is one jittable,
+vmappable call (forward scan + LU-once backward scan + correction sum).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+import scipy.sparse.linalg as spla
+
+from rla4mor_tpu.core.affine import AffineDense, as_affine
+from rla4mor_tpu.core.parameters import Mu, conj_coefficient
+from rla4mor_tpu.models.instationary import (
+    InstationaryFOM,
+    InstationaryReductor,
+    InstationaryROM,
+    _materialize_rhs,
+)
+from rla4mor_tpu.utils.logger import get_logger
+
+
+def _output_terms(fom: InstationaryFOM) -> AffineDense:
+    """The output functional as an affine stack of COLUMN vectors l_t
+    (s = l(mu)^H u with l(mu) = sum_t conj(theta_t) l_t), single output."""
+    of = fom.output_functional
+    assert of is not None, "goal-oriented reduction needs output_functional"
+    of = as_affine(of) if not isinstance(of, AffineDense) else of
+    assert of.range_dim == 1, "dual correction supports single outputs"
+    # of.stack: (To, 1, n) rows; l_t = conj(row_t)^T
+    return AffineDense(
+        jnp.conj(of.stack).transpose(0, 2, 1),  # (To, n, 1)
+        tuple(conj_coefficient(c) for c in of.coefficients),
+    )
+
+
+def solve_dual(fom: InstationaryFOM, mu: Mu) -> jax.Array:
+    """(n, nt) exact discrete-adjoint trajectory, column k-1 = z_k
+    (z_K first solved, stored last-to-first in forward index order).
+    One host factorization of S^H per mu, like the primal solve."""
+    A = fom._assemble_A(mu)
+    M = sps.csc_matrix(fom.mass.S)
+    th, dt = fom.time_theta, fom.dt
+    S = sps.csc_matrix(M + th * dt * A)
+    C = sps.csc_matrix(M - (1.0 - th) * dt * A)
+    lu = spla.splu(sps.csc_matrix(S.conj().T))
+    lterms = _output_terms(fom)
+    l = np.asarray(lterms.assemble_vec(mu)).astype(np.float64)
+    CH = sps.csc_matrix(C.conj().T)
+    z = lu.solve(l)
+    out = [z]
+    for _ in range(fom.nt - 1):
+        z = lu.solve(np.asarray(CH @ z))
+        out.append(z)
+    out.reverse()  # forward index order z_1 .. z_K
+    return jnp.asarray(np.stack(out, axis=1))
+
+
+class InstationaryCorrectedOutputROM:
+    """Pytree: primal InstationaryROM + reduced discrete adjoint +
+    offline correction projections (+ sketched dual-residual pieces)."""
+
+    def __init__(self, rom_pr: InstationaryROM, mass_zz, lhs_zz: AffineDense,
+                 l_z: AffineDense, rhs_z: AffineDense, mass_zv, op_zv:
+                 AffineDense, est_mass_z=None, est_lhs_z=None, est_l=None):
+        self.rom_pr = rom_pr
+        self.mass_zz = mass_zz    # (rz, rz)      Z^H M Z
+        self.lhs_zz = lhs_zz      # (T, rz, rz)   Z^H A_t^H Z, conj thetas
+        self.l_z = l_z            # (To, rz, 1)   Z^H l_t, conj thetas
+        self.rhs_z = rhs_z        # (Tb, rz, 1)   Z^H b_t
+        self.mass_zv = mass_zv    # (rz, rv)      Z^H M V
+        self.op_zv = op_zv        # (T, rz, rv)   Z^H A_t V
+        self.est_mass_z = est_mass_z  # (k, rz)   Theta R^-1 M Z
+        self.est_lhs_z = est_lhs_z    # (T, k, rz) Theta R^-1 A_t^H Z
+        self.est_l = est_l            # (To, k, 1) Theta R^-1 l_t
+
+    def tree_flatten(self):
+        return (self.rom_pr, self.mass_zz, self.lhs_zz, self.l_z,
+                self.rhs_z, self.mass_zv, self.op_zv, self.est_mass_z,
+                self.est_lhs_z, self.est_l), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        obj = object.__new__(cls)
+        (obj.rom_pr, obj.mass_zz, obj.lhs_zz, obj.l_z, obj.rhs_z,
+         obj.mass_zv, obj.op_zv, obj.est_mass_z, obj.est_lhs_z,
+         obj.est_l) = ch
+        return obj
+
+    def output_plain(self, mu: Mu) -> jax.Array:
+        traj = self.rom_pr.solve(mu)
+        return self.rom_pr.output(traj, mu)[0, -1]
+
+    def solve_dual_reduced(self, mu: Mu):
+        """((rz, nt) zeta trajectory in forward index order, eta_du)."""
+        rom = self.rom_pr
+        th, dt, K = rom.time_theta, rom.dt, rom.nt
+        Azz = self.lhs_zz.assemble(mu)
+        Szz = self.mass_zz + th * dt * Azz
+        Czz = self.mass_zz - (1.0 - th) * dt * Azz
+        l_r = self.l_z.assemble_vec(mu)
+        # Szz already IS Z^H S^H Z (built from adjoint terms + conj thetas)
+        lu = jax.scipy.linalg.lu_factor(Szz)
+        zeta_K = jax.scipy.linalg.lu_solve(lu, l_r)
+
+        rdtype = jnp.real(zeta_K).dtype
+        estimating = self.est_mass_z is not None
+        if estimating:
+            skM = self.est_mass_z
+            skA = self.est_lhs_z.assemble(mu)
+            skl = self.est_l.assemble_vec(mu)
+            # terminal residual rho_K = l - S^H Z zeta_K, 1/dt-scaled
+            rho_K = (skl - skM @ zeta_K) / dt - th * (skA @ zeta_K)
+            acc0 = jnp.real(jnp.sum(jnp.abs(rho_K) ** 2)).astype(rdtype)
+        else:
+            acc0 = jnp.asarray(0.0, rdtype)
+
+        def bstep(carry, _):
+            zeta_next, acc = carry
+            zeta = jax.scipy.linalg.lu_solve(lu, Czz @ zeta_next)
+            if estimating:
+                rho = (skM @ (zeta_next - zeta)) / dt \
+                    - skA @ (th * zeta + (1.0 - th) * zeta_next)
+                acc = acc + jnp.real(jnp.sum(jnp.abs(rho) ** 2))
+            return (zeta, acc), zeta
+
+        (zeta_1, acc), back = jax.lax.scan(
+            bstep, (zeta_K, acc0), None, length=K - 1
+        )
+        zetas = jnp.concatenate([back[::-1], zeta_K[None]], axis=0)  # (K, rz)
+        eta_du = jnp.sqrt(dt * acc)
+        return zetas, eta_du
+
+    def output_corrected(self, mu: Mu):
+        """(s_c, eta_s): discrete-adjoint corrected final-time output and
+        the residual-product output indicator — one jittable call."""
+        rom = self.rom_pr
+        th, dt = rom.time_theta, rom.dt
+        traj, eta_pr = rom.solve(mu, return_estimate=True)  # (rv, K+1)
+        s = rom.output(traj, mu)[0, -1]
+        zetas, eta_du = self.solve_dual_reduced(mu)         # (K, rz)
+
+        a_prev = traj[:, :-1].T  # (K, rv)
+        a_cur = traj[:, 1:].T
+        Ozv = self.op_zv.assemble(mu)               # (rz, rv)
+        bz = self.rhs_z.assemble_vec(mu)            # (rz,)
+        a_th = th * a_cur + (1.0 - th) * a_prev
+        resid = (a_prev - a_cur) @ self.mass_zv.T \
+            - dt * (a_th @ Ozv.T) + dt * bz[None, :]  # (K, rz)
+        corr = jnp.sum(jnp.conj(zetas) * resid)
+        return s + corr, eta_pr * eta_du
+
+
+jax.tree_util.register_pytree_node(
+    InstationaryCorrectedOutputROM,
+    lambda x: x.tree_flatten(),
+    InstationaryCorrectedOutputROM.tree_unflatten,
+)
+
+
+class InstationaryPrimalDualReductor:
+    """Primal InstationaryReductor + a dual reduced basis for the
+    discrete adjoint, emitting :class:`InstationaryCorrectedOutputROM`.
+
+    ``extend(mu)`` solves both trajectories at mu and appends the leading
+    POD modes of each R-orthogonal projection-error trajectory (the
+    parabolic analog of the stationary primal-dual recipe); use
+    ``extend_primal``/``extend_dual`` for direct control."""
+
+    def __init__(self, fom: InstationaryFOM, embedding=None,
+                 embedding_dual=None, product=None, log_level: int = 20):
+        self.fom = fom
+        self.lterms = _output_terms(fom)  # validates single output
+        self.primal = InstationaryReductor(
+            fom, embedding=embedding, product=product, log_level=log_level
+        )
+        self.product = self.primal.product
+        if embedding_dual is None and embedding is not None:
+            embedding_dual = embedding.with_seed(embedding.seed + 77)
+        self.embedding_dual = embedding_dual
+        self.rb_dual = jnp.zeros((fom.solution_dim, 0))
+        self.logger = get_logger("mor.instationary_pd", log_level)
+
+    @property
+    def dual_basis_size(self) -> int:
+        return self.rb_dual.shape[1]
+
+    def extend_primal(self, U) -> None:
+        self.primal.extend_basis(U)
+
+    def extend_dual(self, Z) -> None:
+        from rla4mor_tpu.core.orthonormalize import gram_schmidt
+
+        Z = jnp.asarray(Z)
+        if Z.ndim == 1:
+            Z = Z[:, None]
+        rb = jnp.concatenate([self.rb_dual.astype(Z.dtype), Z], axis=1)
+        self.rb_dual = gram_schmidt(rb, product=self.product,
+                                    offset=self.dual_basis_size)
+
+    def project_dual_trajectory(self, ztraj) -> jax.Array:
+        Z = self.rb_dual
+        if Z.shape[1] == 0:
+            return jnp.asarray(ztraj)
+        coeffs = Z.conj().T @ jnp.asarray(self.product.op.apply(ztraj))
+        return jnp.asarray(ztraj) - Z @ coeffs
+
+    def extend(self, mu: Mu, modes_per_extension: int = 1) -> None:
+        from rla4mor_tpu.core.orthonormalize import pod
+
+        traj = self.fom.solve(mu)
+        err_p = self.primal.project_trajectory(traj)
+        modes_p, _ = pod(err_p, product=self.product,
+                         modes=modes_per_extension)
+        if modes_p.shape[1]:
+            self.extend_primal(modes_p)
+        ztraj = solve_dual(self.fom, mu)
+        err_z = self.project_dual_trajectory(ztraj)
+        modes_z, _ = pod(err_z, product=self.product,
+                         modes=modes_per_extension)
+        if modes_z.shape[1]:
+            self.extend_dual(modes_z)
+
+    def reduce(self, pad_to=None) -> InstationaryCorrectedOutputROM:
+        fom = self.fom
+        V, Z = self.primal.rb, self.rb_dual
+        rom_pr = self.primal.reduce(pad_to=pad_to)
+
+        MZ = jnp.asarray(fom.mass.apply(Z))
+        mass_zz = Z.conj().T @ MZ
+        # Z^H A_t^H Z = (A_t Z)^H Z; conj thetas make it Z^H A(mu)^H Z
+        AtZ = [jnp.asarray(t.apply(Z)) for t in fom.operator.terms]
+        lhs_zz = AffineDense(
+            jnp.stack([a.conj().T @ Z for a in AtZ]),
+            tuple(conj_coefficient(c) for c in fom.operator.coefficients),
+        )
+        l_z = AffineDense(
+            jnp.einsum("nr,tnl->trl", Z.conj(), self.lterms.stack),
+            self.lterms.coefficients,
+        )
+        rhs_mat = (fom.rhs if isinstance(fom.rhs, AffineDense)
+                   else _materialize_rhs(fom.rhs))
+        rhs_z = AffineDense(
+            jnp.einsum("nr,tnl->trl", Z.conj(), rhs_mat.stack),
+            rhs_mat.coefficients,
+        )
+        mass_zv = Z.conj().T @ jnp.asarray(fom.mass.apply(V))
+        op_zv = AffineDense(
+            jnp.stack([Z.conj().T @ jnp.asarray(t.apply(V))
+                       for t in fom.operator.terms]),
+            fom.operator.coefficients,
+        )
+
+        est_mass_z = est_lhs_z = est_l = None
+        if self.embedding_dual is not None:
+            Rinv = self.product.inv
+            emb = self.embedding_dual
+
+            def sk(X):
+                return jnp.asarray(emb.apply(jnp.asarray(Rinv.apply(X))))
+
+            est_mass_z = sk(MZ)
+            est_lhs_z = AffineDense(
+                jnp.stack([sk(jnp.asarray(t.apply_adjoint(Z)))
+                           for t in fom.operator.terms]),
+                tuple(conj_coefficient(c)
+                      for c in fom.operator.coefficients),
+            )
+            est_l = AffineDense(
+                jnp.stack([sk(self.lterms.stack[t])
+                           for t in range(self.lterms.n_terms)]),
+                self.lterms.coefficients,
+            )
+        return InstationaryCorrectedOutputROM(
+            rom_pr, mass_zz, lhs_zz, l_z, rhs_z, mass_zv, op_zv,
+            est_mass_z=est_mass_z, est_lhs_z=est_lhs_z, est_l=est_l,
+        )
+
+
+@jax.jit
+def _output_indicator_sweep(rom: InstationaryCorrectedOutputROM,
+                            mus_batched: Mu):
+    return jax.vmap(lambda m: rom.output_corrected(m)[1])(mus_batched)
+
+
+def output_pod_greedy(
+    fom: InstationaryFOM,
+    reductor: InstationaryPrimalDualReductor,
+    training_set,
+    max_extensions: int = 10,
+    modes_per_extension: int = 1,
+    atol: float = 0.0,
+    rtol: float = 0.0,
+    log_level: int = 20,
+):
+    """Goal-oriented POD-greedy: extend primal AND dual bases at the
+    worst OUTPUT-indicator parameter (eta_s = eta_pr * eta_du). Returns
+    (rom, history)."""
+    from rla4mor_tpu.core.parameters import mu_stack
+
+    logger = get_logger("mor.output_pod_greedy", log_level)
+    history = {"selected_mus": [], "max_indicators": []}
+    mus_batched = mu_stack(list(training_set))
+
+    mu0 = training_set[0]
+    reductor.extend(mu0, modes_per_extension=modes_per_extension)
+    history["selected_mus"].append(mu0)
+
+    first_max = None
+    rom = reductor.reduce()
+    for it in range(1, max_extensions):
+        etas = np.asarray(_output_indicator_sweep(rom, mus_batched))
+        imax = int(np.argmax(etas))
+        emax = float(etas[imax])
+        history["max_indicators"].append(emax)
+        if first_max is None:
+            first_max = emax
+        logger.info("output-pod-greedy it=%d basis=%d/%d max_eta_s=%.3e",
+                    it, reductor.primal.basis_size,
+                    reductor.dual_basis_size, emax)
+        if emax <= atol or (rtol and emax <= rtol * first_max):
+            break
+        mu = training_set[imax]
+        reductor.extend(mu, modes_per_extension=modes_per_extension)
+        history["selected_mus"].append(mu)
+        rom = reductor.reduce()
+
+    return rom, history
