@@ -421,6 +421,12 @@ def pod_greedy(
         assert pad_to >= max_extensions * modes_per_extension, (
             "pad_to must hold the full final basis", pad_to
         )
+    if coercivity is not None and fom.time_theta < 0.5:
+        raise ValueError(
+            "certified POD-greedy (coercivity=...) needs time_theta >= "
+            f"1/2 (got {fom.time_theta}); see mor.bounds."
+            "parabolic_error_bound"
+        )
     logger = get_logger("mor.pod_greedy", log_level)
     history = {"selected_mus": [], "max_estimates": []}
     mus_batched = mu_stack(list(training_set))
@@ -441,20 +447,19 @@ def pod_greedy(
     reductor.extend_basis(modes)
     history["selected_mus"].append(mu0)
 
-    if coercivity is not None and fom.time_theta < 0.5:
-        raise ValueError(
-            "certified POD-greedy (coercivity=...) needs time_theta >= "
-            f"1/2 (got {fom.time_theta}); see mor.bounds."
-            "parabolic_error_bound"
+    # loop-invariant: alpha_LB depends on mu only — one jit, one eval
+    sqrt_alphas = None
+    if coercivity is not None:
+        sqrt_alphas = np.sqrt(
+            np.asarray(jax.jit(jax.vmap(coercivity))(mus_batched))
         )
 
     first_max = None
     rom = reductor.reduce(pad_to=pad_to)
     for _it in range(1, max_extensions):
         estimates = np.asarray(_estimate_sweep(rom, mus_batched))
-        if coercivity is not None:
-            alphas = np.asarray(jax.jit(jax.vmap(coercivity))(mus_batched))
-            estimates = estimates / np.sqrt(alphas)
+        if sqrt_alphas is not None:
+            estimates = estimates / sqrt_alphas
         imax = int(np.argmax(estimates))
         emax = float(estimates[imax])
         history["max_estimates"].append(emax)

@@ -66,16 +66,16 @@ from rla4mor_tpu.utils.logger import get_logger
 
 def _output_terms(fom: InstationaryFOM) -> AffineDense:
     """The output functional as an affine stack of COLUMN vectors l_t
-    (s = l(mu)^H u with l(mu) = sum_t conj(theta_t) l_t), single output."""
+    (s = l(mu)^H u with l(mu) = sum_t conj(theta_t) l_t), single output.
+    Accepts AffineDense / AffineOp / LinOp outputs (materialized — the
+    functional is a (1, n) row, always small-source)."""
+    from rla4mor_tpu.core.affine import materialize
+
     of = fom.output_functional
     assert of is not None, "goal-oriented reduction needs output_functional"
-    of = as_affine(of) if not isinstance(of, AffineDense) else of
-    assert of.range_dim == 1, "dual correction supports single outputs"
-    # of.stack: (To, 1, n) rows; l_t = conj(row_t)^T
-    return AffineDense(
-        jnp.conj(of.stack).transpose(0, 2, 1),  # (To, n, 1)
-        tuple(conj_coefficient(c) for c in of.coefficients),
-    )
+    ofd = materialize(as_affine(of))
+    assert ofd.range_dim == 1, "dual correction supports single outputs"
+    return ofd.H  # (To, n, 1), conj coefficients
 
 
 def solve_dual(fom: InstationaryFOM, mu: Mu) -> jax.Array:
@@ -265,7 +265,18 @@ class InstationaryPrimalDualReductor:
         if modes_z.shape[1]:
             self.extend_dual(modes_z)
 
-    def reduce(self, pad_to=None) -> InstationaryCorrectedOutputROM:
+    def reduce(self, pad_to=None,
+               pad_dual_to=None) -> InstationaryCorrectedOutputROM:
+        """Emit the corrected-output ROM.
+
+        ``pad_to``/``pad_dual_to`` fix the primal/dual shapes for the
+        no-retrace greedy (the analog of ``InstationaryReductor.reduce
+        (pad_to=...)``): dead primal columns of the correction
+        projections are zero (dead coords stay zero in the padded
+        primal ROM), and the dead dual block gets an identity mass
+        diagonal + zero couplings, so zeta is exactly zero there —
+        corrected output and indicator equal the live-size ROM's
+        (equivalence-tested)."""
         fom = self.fom
         V, Z = self.primal.rb, self.rb_dual
         rom_pr = self.primal.reduce(pad_to=pad_to)
@@ -315,6 +326,47 @@ class InstationaryPrimalDualReductor:
                            for t in range(self.lterms.n_terms)]),
                 self.lterms.coefficients,
             )
+
+        if pad_to is not None:  # zero dead-primal columns
+            p = int(pad_to) - V.shape[1]
+            assert p >= 0, (pad_to, V.shape)
+            mass_zv = jnp.pad(mass_zv, ((0, 0), (0, p)))
+            op_zv = AffineDense(
+                jnp.pad(op_zv.stack, ((0, 0), (0, 0), (0, p))),
+                op_zv.coefficients,
+            )
+        if pad_dual_to is not None:
+            q = int(pad_dual_to) - Z.shape[1]
+            assert q >= 0, (pad_dual_to, Z.shape)
+            R = int(pad_dual_to)
+            rz = Z.shape[1]
+            eye_dead = jnp.zeros((R, R), mass_zz.dtype).at[
+                jnp.arange(rz, R), jnp.arange(rz, R)
+            ].set(1.0)
+            mass_zz = jnp.pad(mass_zz, ((0, q), (0, q))) + eye_dead
+            lhs_zz = AffineDense(
+                jnp.pad(lhs_zz.stack, ((0, 0), (0, q), (0, q))),
+                lhs_zz.coefficients,
+            )
+            l_z = AffineDense(
+                jnp.pad(l_z.stack, ((0, 0), (0, q), (0, 0))),
+                l_z.coefficients,
+            )
+            rhs_z = AffineDense(
+                jnp.pad(rhs_z.stack, ((0, 0), (0, q), (0, 0))),
+                rhs_z.coefficients,
+            )
+            mass_zv = jnp.pad(mass_zv, ((0, q), (0, 0)))
+            op_zv = AffineDense(
+                jnp.pad(op_zv.stack, ((0, 0), (0, q), (0, 0))),
+                op_zv.coefficients,
+            )
+            if est_mass_z is not None:
+                est_mass_z = jnp.pad(est_mass_z, ((0, 0), (0, q)))
+                est_lhs_z = AffineDense(
+                    jnp.pad(est_lhs_z.stack, ((0, 0), (0, 0), (0, q))),
+                    est_lhs_z.coefficients,
+                )
         return InstationaryCorrectedOutputROM(
             rom_pr, mass_zz, lhs_zz, l_z, rhs_z, mass_zv, op_zv,
             est_mass_z=est_mass_z, est_lhs_z=est_lhs_z, est_l=est_l,
@@ -335,12 +387,30 @@ def output_pod_greedy(
     modes_per_extension: int = 1,
     atol: float = 0.0,
     rtol: float = 0.0,
+    pad_to: Optional[int] = None,
     log_level: int = 20,
 ):
     """Goal-oriented POD-greedy: extend primal AND dual bases at the
     worst OUTPUT-indicator parameter (eta_s = eta_pr * eta_du). Returns
-    (rom, history)."""
+    (rom, history).
+
+    ``pad_to=r_max`` pads BOTH bases' reduced quantities to r_max, so
+    the jitted indicator sweep compiles once for the whole run (the
+    goal-oriented analog of ``pod_greedy(pad_to=...)``; use on the
+    remote-compile TPU platform)."""
     from rla4mor_tpu.core.parameters import mu_stack
+
+    assert (reductor.primal.embedding is not None
+            and reductor.embedding_dual is not None), (
+        "output_pod_greedy drives the greedy by eta_s = eta_pr * eta_du: "
+        "the reductor needs primal AND dual embeddings (with "
+        "embedding=None every indicator is exactly 0 and the greedy "
+        "would silently stop after one extension)"
+    )
+    if pad_to is not None:
+        assert pad_to >= max_extensions * modes_per_extension, (
+            "pad_to must hold the full final basis", pad_to
+        )
 
     logger = get_logger("mor.output_pod_greedy", log_level)
     history = {"selected_mus": [], "max_indicators": []}
@@ -351,7 +421,7 @@ def output_pod_greedy(
     history["selected_mus"].append(mu0)
 
     first_max = None
-    rom = reductor.reduce()
+    rom = reductor.reduce(pad_to=pad_to, pad_dual_to=pad_to)
     for it in range(1, max_extensions):
         etas = np.asarray(_output_indicator_sweep(rom, mus_batched))
         imax = int(np.argmax(etas))
@@ -367,6 +437,8 @@ def output_pod_greedy(
         mu = training_set[imax]
         reductor.extend(mu, modes_per_extension=modes_per_extension)
         history["selected_mus"].append(mu)
-        rom = reductor.reduce()
+        rom = reductor.reduce(pad_to=pad_to, pad_dual_to=pad_to)
 
+    if pad_to is not None:
+        rom = reductor.reduce()  # hand back the live-size ROM
     return rom, history

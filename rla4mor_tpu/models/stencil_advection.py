@@ -188,6 +188,11 @@ class AdvectionTermOp(FlatGridOp):
         out = self.fom.apply_term(self.t, grid)
         return out if self.sign == 1.0 else self.sign * out
 
+    def apply_adjoint(self, V, mu=None):
+        # overrides FlatGridOp's symmetric alias (apply_adjoint = apply):
+        # the advection terms are anti-symmetric
+        return self.H.apply(V, mu)
+
     @property
     def H(self):
         if self.t == 0:

@@ -167,3 +167,43 @@ def test_multi_term_output_rejected_and_crank_nicolson(pfom, emb):
     s_c, _ = rom.output_corrected(mu)
     assert abs(float(rom.output_plain(mu)) - s) > 1e-8
     assert abs(float(s_c) - s) < 1e-12
+
+
+def test_padded_reduce_equals_unpadded(pfom, emb):
+    """pad_to/pad_dual_to fix all shapes; the dead primal columns and
+    dead dual block are exactly inert, so corrected output and indicator
+    equal the live-size ROM's; output_pod_greedy(pad_to=...) selects the
+    same mus with one compile."""
+    Ru = pfom.products["h1_0"]
+    red = InstationaryPrimalDualReductor(pfom, embedding=emb, product=Ru,
+                                         log_level=30)
+    for m in pfom.parameter_space.sample_randomly(2, key=1):
+        red.extend(m, modes_per_extension=2)
+    rom = red.reduce()
+    rom_p = red.reduce(pad_to=red.primal.basis_size + 3,
+                       pad_dual_to=red.dual_basis_size + 2)
+    mu = pfom.parameter_space.sample_randomly(1, key=5)[0]
+    s1, e1 = rom.output_corrected(mu)
+    s2, e2 = rom_p.output_corrected(mu)
+    assert np.isclose(float(s2), float(s1), rtol=1e-12)
+    assert np.isclose(float(e2), float(e1), rtol=1e-10)
+
+    def run(pad):
+        r = InstationaryPrimalDualReductor(pfom, embedding=emb,
+                                           product=Ru, log_level=30)
+        train = pfom.parameter_space.sample_randomly(6, key=7)
+        return output_pod_greedy(pfom, r, train, max_extensions=3,
+                                 modes_per_extension=2, pad_to=pad,
+                                 log_level=30)
+    _, h_a = run(None)
+    _, h_b = run(6)
+    assert np.allclose(h_a["max_indicators"], h_b["max_indicators"],
+                       rtol=1e-9)
+
+    # embedding-less reductor is rejected by the greedy (silent-stop guard)
+    bare = InstationaryPrimalDualReductor(pfom, embedding=None,
+                                          product=Ru, log_level=30)
+    with pytest.raises(AssertionError, match="embeddings"):
+        output_pod_greedy(pfom, bare,
+                          pfom.parameter_space.sample_randomly(2, key=1),
+                          max_extensions=2, log_level=30)

@@ -208,3 +208,16 @@ def test_pod_greedy_on_advection_stencil():
     truth = np.asarray(view.solve(mu_t))
     rel = np.linalg.norm(rec - truth) / np.linalg.norm(truth)
     assert rel < 0.02, rel
+
+
+def test_advection_term_apply_adjoint():
+    """apply_adjoint on the flat term LinOps matches the dense adjoint
+    (regression: the FlatGridOp base aliases apply_adjoint = apply,
+    which is sign-wrong for the anti-symmetric advection terms)."""
+    fom = StencilAdvectionDiffusion(6, dtype=jnp.float64)
+    eye = jnp.eye(fom.n_nodes ** 2)
+    for t in range(3):
+        term = fom.term_linop(t)
+        A = np.asarray(term.apply(eye))
+        got = np.asarray(term.apply_adjoint(eye))
+        assert np.allclose(got, A.conj().T, atol=1e-14), t
