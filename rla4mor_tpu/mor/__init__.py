@@ -44,6 +44,8 @@ from rla4mor_tpu.mor.serialization import (
     save_reductor,
     load_reductor_state,
     save_instationary_reductor,
+    save_primal_dual_reductor,
+    load_primal_dual_reductor_state,
     load_instationary_reductor_state,
     save_padded_reductor,
     load_padded_reductor_state,
@@ -69,5 +71,6 @@ __all__ = [
     "save_eim_interpolant", "load_eim_interpolant",
     "save_mdeim_operator", "load_mdeim_operator",
     "save_instationary_reductor", "load_instationary_reductor_state",
+    "save_primal_dual_reductor", "load_primal_dual_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",
 ]

@@ -235,6 +235,40 @@ def load_instationary_reductor_state(reductor, path) -> None:
     reductor.rb = jnp.asarray(d["rb"])
 
 
+def save_primal_dual_reductor(reductor, path) -> None:
+    """Persist an ``InstationaryPrimalDualReductor``: both R-orthonormal
+    bases plus the two embedding seeds (``reduce()`` rebuilds every
+    reduced quantity from the FOM), so a goal-oriented POD-greedy run
+    can resume."""
+    d: dict = {
+        "seed_derivation": SEED_DERIVATION,
+        "rb": np.asarray(reductor.primal.rb),
+        "rb_dual": np.asarray(reductor.rb_dual),
+    }
+    if reductor.primal.embedding is not None:
+        d["seed_embedding"] = reductor.primal.embedding.seed
+    if reductor.embedding_dual is not None:
+        d["seed_embedding_dual"] = reductor.embedding_dual.seed
+    np.savez_compressed(path, **d)
+
+
+def load_primal_dual_reductor_state(reductor, path) -> None:
+    """Restore state saved by :func:`save_primal_dual_reductor` into a
+    freshly-constructed reductor over the same FOM."""
+    d = np.load(Path(path), allow_pickle=False)
+    _check_seed_derivation(d)
+    for key, emb in (("seed_embedding", reductor.primal.embedding),
+                     ("seed_embedding_dual", reductor.embedding_dual)):
+        if key in d and emb is not None and int(d[key]) != emb.seed:
+            raise ValueError(
+                f"checkpoint {key} {int(d[key])} != reductor's "
+                f"{emb.seed}: estimates would come from a different "
+                "sketch operator"
+            )
+    reductor.primal.rb = jnp.asarray(d["rb"])
+    reductor.rb_dual = jnp.asarray(d["rb_dual"])
+
+
 def _eim_interp_arrays(interp) -> dict:
     """EimInterpolant -> npz-ready field dict (one site; the mdeim
     round-trip reuses it so the two can never diverge)."""

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rla4mor_tpu.mor import (
     SketchedReductor,
@@ -226,3 +227,45 @@ def test_eim_interpolant_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(back.interpolate(H)),
                                    np.asarray(interp.interpolate(H)),
                                    atol=1e-14)
+
+
+def test_primal_dual_reductor_roundtrip(tmp_path):
+    """Goal-oriented parabolic reductor checkpoint: both bases + both
+    embedding seeds round-trip; the resumed reductor's corrected output
+    and indicator are bit-identical; a wrong dual seed is rejected."""
+    from rla4mor_tpu.models import (
+        InstationaryPrimalDualReductor, instationary_thermal_block,
+    )
+    from rla4mor_tpu.mor import (
+        load_primal_dual_reductor_state, save_primal_dual_reductor,
+    )
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    pfom = instationary_thermal_block((2, 2), 6, T=0.5, nt=6)
+    Ru = pfom.products["h1_0"]
+    emb = GaussianEmbedding.make(pfom.solution_dim, sqrt_product=Ru.sqrt,
+                                 range_dim=60, seed=4)
+    red = InstationaryPrimalDualReductor(pfom, embedding=emb, product=Ru,
+                                         log_level=30)
+    for m in pfom.parameter_space.sample_randomly(2, key=1):
+        red.extend(m, modes_per_extension=2)
+    path = tmp_path / "pd.npz"
+    save_primal_dual_reductor(red, path)
+
+    red2 = InstationaryPrimalDualReductor(pfom, embedding=emb, product=Ru,
+                                          log_level=30)
+    load_primal_dual_reductor_state(red2, path)
+    assert np.array_equal(np.asarray(red2.primal.rb), np.asarray(red.primal.rb))
+    assert np.array_equal(np.asarray(red2.rb_dual), np.asarray(red.rb_dual))
+    mu = pfom.parameter_space.sample_randomly(1, key=9)[0]
+    s1, e1 = red.reduce().output_corrected(mu)
+    s2, e2 = red2.reduce().output_corrected(mu)
+    assert float(s1) == float(s2) and float(e1) == float(e2)
+
+    # wrong dual embedding seed -> rejected
+    red3 = InstationaryPrimalDualReductor(
+        pfom, embedding=emb, embedding_dual=emb.with_seed(999),
+        product=Ru, log_level=30,
+    )
+    with pytest.raises(ValueError, match="seed_embedding_dual"):
+        load_primal_dual_reductor_state(red3, path)
