@@ -81,6 +81,51 @@ def main():
     print("space-time residual estimates:",
           " ".join(f"{e:.2e}" for e in ests))
     assert max(rels) < 0.2
+
+    # certified bounds: min-theta coercivity upgrades the indicator to a
+    # guaranteed final-time M-norm bound (mor.bounds.parabolic_error_bound)
+    from rla4mor_tpu.mor import MinThetaCoercivity, parabolic_error_bound
+
+    mu_ref = {"diffusion": jnp.full(4, 0.55)}
+    coer = MinThetaCoercivity(pfom, mu_ref, product=Ru)
+    bounds = [float(parabolic_error_bound(rom, mu, coer)) for mu in test]
+    print("certified final-time bounds:",
+          " ".join(f"{b:.2e}" for b in bounds))
+
+    # goal-oriented: discrete-adjoint corrected output on a localized
+    # (non-compliant) functional, trained by the output greedy
+    from rla4mor_tpu.core.affine import AffineDense
+    from rla4mor_tpu.core.parameters import ONE
+    from rla4mor_tpu.models import (
+        InstationaryPrimalDualReductor, output_pod_greedy,
+    )
+
+    nx = args.grid
+    w = np.zeros((nx - 1, nx - 1))
+    w[: nx // 3, : nx // 3] = 1.0
+    pfom.output_functional = AffineDense(
+        jnp.asarray(w.reshape(1, 1, -1) / w.sum()), (ONE,)
+    )
+    red_pd = InstationaryPrimalDualReductor(
+        pfom, embedding=theta, product=Ru, log_level=30
+    )
+    t0 = time.perf_counter()
+    rom_pd, hist_pd = output_pod_greedy(
+        pfom, red_pd, train[:10], max_extensions=5,
+        modes_per_extension=2, log_level=30,
+    )
+    print(f"output-greedy: bases {red_pd.primal.basis_size}/"
+          f"{red_pd.dual_basis_size} in {time.perf_counter() - t0:.1f}s; "
+          "indicators: "
+          + " ".join(f"{e:.2e}" for e in hist_pd["max_indicators"]))
+    mu_t = test[0]
+    s_true = float(np.asarray(
+        pfom.output_functional.apply(pfom.solve(mu_t), mu_t))[0, -1])
+    s_plain = float(rom_pd.output_plain(mu_t))
+    s_c, eta_s = rom_pd.output_corrected(mu_t)
+    print(f"output at held-out mu: true {s_true:.6g}, plain err "
+          f"{abs(s_plain - s_true):.2e}, corrected err "
+          f"{abs(float(s_c) - s_true):.2e}, indicator {float(eta_s):.2e}")
     print("done")
 
 
