@@ -101,10 +101,16 @@ class InstationaryFOM:
         A = self._assemble_A(mu)
         M = sps.csc_matrix(self.mass.S)
         th = self.time_theta
-        b = self.assemble_rhs(mu).astype(np.float64)
-        lu = spla.splu(sps.csc_matrix(M + th * self.dt * A))
-        C = sps.csc_matrix(M - (1.0 - th) * self.dt * A)
-        u = np.asarray(self.u0, np.float64)
+        b = np.asarray(self.assemble_rhs(mu))
+        # complex operators/rhs (e.g. lossy media) run the same loop at
+        # the promoted dtype; the real case stays f64
+        dt_num = np.promote_types(
+            np.promote_types(A.dtype, b.dtype), np.float64
+        )
+        b = b.astype(dt_num)
+        lu = spla.splu(sps.csc_matrix((M + th * self.dt * A), dtype=dt_num))
+        C = sps.csc_matrix(M - (1.0 - th) * self.dt * A, dtype=dt_num)
+        u = np.asarray(self.u0, dt_num)
         out = [u]
         for _ in range(self.nt):
             u = lu.solve(np.asarray(C @ u) + self.dt * b)

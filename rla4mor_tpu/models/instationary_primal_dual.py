@@ -87,9 +87,12 @@ def solve_dual(fom: InstationaryFOM, mu: Mu) -> jax.Array:
     th, dt = fom.time_theta, fom.dt
     S = sps.csc_matrix(M + th * dt * A)
     C = sps.csc_matrix(M - (1.0 - th) * dt * A)
-    lu = spla.splu(sps.csc_matrix(S.conj().T))
     lterms = _output_terms(fom)
-    l = np.asarray(lterms.assemble_vec(mu)).astype(np.float64)
+    l = np.asarray(lterms.assemble_vec(mu))
+    dt_num = np.promote_types(np.promote_types(S.dtype, l.dtype),
+                              np.float64)
+    lu = spla.splu(sps.csc_matrix(S.conj().T, dtype=dt_num))
+    l = l.astype(dt_num)
     CH = sps.csc_matrix(C.conj().T)
     z = lu.solve(l)
     out = [z]

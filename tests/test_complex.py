@@ -331,3 +331,82 @@ def test_batched_recovery_real_dict_complex_obs():
     for i in range(3):
         v_i = np.asarray(rm._state_single(w[:, i], max_steps=40))
         np.testing.assert_allclose(v_b[:, i], v_i, rtol=1e-8, atol=1e-10)
+
+
+def test_complex_parabolic_end_to_end():
+    """Complex parabolic MOR (lossy medium: A(mu) + i*gamma*M): the host
+    FOM time loop runs at the promoted complex dtype and matches a dense
+    oracle; POD-greedy + the sketched estimator run unchanged; the
+    goal-oriented discrete-adjoint correction is exact in the dual
+    limit with a complex operator."""
+    from rla4mor_tpu.core.affine import AffineOp
+    from rla4mor_tpu.core.linops import HostSparseOp
+    from rla4mor_tpu.core.orthonormalize import pod
+    from rla4mor_tpu.core.parameters import ONE
+    from rla4mor_tpu.models import (
+        InstationaryFOM,
+        InstationaryPrimalDualReductor,
+        InstationaryReductor,
+        instationary_thermal_block,
+        pod_greedy,
+        solve_dual,
+    )
+
+    base = instationary_thermal_block((2, 2), 8, T=0.5, nt=8)
+    Mmat = sps.csc_matrix(base.mass.S)
+    op = AffineOp(
+        tuple(base.operator.terms)
+        + (HostSparseOp(sps.csr_matrix(2.0j * Mmat)),),
+        tuple(base.operator.coefficients) + (ONE,),
+    )
+    pfom = InstationaryFOM(
+        operator=op, rhs=base.rhs, mass=base.mass, T=base.T, nt=base.nt,
+        output_functional=base.output_functional, products=base.products,
+        parameter_space=base.parameter_space,
+    )
+    mu = pfom.parameter_space.sample_randomly(1, key=0)[0]
+    traj = np.asarray(pfom.solve(mu))
+    assert np.iscomplexobj(traj) and np.abs(traj.imag).max() > 1e-6
+
+    # dense implicit-Euler oracle
+    A = pfom._assemble_A(mu).toarray()
+    M = Mmat.toarray()
+    b = pfom.assemble_rhs(mu)
+    u = np.zeros(A.shape[0], complex)
+    out = [u]
+    for _ in range(pfom.nt):
+        u = np.linalg.solve(M + pfom.dt * A, M @ u + pfom.dt * b)
+        out.append(u)
+    assert np.abs(traj - np.stack(out, 1)).max() < 1e-12
+
+    # POD-greedy with the sketched space-time estimator
+    Ru = pfom.products["h1_0"]
+    emb = GaussianEmbedding.make(pfom.solution_dim, sqrt_product=Ru.sqrt,
+                                 range_dim=80, seed=5)
+    red = InstationaryReductor(pfom, embedding=emb, product=Ru,
+                               log_level=30)
+    train = pfom.parameter_space.sample_randomly(8, key=1)
+    rom, hist = pod_greedy(pfom, red, train, max_extensions=7,
+                           modes_per_extension=2, log_level=30)
+    est = hist["max_estimates"]
+    assert est[-1] < est[0]
+    mu_t = pfom.parameter_space.sample_randomly(1, key=9)[0]
+    rec = np.asarray(red.reconstruct(rom.solve(mu_t)))
+    tr = np.asarray(pfom.solve(mu_t))
+    assert np.linalg.norm(rec - tr) / np.linalg.norm(tr) < 0.05
+
+    # goal-oriented correction, exact dual limit (complex adjoint: the
+    # conj-transposed recursion + conj coefficients)
+    traj_mu = pfom.solve(mu)
+    s = complex(np.asarray(
+        pfom.output_functional.apply(traj_mu, mu))[0, -1])
+    red_pd = InstationaryPrimalDualReductor(pfom, embedding=emb,
+                                            product=Ru, log_level=30)
+    modes_p, _ = pod(traj_mu, product=Ru, modes=2)
+    red_pd.extend_primal(modes_p)
+    red_pd.extend_dual(solve_dual(pfom, mu))
+    rom_pd = red_pd.reduce()
+    s_plain = complex(rom_pd.output_plain(mu))
+    s_c, _ = rom_pd.output_corrected(mu)
+    assert abs(s_plain - s) > 1e-8
+    assert abs(complex(s_c) - s) < 1e-12
