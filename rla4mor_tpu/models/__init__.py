@@ -29,6 +29,12 @@ from rla4mor_tpu.models.instationary_primal_dual import (
     output_pod_greedy,
     solve_dual,
 )
+from rla4mor_tpu.models.wave import (
+    WaveFOM,
+    WaveROM,
+    WaveReductor,
+    wave_thermal_block,
+)
 
 __all__ = [
     "StationaryFOM",
@@ -43,4 +49,5 @@ __all__ = [
     "gaussian_bump_fom", "gaussian_bump_fom3d",
     "InstationaryCorrectedOutputROM", "InstationaryPrimalDualReductor",
     "output_pod_greedy", "solve_dual",
+    "WaveFOM", "WaveROM", "WaveReductor", "wave_thermal_block",
 ]
