@@ -35,6 +35,7 @@ from rla4mor_tpu.models.wave import (
     WaveReductor,
     wave_thermal_block,
 )
+from rla4mor_tpu.models.wave_stencil import WaveStencilFOM
 
 __all__ = [
     "StationaryFOM",
@@ -50,4 +51,5 @@ __all__ = [
     "InstationaryCorrectedOutputROM", "InstationaryPrimalDualReductor",
     "output_pod_greedy", "solve_dual",
     "WaveFOM", "WaveROM", "WaveReductor", "wave_thermal_block",
+    "WaveStencilFOM",
 ]

@@ -146,3 +146,133 @@ def test_padded_reduce_equals_unpadded(wfom):
     assert np.allclose(np.asarray(t2[5:]), 0.0)
     assert np.allclose(np.asarray(t2[:5]), np.asarray(t1), atol=1e-12)
     assert np.isclose(float(e2), float(e1), rtol=1e-10)
+
+
+def test_wave_stencil_matches_dense_and_pod_greedy():
+    """Device-native Newmark (warm-started CG inside one scan) == a
+    dense Newmark oracle on the interior nodes; MG preconditioning gives
+    the same trajectory; the flat reductor view drives pod_greedy to an
+    accurate held-out ROM."""
+    from rla4mor_tpu.models import WaveStencilFOM
+    from rla4mor_tpu.models.stencil import (
+        StencilThermalBlock, interior_mask, mass_apply,
+    )
+
+    N, nt = 8, 12
+    st = StencilThermalBlock((2, 2), N, dtype=jnp.float64)
+    dev = WaveStencilFOM(st, T=0.5, nt=nt)
+    mu = dev.parameter_space.sample_randomly(1, key=3)[0]
+    traj = np.asarray(dev.solve(mu, tol=1e-13, maxiter=1000))
+    assert traj.shape == (*st.solution_shape, nt + 1)
+
+    interior = np.flatnonzero(
+        np.asarray(interior_mask(st.n_nodes, jnp.float64)).reshape(-1)
+    )
+    shape = st.solution_shape
+
+    def dense(fn):
+        cols = []
+        for j in interior:
+            e = np.zeros(st.n_nodes ** 2)
+            e[j] = 1.0
+            cols.append(np.asarray(
+                fn(jnp.asarray(e.reshape(shape)))
+            ).reshape(-1)[interior])
+        return np.stack(cols, 1)
+
+    A = dense(lambda g: st.apply(mu, g))
+    M = dense(lambda g: mass_apply(g, st.h))
+    b = np.asarray(st.rhs()).reshape(-1)[interior]
+    dt, beta, gamma = dev.dt, dev.beta, dev.gamma
+    u = np.zeros(interior.size)
+    v = np.zeros_like(u)
+    a = np.linalg.solve(M, b - A @ u)
+    S = M + beta * dt * dt * A
+    us = [u]
+    for _ in range(nt):
+        u_star = u + dt * v + dt * dt * (0.5 - beta) * a
+        v_star = v + dt * (1.0 - gamma) * a
+        a = np.linalg.solve(S, b - A @ u_star)
+        u = u_star + beta * dt * dt * a
+        v = v_star + gamma * dt * a
+        us.append(u)
+    want = np.stack(us, 1)
+    got = traj.reshape(-1, nt + 1)[interior]
+    assert np.abs(got - want).max() < 1e-10 * np.abs(want).max()
+
+    traj_mg = np.asarray(dev.solve(mu, tol=1e-13, maxiter=200,
+                                   precond="mg"))
+    assert np.abs(traj_mg - traj).max() < 1e-10 * np.abs(want).max()
+
+    view = dev.as_reductor_fom(tol=1e-11, maxiter=1000)
+    emb = GaussianEmbedding.make(view.solution_dim, range_dim=80, seed=2)
+    red = WaveReductor(view, embedding=emb, log_level=30)
+    train = view.parameter_space.sample_randomly(8, key=7)
+    rom, hist = pod_greedy(view, red, train, max_extensions=6,
+                           modes_per_extension=3, log_level=30)
+    est = hist["max_estimates"]
+    assert est[-1] < 0.5 * est[0]
+    mu_t = view.parameter_space.sample_randomly(1, key=9)[0]
+    rec = np.asarray(red.reconstruct(rom.solve(mu_t)))
+    truth = np.asarray(view.solve(mu_t))
+    assert np.linalg.norm(rec - truth) / np.linalg.norm(truth) < 0.05
+
+
+def test_wave_stencil_3d_and_nonspd():
+    """The rank-generic backend carries over: 3-D thermal block (lumped
+    mass hooks) and the non-SPD advection-diffusion family (BiCGStab
+    acceleration solves) both run the Newmark scan with finite,
+    boundary-zero trajectories; 3-D matches its dense oracle."""
+    from rla4mor_tpu.models import (
+        StencilAdvectionDiffusion, StencilThermalBlock3D, WaveStencilFOM,
+    )
+    from rla4mor_tpu.models.stencil3d import interior_mask3
+
+    st3 = StencilThermalBlock3D((2, 2, 2), 4, dtype=jnp.float64)
+    dev3 = WaveStencilFOM(st3, T=0.25, nt=6)
+    mu3 = dev3.parameter_space.sample_randomly(1, key=3)[0]
+    traj3 = np.asarray(dev3.solve(mu3, tol=1e-13, maxiter=500))
+    assert traj3.shape == (*st3.solution_shape, 7)
+
+    interior = np.flatnonzero(
+        np.asarray(interior_mask3(st3.n_nodes, jnp.float64)).reshape(-1)
+    )
+    shape = st3.solution_shape
+
+    def dense(fn):
+        cols = []
+        for j in interior:
+            e = np.zeros(st3.n_dof)
+            e[j] = 1.0
+            cols.append(np.asarray(
+                fn(jnp.asarray(e.reshape(shape)))
+            ).reshape(-1)[interior])
+        return np.stack(cols, 1)
+
+    A = dense(lambda g: st3.apply(mu3, g))
+    M = st3.h ** 3 * np.eye(interior.size)   # lumped
+    b = np.asarray(st3.rhs()).reshape(-1)[interior]
+    dt, beta, gamma = dev3.dt, dev3.beta, dev3.gamma
+    u = np.zeros(interior.size)
+    v = np.zeros_like(u)
+    a = np.linalg.solve(M, b - A @ u)
+    S = M + beta * dt * dt * A
+    us = [u]
+    for _ in range(dev3.nt):
+        u_star = u + dt * v + dt * dt * (0.5 - beta) * a
+        v_star = v + dt * (1.0 - gamma) * a
+        a = np.linalg.solve(S, b - A @ u_star)
+        u = u_star + beta * dt * dt * a
+        v = v_star + gamma * dt * a
+        us.append(u)
+    want = np.stack(us, 1)
+    got = traj3.reshape(-1, dev3.nt + 1)[interior]
+    assert np.abs(got - want).max() < 1e-9 * np.abs(want).max()
+    bdry = np.setdiff1d(np.arange(st3.n_dof), interior)
+    assert np.abs(traj3.reshape(-1, dev3.nt + 1)[bdry]).max() == 0.0
+
+    adv = StencilAdvectionDiffusion(8, dtype=jnp.float64)
+    deva = WaveStencilFOM(adv, T=0.25, nt=6)
+    mua = adv.sample_parameters(1, key=3)[0]
+    traja = np.asarray(deva.solve(mua, tol=1e-12, maxiter=2000))
+    assert np.all(np.isfinite(traja)) and np.abs(traja).max() > 0
