@@ -45,6 +45,8 @@ from rla4mor_tpu.mor.serialization import (
     load_reductor_state,
     save_instationary_reductor,
     save_primal_dual_reductor,
+    save_wave_reductor,
+    load_wave_reductor_state,
     load_primal_dual_reductor_state,
     load_instationary_reductor_state,
     save_padded_reductor,
@@ -72,5 +74,6 @@ __all__ = [
     "save_mdeim_operator", "load_mdeim_operator",
     "save_instationary_reductor", "load_instationary_reductor_state",
     "save_primal_dual_reductor", "load_primal_dual_reductor_state",
+    "save_wave_reductor", "load_wave_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",
 ]

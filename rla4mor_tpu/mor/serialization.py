@@ -269,6 +269,33 @@ def load_primal_dual_reductor_state(reductor, path) -> None:
     reductor.rb_dual = jnp.asarray(d["rb_dual"])
 
 
+def save_wave_reductor(reductor, path) -> None:
+    """Persist a ``WaveReductor`` (same shape as the instationary one:
+    R-orthonormal basis + embedding seed)."""
+    d: dict = {
+        "seed_derivation": SEED_DERIVATION,
+        "rb": np.asarray(reductor.rb),
+    }
+    if reductor.embedding is not None:
+        d["seed_embedding"] = reductor.embedding.seed
+    np.savez_compressed(path, **d)
+
+
+def load_wave_reductor_state(reductor, path) -> None:
+    """Restore state saved by :func:`save_wave_reductor`."""
+    d = np.load(Path(path), allow_pickle=False)
+    _check_seed_derivation(d)
+    if "seed_embedding" in d and reductor.embedding is not None:
+        stored = int(d["seed_embedding"])
+        if stored != reductor.embedding.seed:
+            raise ValueError(
+                f"checkpoint embedding seed {stored} != reductor's "
+                f"{reductor.embedding.seed}: estimates would come from a "
+                "different sketch operator"
+            )
+    reductor.rb = jnp.asarray(d["rb"])
+
+
 def _eim_interp_arrays(interp) -> dict:
     """EimInterpolant -> npz-ready field dict (one site; the mdeim
     round-trip reuses it so the two can never diverge)."""

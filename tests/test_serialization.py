@@ -269,3 +269,31 @@ def test_primal_dual_reductor_roundtrip(tmp_path):
     )
     with pytest.raises(ValueError, match="seed_embedding_dual"):
         load_primal_dual_reductor_state(red3, path)
+
+
+def test_wave_reductor_roundtrip(tmp_path):
+    """Wave reductor checkpoint: basis + embedding seed round-trip, ROM
+    trajectory and indicator bit-identical."""
+    from rla4mor_tpu.core.orthonormalize import pod
+    from rla4mor_tpu.models import WaveReductor, wave_thermal_block
+    from rla4mor_tpu.mor import load_wave_reductor_state, save_wave_reductor
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    fom = wave_thermal_block((2, 2), 8, T=0.5, nt=10)
+    Ru = fom.products["h1_0"]
+    emb = GaussianEmbedding.make(fom.solution_dim, sqrt_product=Ru.sqrt,
+                                 range_dim=60, seed=4)
+    red = WaveReductor(fom, embedding=emb, product=Ru, log_level=30)
+    mu = fom.parameter_space.sample_randomly(1, key=0)[0]
+    modes, _ = pod(fom.solve(mu), product=Ru, modes=4)
+    red.extend_basis(modes)
+    path = tmp_path / "wave.npz"
+    save_wave_reductor(red, path)
+
+    red2 = WaveReductor(fom, embedding=emb, product=Ru, log_level=30)
+    load_wave_reductor_state(red2, path)
+    mu_t = fom.parameter_space.sample_randomly(1, key=9)[0]
+    t1, e1 = red.reduce().solve(mu_t, return_estimate=True)
+    t2, e2 = red2.reduce().solve(mu_t, return_estimate=True)
+    assert np.array_equal(np.asarray(t1), np.asarray(t2))
+    assert float(e1) == float(e2)
