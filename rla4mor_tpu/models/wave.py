@@ -209,7 +209,9 @@ class WaveROM:
             v_new = v_star + gamma * dt * a_new
             if estimating:
                 r = sM @ a_new + sA @ u_new - sb
-                acc = acc + jnp.real(jnp.sum(jnp.abs(r) ** 2))
+                acc = acc + jnp.real(
+                    jnp.sum(jnp.abs(r) ** 2)
+                ).astype(acc.dtype)
             return (u_new, v_new, a_new, acc), u_new
 
         acc0 = jnp.asarray(0.0, jnp.real(u).dtype)
