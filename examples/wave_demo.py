@@ -77,7 +77,8 @@ def main():
     print("max estimates:",
           " ".join(f"{e:.2e}" for e in hist["max_estimates"]))
 
-    test = fom.parameter_space.sample_randomly(3, key=2)
+    test = [jax.tree.map(lambda x: x.astype(mu_dtype), m)
+            for m in fom.parameter_space.sample_randomly(3, key=2)]
     for mu in test:
         traj_r, eta = rom.solve(mu, return_estimate=True)
         rec = np.asarray(red.reconstruct(traj_r))

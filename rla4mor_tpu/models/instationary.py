@@ -277,42 +277,9 @@ class InstationaryReductor:
         fom = self.fom
         V = self.rb
         r = V.shape[1]
-        M = fom.mass
-        MV = jnp.asarray(M.apply(V))
-        mass_r = V.conj().T @ MV
-        lhs = AffineDense(
-            jnp.stack([V.conj().T @ jnp.asarray(t.apply(V))
-                       for t in fom.operator.terms]),
-            fom.operator.coefficients,
-        )
-        rhs_mat = (fom.rhs if isinstance(fom.rhs, AffineDense)
-                   else _materialize_rhs(fom.rhs))
-        rhs_r = AffineDense(
-            jnp.einsum("nr,tnl->trl", V.conj(), rhs_mat.stack),
-            rhs_mat.coefficients,
-        )
+        mass_r, lhs, rhs_r, est_mass, est_lhs, est_rhs = \
+            project_time_system(fom, V, self.product, self.embedding)
         u0_r = V.conj().T @ jnp.asarray(self.product.op.apply(fom.u0))
-
-        est_mass = est_lhs = est_rhs = None
-        if self.embedding is not None:
-            Rinv = self.product.inv
-
-            def sk(X):
-                return jnp.asarray(
-                    self.embedding.apply(jnp.asarray(Rinv.apply(X)))
-                )
-
-            est_mass = sk(MV)
-            est_lhs = AffineDense(
-                jnp.stack([sk(jnp.asarray(t.apply(V)))
-                           for t in fom.operator.terms]),
-                fom.operator.coefficients,
-            )
-            est_rhs = AffineDense(
-                jnp.stack([sk(rhs_mat.stack[t])
-                           for t in range(rhs_mat.n_terms)]),
-                rhs_mat.coefficients,
-            )
 
         out = None
         if fom.output_functional is not None:
@@ -322,28 +289,11 @@ class InstationaryReductor:
             ) if isinstance(of, AffineDense) else None
 
         if pad_to is not None:
-            R = int(pad_to)
-            assert R >= r, (R, r)
-            p = R - r
-            eye_dead = jnp.zeros((R, R), mass_r.dtype).at[
-                jnp.arange(r, R), jnp.arange(r, R)
-            ].set(1.0)
-            mass_r = jnp.pad(mass_r, ((0, p), (0, p))) + eye_dead
-            lhs = AffineDense(
-                jnp.pad(lhs.stack, ((0, 0), (0, p), (0, p))),
-                lhs.coefficients,
-            )
-            rhs_r = AffineDense(
-                jnp.pad(rhs_r.stack, ((0, 0), (0, p), (0, 0))),
-                rhs_r.coefficients,
-            )
+            mass_r, lhs, rhs_r, est_mass, est_lhs, est_rhs = \
+                pad_time_system(pad_to, r, mass_r, lhs, rhs_r,
+                                est_mass, est_lhs, est_rhs)
+            p = int(pad_to) - r
             u0_r = jnp.pad(u0_r, (0, p))
-            if est_mass is not None:
-                est_mass = jnp.pad(est_mass, ((0, 0), (0, p)))
-                est_lhs = AffineDense(
-                    jnp.pad(est_lhs.stack, ((0, 0), (0, 0), (0, p))),
-                    est_lhs.coefficients,
-                )
             if out is not None:
                 out = AffineDense(
                     jnp.pad(out.stack, ((0, 0), (0, 0), (0, p))),
@@ -359,6 +309,74 @@ class InstationaryReductor:
 
     def reconstruct(self, traj_r) -> jax.Array:
         return self.rb @ jnp.asarray(traj_r)
+
+
+def project_time_system(fom, V, product, embedding):
+    """Galerkin + sketch projections shared by the parabolic and wave
+    reductors: reduced mass/stiffness/rhs plus the sketched residual
+    images Theta R^-1 [M V | A_t V | b_t]. Returns
+    (mass_r, lhs, rhs_r, est_mass, est_lhs, est_rhs)."""
+    MV = jnp.asarray(fom.mass.apply(V))
+    mass_r = V.conj().T @ MV
+    lhs = AffineDense(
+        jnp.stack([V.conj().T @ jnp.asarray(t.apply(V))
+                   for t in fom.operator.terms]),
+        fom.operator.coefficients,
+    )
+    rhs_mat = (fom.rhs if isinstance(fom.rhs, AffineDense)
+               else _materialize_rhs(fom.rhs))
+    rhs_r = AffineDense(
+        jnp.einsum("nr,tnl->trl", V.conj(), rhs_mat.stack),
+        rhs_mat.coefficients,
+    )
+
+    est_mass = est_lhs = est_rhs = None
+    if embedding is not None:
+        Rinv = product.inv
+
+        def sk(X):
+            return jnp.asarray(embedding.apply(jnp.asarray(Rinv.apply(X))))
+
+        est_mass = sk(MV)
+        est_lhs = AffineDense(
+            jnp.stack([sk(jnp.asarray(t.apply(V)))
+                       for t in fom.operator.terms]),
+            fom.operator.coefficients,
+        )
+        est_rhs = AffineDense(
+            jnp.stack([sk(rhs_mat.stack[t])
+                       for t in range(rhs_mat.n_terms)]),
+            rhs_mat.coefficients,
+        )
+    return mass_r, lhs, rhs_r, est_mass, est_lhs, est_rhs
+
+
+def pad_time_system(pad_to, r, mass_r, lhs, rhs_r,
+                    est_mass, est_lhs, est_rhs):
+    """Dead-block padding shared by the parabolic and wave reductors:
+    identity filler on the dead mass diagonal, zeros everywhere else —
+    dead coordinates provably stay zero through any of the time scans
+    (equivalence-tested in both suites)."""
+    R = int(pad_to)
+    assert R >= r, (R, r)
+    p = R - r
+    eye_dead = jnp.zeros((R, R), mass_r.dtype).at[
+        jnp.arange(r, R), jnp.arange(r, R)
+    ].set(1.0)
+    mass_r = jnp.pad(mass_r, ((0, p), (0, p))) + eye_dead
+    lhs = AffineDense(
+        jnp.pad(lhs.stack, ((0, 0), (0, p), (0, p))), lhs.coefficients
+    )
+    rhs_r = AffineDense(
+        jnp.pad(rhs_r.stack, ((0, 0), (0, p), (0, 0))), rhs_r.coefficients
+    )
+    if est_mass is not None:
+        est_mass = jnp.pad(est_mass, ((0, 0), (0, p)))
+        est_lhs = AffineDense(
+            jnp.pad(est_lhs.stack, ((0, 0), (0, 0), (0, p))),
+            est_lhs.coefficients,
+        )
+    return mass_r, lhs, rhs_r, est_mass, est_lhs, est_rhs
 
 
 def _materialize_rhs(rhs: AffineOp) -> AffineDense:

@@ -212,7 +212,10 @@ class InstationaryStencilFOM:
         mass as LinOps — big-n POD-greedy runs entirely on device (the
         host-LU path never sees the 4M-DoF system).  ``solve_kw`` (tol,
         maxiter, precond, store_every) are baked into every greedy FOM
-        solve."""
+        solve. ``store_every=s`` subsamples the SNAPSHOT trajectories
+        the greedy PODs; the emitted ROM still time-steps all ``nt``
+        steps — compare at the stored steps (``rec[:, ::s]``, as the
+        parabolic demo does)."""
         return _FlatParabolicView(self, solve_kw)
 
 

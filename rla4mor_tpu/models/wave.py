@@ -82,6 +82,7 @@ class WaveFOM:
         self.parameter_space = parameter_space
         self.name = name
         self.logger = get_logger("models.wave", 20)
+        self._lu_M = {}  # dtype -> cached SuperLU of the fixed mass
 
     # StationaryFOM-protocol assembly (mor.bounds consumes these)
     def _assemble_A(self, mu: Mu) -> sps.csc_matrix:
@@ -119,7 +120,12 @@ class WaveFOM:
         b = b.astype(dtype)
         S = sps.csc_matrix(M + beta * dt * dt * A, dtype=dtype)
         lu = spla.splu(S)
-        lu_M = spla.splu(sps.csc_matrix(M, dtype=dtype))
+        # M is mu-independent: factorize once per dtype, not per solve
+        lu_M = self._lu_M.get(dtype)
+        if lu_M is None:
+            lu_M = self._lu_M[dtype] = spla.splu(
+                sps.csc_matrix(M, dtype=dtype)
+            )
 
         u = np.asarray(self.u0, dtype)
         v = np.asarray(self.v0, dtype)
@@ -283,46 +289,19 @@ class WaveReductor:
         """Emit the reduced model (``pad_to`` fixes shapes for the
         no-retrace greedy; the dead block gets identity mass + zero
         couplings, so dead coords of u, v, a stay exactly zero)."""
+        from rla4mor_tpu.models.instationary import (
+            pad_time_system,
+            project_time_system,
+        )
+
         fom = self.fom
         V = self.rb
         r = V.shape[1]
-        MV = jnp.asarray(fom.mass.apply(V))
-        mass_r = V.conj().T @ MV
-        lhs = AffineDense(
-            jnp.stack([V.conj().T @ jnp.asarray(t.apply(V))
-                       for t in fom.operator.terms]),
-            fom.operator.coefficients,
-        )
-        rhs_mat = (fom.rhs if isinstance(fom.rhs, AffineDense)
-                   else _materialize_rhs(fom.rhs))
-        rhs_r = AffineDense(
-            jnp.einsum("nr,tnl->trl", V.conj(), rhs_mat.stack),
-            rhs_mat.coefficients,
-        )
+        mass_r, lhs, rhs_r, est_mass, est_lhs, est_rhs = \
+            project_time_system(fom, V, self.product, self.embedding)
         Rop = self.product.op
         u0_r = V.conj().T @ jnp.asarray(Rop.apply(fom.u0))
         v0_r = V.conj().T @ jnp.asarray(Rop.apply(fom.v0))
-
-        est_mass = est_lhs = est_rhs = None
-        if self.embedding is not None:
-            Rinv = self.product.inv
-
-            def sk(X):
-                return jnp.asarray(
-                    self.embedding.apply(jnp.asarray(Rinv.apply(X)))
-                )
-
-            est_mass = sk(MV)
-            est_lhs = AffineDense(
-                jnp.stack([sk(jnp.asarray(t.apply(V)))
-                           for t in fom.operator.terms]),
-                fom.operator.coefficients,
-            )
-            est_rhs = AffineDense(
-                jnp.stack([sk(rhs_mat.stack[t])
-                           for t in range(rhs_mat.n_terms)]),
-                rhs_mat.coefficients,
-            )
 
         out = None
         if fom.output_functional is not None:
@@ -334,29 +313,12 @@ class WaveReductor:
                 )
 
         if pad_to is not None:
-            R = int(pad_to)
-            assert R >= r, (R, r)
-            p = R - r
-            eye_dead = jnp.zeros((R, R), mass_r.dtype).at[
-                jnp.arange(r, R), jnp.arange(r, R)
-            ].set(1.0)
-            mass_r = jnp.pad(mass_r, ((0, p), (0, p))) + eye_dead
-            lhs = AffineDense(
-                jnp.pad(lhs.stack, ((0, 0), (0, p), (0, p))),
-                lhs.coefficients,
-            )
-            rhs_r = AffineDense(
-                jnp.pad(rhs_r.stack, ((0, 0), (0, p), (0, 0))),
-                rhs_r.coefficients,
-            )
+            mass_r, lhs, rhs_r, est_mass, est_lhs, est_rhs = \
+                pad_time_system(pad_to, r, mass_r, lhs, rhs_r,
+                                est_mass, est_lhs, est_rhs)
+            p = int(pad_to) - r
             u0_r = jnp.pad(u0_r, (0, p))
             v0_r = jnp.pad(v0_r, (0, p))
-            if est_mass is not None:
-                est_mass = jnp.pad(est_mass, ((0, 0), (0, p)))
-                est_lhs = AffineDense(
-                    jnp.pad(est_lhs.stack, ((0, 0), (0, 0), (0, p))),
-                    est_lhs.coefficients,
-                )
             if out is not None:
                 out = AffineDense(
                     jnp.pad(out.stack, ((0, 0), (0, 0), (0, p))),

@@ -143,7 +143,13 @@ class WaveStencilFOM(InstationaryStencilFOM):
         ``pod_greedy``: flat-vector trajectories + the affine stencil
         operator, rhs and mass as LinOps. ``solve_kw`` (tol, maxiter,
         precond, store_every, mesh) are baked into every greedy FOM
-        solve."""
+        solve.
+
+        ``store_every=s`` subsamples the SNAPSHOT trajectories the
+        greedy PODs (memory control at big n); the emitted ROM still
+        time-steps all ``nt`` steps, so ``rom.solve`` has nt+1 columns
+        vs the view's nt/s+1 — compare at the stored steps
+        (``rec[:, ::s]``), as the parabolic demo does."""
         return _FlatWaveView(self, solve_kw)
 
 
