@@ -30,6 +30,14 @@ import scipy.sparse.linalg as spla
 
 from rla4mor_tpu.core.affine import AffineDense, AffineOp
 from rla4mor_tpu.core.linops import HostSparseOp
+
+# reduced-system matmuls are tiny (r x r); HIGHEST removes the TPU f32
+# -> bf16 truncation from trajectories and estimators at no real cost
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
 from rla4mor_tpu.core.parameters import Mu, ParameterSpace, eval_coefficients
 from rla4mor_tpu.core.products import Product
 from rla4mor_tpu.utils.logger import get_logger
@@ -183,10 +191,11 @@ class InstationaryROM:
 
         def step(carry, _):
             u, acc = carry
-            u_new = jax.scipy.linalg.lu_solve(S_lu, C @ u + self.dt * b)
+            u_new = jax.scipy.linalg.lu_solve(S_lu, _mm(C, u) + self.dt * b)
             if estimating:
                 u_th = th * u_new + (1.0 - th) * u
-                r = (self.est_mass @ (u_new - u)) / self.dt + sA @ u_th - sb
+                r = _mm(self.est_mass, u_new - u) / self.dt \
+                    + _mm(sA, u_th) - sb
                 acc = acc + jnp.sum(jnp.abs(r) ** 2)
             return (u_new, acc), u_new
 

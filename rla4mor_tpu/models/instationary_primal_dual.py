@@ -60,6 +60,7 @@ from rla4mor_tpu.models.instationary import (
     InstationaryReductor,
     InstationaryROM,
     _materialize_rhs,
+    _mm,
 )
 from rla4mor_tpu.utils.logger import get_logger
 
@@ -157,17 +158,17 @@ class InstationaryCorrectedOutputROM:
             skA = self.est_lhs_z.assemble(mu)
             skl = self.est_l.assemble_vec(mu)
             # terminal residual rho_K = l - S^H Z zeta_K, 1/dt-scaled
-            rho_K = (skl - skM @ zeta_K) / dt - th * (skA @ zeta_K)
+            rho_K = (skl - _mm(skM, zeta_K)) / dt - th * _mm(skA, zeta_K)
             acc0 = jnp.real(jnp.sum(jnp.abs(rho_K) ** 2)).astype(rdtype)
         else:
             acc0 = jnp.asarray(0.0, rdtype)
 
         def bstep(carry, _):
             zeta_next, acc = carry
-            zeta = jax.scipy.linalg.lu_solve(lu, Czz @ zeta_next)
+            zeta = jax.scipy.linalg.lu_solve(lu, _mm(Czz, zeta_next))
             if estimating:
-                rho = (skM @ (zeta_next - zeta)) / dt \
-                    - skA @ (th * zeta + (1.0 - th) * zeta_next)
+                rho = _mm(skM, zeta_next - zeta) / dt \
+                    - _mm(skA, th * zeta + (1.0 - th) * zeta_next)
                 acc = acc + jnp.real(jnp.sum(jnp.abs(rho) ** 2))
             return (zeta, acc), zeta
 
@@ -192,8 +193,8 @@ class InstationaryCorrectedOutputROM:
         Ozv = self.op_zv.assemble(mu)               # (rz, rv)
         bz = self.rhs_z.assemble_vec(mu)            # (rz,)
         a_th = th * a_cur + (1.0 - th) * a_prev
-        resid = (a_prev - a_cur) @ self.mass_zv.T \
-            - dt * (a_th @ Ozv.T) + dt * bz[None, :]  # (K, rz)
+        resid = _mm(a_prev - a_cur, self.mass_zv.T) \
+            - dt * _mm(a_th, Ozv.T) + dt * bz[None, :]  # (K, rz)
         corr = jnp.sum(jnp.conj(zetas) * resid)
         return s + corr, eta_pr * eta_du
 

@@ -41,7 +41,7 @@ from rla4mor_tpu.core.affine import AffineDense, AffineOp
 from rla4mor_tpu.core.linops import HostSparseOp
 from rla4mor_tpu.core.parameters import Mu, ParameterSpace
 from rla4mor_tpu.core.products import Product
-from rla4mor_tpu.models.instationary import _materialize_rhs
+from rla4mor_tpu.models.instationary import _materialize_rhs, _mm
 from rla4mor_tpu.utils.logger import get_logger
 
 
@@ -204,17 +204,17 @@ class WaveROM:
 
         u = self.u0_r.astype(S.dtype)
         v = self.v0_r.astype(S.dtype)
-        a = jax.scipy.linalg.lu_solve(M_lu, b - A @ u)
+        a = jax.scipy.linalg.lu_solve(M_lu, b - _mm(A, u))
 
         def step(carry, _):
             u, v, a, acc = carry
             u_star = u + dt * v + dt * dt * (0.5 - beta) * a
             v_star = v + dt * (1.0 - gamma) * a
-            a_new = jax.scipy.linalg.lu_solve(S_lu, b - A @ u_star)
+            a_new = jax.scipy.linalg.lu_solve(S_lu, b - _mm(A, u_star))
             u_new = u_star + beta * dt * dt * a_new
             v_new = v_star + gamma * dt * a_new
             if estimating:
-                r = sM @ a_new + sA @ u_new - sb
+                r = _mm(sM, a_new) + _mm(sA, u_new) - sb
                 acc = acc + jnp.real(
                     jnp.sum(jnp.abs(r) ** 2)
                 ).astype(acc.dtype)
