@@ -480,12 +480,14 @@ def pod_greedy(
     reductor.extend_basis(modes)
     history["selected_mus"].append(mu0)
 
-    # loop-invariant: alpha_LB depends on mu only — one jit, one eval
+    # loop-invariant: alpha_LB depends on mu only — one eval up front
     sqrt_alphas = None
     if coercivity is not None:
-        sqrt_alphas = np.sqrt(
-            np.asarray(jax.jit(jax.vmap(coercivity))(mus_batched))
-        )
+        if hasattr(coercivity, "tabulate"):  # host-LP bounds (mor.scm)
+            alphas = np.asarray(coercivity.tabulate(list(training_set)))
+        else:  # jittable bounds (mor.bounds)
+            alphas = np.asarray(jax.jit(jax.vmap(coercivity))(mus_batched))
+        sqrt_alphas = np.sqrt(alphas)
 
     first_max = None
     rom = reductor.reduce(pad_to=pad_to)

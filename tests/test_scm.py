@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.linalg as sla
+import scipy.sparse as sps
 
 from rla4mor_tpu.mor import ScmCoercivity, ScmInfSup
 from rla4mor_tpu.mor.bounds import InfSupLowerBound
@@ -149,3 +150,55 @@ def test_scm_infsup_certified_error_bound():
         bnd = float(np.asarray(inf_sup_error_bound(rom, mu, scm, u_r=u_r)))
         assert np.isfinite(bnd)
         assert err <= bnd * (1 + 1e-9), (w, err, bnd)
+
+
+def test_scm_certified_parabolic_bound():
+    """ScmCoercivity consumes the parabolic FOM (same .operator
+    protocol) and composes with parabolic_error_bound — an SCM-certified
+    final-time bound that dominates the true M-norm error and sits in
+    the same ballpark as min-theta (tightness at held-out mus depends on
+    the anchor set; rigor does not); pod_greedy(coercivity=scm) runs via
+    tabulate (the LP is host-eager, not jittable)."""
+    from rla4mor_tpu.core.orthonormalize import pod
+    from rla4mor_tpu.models import (
+        InstationaryReductor, instationary_thermal_block, pod_greedy,
+    )
+    from rla4mor_tpu.mor import (
+        MinThetaCoercivity, ScmCoercivity, parabolic_error_bound,
+    )
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    pfom = instationary_thermal_block((2, 2), 8, T=0.5, nt=10)
+    Ru = pfom.products["h1_0"]
+    emb = GaussianEmbedding.make(pfom.solution_dim, sqrt_product=Ru.sqrt,
+                                 range_dim=120, seed=3)
+    red = InstationaryReductor(pfom, embedding=emb, product=Ru,
+                               log_level=30)
+    for mu in pfom.parameter_space.sample_randomly(2, key=1):
+        modes, _ = pod(pfom.solve(mu), product=Ru, rtol=1e-6)
+        red.extend_basis(modes[:, :4])
+    rom = red.reduce()
+
+    scm = ScmCoercivity(pfom, product=Ru)
+    scm.fit(pfom.parameter_space.sample_randomly(12, key=4), tol=0.2)
+    mt = MinThetaCoercivity(pfom, {"diffusion": jnp.full(4, 0.55)},
+                            product=Ru)
+
+    mu_t = pfom.parameter_space.sample_randomly(1, key=9)[0]
+    rec = np.asarray(red.reconstruct(rom.solve(mu_t)))
+    e = rec - np.asarray(pfom.solve(mu_t))
+    M = sps.csc_matrix(pfom.mass.S).toarray()
+    err_final = float(np.sqrt(e[:, -1] @ (M @ e[:, -1])))
+    b_scm = float(parabolic_error_bound(rom, mu_t, scm))
+    b_mt = float(parabolic_error_bound(rom, mu_t, mt))
+    assert err_final <= b_scm
+    assert err_final <= b_mt
+    assert b_scm <= 2.0 * b_mt, (b_scm, b_mt)  # same ballpark
+
+    # certified greedy via tabulate
+    red2 = InstationaryReductor(pfom, embedding=emb, product=Ru,
+                                log_level=30)
+    _, hist = pod_greedy(pfom, red2,
+                         pfom.parameter_space.sample_randomly(6, key=7),
+                         max_extensions=3, coercivity=scm, log_level=30)
+    assert all(np.isfinite(hist["max_estimates"]))
