@@ -235,6 +235,25 @@ class MassStencilOp(FlatGridOp):
         return self
 
 
+def _mean_value_output(fom):
+    """The stencil families' lumped-integral output (``st.output``:
+    sum(u) * h^d, uniform weights) as an affine (1, 1, n) row so the
+    reduced models emit outputs; None when the family defines no
+    output. The per-entry weight is derived by linearity from
+    ``output(ones)`` (uniform-weight functionals only — true for every
+    stencil family here)."""
+    from rla4mor_tpu.core.affine import AffineDense
+    from rla4mor_tpu.core.parameters import ONE
+
+    st = fom.stencil
+    if not hasattr(st, "output"):
+        return None
+    n = math.prod(fom.solution_shape)
+    ones = jnp.ones(fom.solution_shape, st.dtype)
+    c = jnp.asarray(st.output(ones)) / n
+    return AffineDense(jnp.full((1, 1, n), c, st.dtype), (ONE,))
+
+
 class _FlatParabolicView:
     """The ``InstationaryFOM``-shaped interface of an
     :class:`InstationaryStencilFOM` (flat columns, affine LinOps)."""
@@ -256,7 +275,7 @@ class _FlatParabolicView:
         self.time_theta = fom.time_theta
         self.parameter_space = fom.parameter_space
         self.products = {}
-        self.output_functional = None
+        self.output_functional = _mean_value_output(fom)
 
     def solve(self, mu) -> jax.Array:
         return self._fom.solve_flat(mu, **self._solve_kw)

@@ -176,7 +176,11 @@ class _FlatWaveView:
         self.beta, self.gamma = fom.beta, fom.gamma
         self.parameter_space = fom.parameter_space
         self.products = {}
-        self.output_functional = None
+        from rla4mor_tpu.models.instationary_stencil import (
+            _mean_value_output,
+        )
+
+        self.output_functional = _mean_value_output(fom)
 
     def solve(self, mu) -> jax.Array:
         traj = self._fom.solve(mu, **self._solve_kw)

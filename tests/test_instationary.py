@@ -498,3 +498,44 @@ def test_pod_greedy_certified(pfom):
         pod_greedy(pf_bad, red_bad,
                    pf_bad.parameter_space.sample_randomly(2, key=1),
                    max_extensions=2, coercivity=alpha, log_level=30)
+
+
+def test_flat_view_output_functional():
+    """The stencil flat views expose the family's lumped-integral output
+    as an affine row: it matches st.output column-wise on trajectories,
+    survives reduction (rom.output), and the 3-D/wave views agree with
+    their h^d scaling."""
+    from rla4mor_tpu.core.orthonormalize import pod
+    from rla4mor_tpu.models import (
+        InstationaryReductor, InstationaryStencilFOM, WaveStencilFOM,
+    )
+    from rla4mor_tpu.models.stencil import StencilThermalBlock
+    from rla4mor_tpu.models.stencil3d import StencilThermalBlock3D
+
+    st = StencilThermalBlock((2, 2), 10, dtype=jnp.float64)
+    dev = InstationaryStencilFOM(st, T=0.25, nt=6)
+    view = dev.as_reductor_fom(tol=1e-11, maxiter=500)
+    mu = dev.parameter_space.sample_randomly(1, key=1)[0]
+    traj = view.solve(mu)
+    got = np.asarray(view.output_functional.apply(traj, mu))[0]
+    want = np.array([float(st.output(traj[:, k].reshape(st.solution_shape)))
+                     for k in range(traj.shape[1])])
+    assert np.allclose(got, want, atol=1e-14)
+
+    red = InstationaryReductor(view, log_level=30)
+    modes, _ = pod(traj, rtol=1e-12)
+    red.extend_basis(modes)
+    rom = red.reduce()
+    s = np.asarray(rom.output(rom.solve(mu), mu))[0]
+    assert np.allclose(s, want, atol=1e-9)
+
+    st3 = StencilThermalBlock3D((2, 2, 2), 4, dtype=jnp.float64)
+    v3 = InstationaryStencilFOM(st3, T=0.25, nt=2).as_reductor_fom(
+        tol=1e-10, maxiter=200)
+    assert np.isclose(
+        float(v3.output_functional.stack[0, 0, 0]), st3.h ** 3)
+
+    wv = WaveStencilFOM(st, T=0.25, nt=2).as_reductor_fom(
+        tol=1e-10, maxiter=200)
+    assert np.isclose(
+        float(wv.output_functional.stack[0, 0, 0]), st.h ** 2)
