@@ -345,3 +345,42 @@ def test_restricted_recovery_map_does_not_reuse_parent_cache():
                          manifold_distance=md, log_level=30)
     out2 = np.asarray(rm2.project_background(jnp.arange(3)).compute_state(w))
     assert np.allclose(out, out2, atol=1e-12)
+
+
+def test_pbdw_recovers_parabolic_trajectory():
+    """State estimation over TIME: PBDW with a POD background from
+    parabolic training trajectories recovers every snapshot of a
+    held-out trajectory from pointwise sensors in ONE batched saddle
+    solve ((m, nt+1) observations); accuracy improves with background
+    size and with sensor count (the plateau is the pointwise-sensor
+    inf-sup, not the background — documented PBDW behavior)."""
+    from rla4mor_tpu.core.orthonormalize import pod
+    from rla4mor_tpu.estim import PbdwRecoveryMap
+    from rla4mor_tpu.models import instationary_thermal_block
+
+    pfom = instationary_thermal_block((2, 2), 12, T=0.5, nt=16)
+    Ru = pfom.products["h1_0"]
+    n = pfom.solution_dim
+    mus = pfom.parameter_space.sample_randomly(5, key=1)
+    snaps = jnp.concatenate([pfom.solve(m) for m in mus], axis=1)
+
+    rng = np.random.default_rng(3)
+    mu_t = pfom.parameter_space.sample_randomly(1, key=9)[0]
+    truth = np.asarray(pfom.solve(mu_t))          # (n, nt+1)
+
+    def recover(m_s, nv, idx):
+        E = jnp.zeros((n, m_s)).at[jnp.asarray(idx),
+                                   jnp.arange(m_s)].set(1.0)
+        W = jnp.asarray(Ru.inv.apply(E))  # Riesz representers of u(x_j)
+        V, _ = pod(snaps, product=Ru, modes=nv)
+        rm = PbdwRecoveryMap(V, W, product=Ru, log_level=30)
+        rec = np.asarray(rm.solve(jnp.asarray(truth[idx, :])))
+        return np.linalg.norm(rec - truth) / np.linalg.norm(truth)
+
+    idx25 = rng.choice(n, size=25, replace=False)
+    idx49 = rng.choice(n, size=49, replace=False)
+    rels = [recover(49, nv, idx49) for nv in (2, 4, 12)]
+    assert rels[2] < rels[1] < rels[0]
+    assert rels[2] < 0.06, rels
+    # more sensors -> better recovery at fixed background
+    assert recover(49, 4, idx49) < recover(25, 4, idx25)
