@@ -42,6 +42,8 @@ from rla4mor_tpu.mor.eim import (
 )
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
+    save_rom,
+    load_rom,
     load_reductor_state,
     save_instationary_reductor,
     save_primal_dual_reductor,
@@ -70,6 +72,7 @@ __all__ = [
     "eim_rebuild", "deim", "deim_points",
     "MdeimOperator", "mdeim", "theta_coefficients",
     "save_reductor", "load_reductor_state",
+    "save_rom", "load_rom",
     "save_eim_interpolant", "load_eim_interpolant",
     "save_mdeim_operator", "load_mdeim_operator",
     "save_instationary_reductor", "load_instationary_reductor_state",

@@ -296,6 +296,116 @@ def load_wave_reductor_state(reductor, path) -> None:
     reductor.rb = jnp.asarray(d["rb"])
 
 
+# -- standalone ROM shipping (serve without the FOM or reductor) --------
+# The online models are pytrees of AffineDense stacks + scalars; a .npz
+# of (affine blocks, aux scalars) round-trips them exactly, so a trained
+# ROM deploys with no FOM, basis, or embedding in the runtime image.
+# Reconstruction to full states still needs the basis — ship the
+# reductor checkpoint alongside when reconstruct() is part of serving.
+
+def save_rom(rom, path) -> None:
+    """Persist a :class:`StationaryROM`, :class:`InstationaryROM` or
+    :class:`WaveROM` standalone."""
+    from rla4mor_tpu.models.instationary import InstationaryROM
+    from rla4mor_tpu.models.stationary import StationaryROM
+    from rla4mor_tpu.models.wave import WaveROM
+
+    d: dict = {"seed_derivation": SEED_DERIVATION}
+
+    def arr(key, x):
+        if x is not None:
+            d[key] = np.asarray(x)
+
+    if isinstance(rom, StationaryROM):
+        d["kind"] = "stationary"
+        d["aux"] = np.asarray([rom.ls, rom.ls_rcond], np.float64)
+        save_affine(d, "lhs", rom.lhs)
+        save_affine(d, "rhs", rom.rhs)
+        save_affine(d, "out", rom.output_functional)
+        if rom.error_estimator is not None:
+            save_affine(d, "est_lhs", rom.error_estimator.lhs)
+            save_affine(d, "est_rhs", rom.error_estimator.rhs)
+    elif isinstance(rom, InstationaryROM):
+        d["kind"] = "instationary"
+        d["aux"] = np.asarray([rom.dt, rom.nt, rom.time_theta], np.float64)
+        arr("mass_r", rom.mass_r)
+        arr("u0_r", rom.u0_r)
+        arr("est_mass", rom.est_mass)
+        save_affine(d, "lhs", rom.lhs)
+        save_affine(d, "rhs", rom.rhs_r)
+        save_affine(d, "est_lhs", rom.est_lhs)
+        save_affine(d, "est_rhs", rom.est_rhs)
+        save_affine(d, "out", rom.output_functional)
+    elif isinstance(rom, WaveROM):
+        d["kind"] = "wave"
+        d["aux"] = np.asarray([rom.dt, rom.nt, rom.beta, rom.gamma],
+                              np.float64)
+        arr("mass_r", rom.mass_r)
+        arr("u0_r", rom.u0_r)
+        arr("v0_r", rom.v0_r)
+        arr("est_mass", rom.est_mass)
+        save_affine(d, "lhs", rom.lhs)
+        save_affine(d, "rhs", rom.rhs_r)
+        save_affine(d, "est_lhs", rom.est_lhs)
+        save_affine(d, "est_rhs", rom.est_rhs)
+        save_affine(d, "out", rom.output_functional)
+    else:
+        raise TypeError(f"save_rom: unsupported ROM type {type(rom)!r}")
+    np.savez_compressed(path, **d)
+
+
+def load_rom(path):
+    """Load a ROM saved by :func:`save_rom` (type restored from the
+    file)."""
+    d = np.load(Path(path), allow_pickle=False)
+    _check_seed_derivation(d)
+    kind = str(d["kind"])
+
+    def arr(key):
+        return jnp.asarray(d[key]) if key in d else None
+
+    if kind == "stationary":
+        from rla4mor_tpu.models.stationary import (
+            ResidualErrorEstimator,
+            StationaryROM,
+        )
+
+        est = None
+        est_lhs = load_affine(d, "est_lhs")
+        if est_lhs is not None:
+            est = ResidualErrorEstimator(est_lhs, load_affine(d, "est_rhs"))
+        ls, ls_rcond = d["aux"]
+        return StationaryROM(
+            load_affine(d, "lhs"), load_affine(d, "rhs"),
+            output_functional=load_affine(d, "out"),
+            error_estimator=est, ls=bool(ls), ls_rcond=float(ls_rcond),
+        )
+    if kind == "instationary":
+        from rla4mor_tpu.models.instationary import InstationaryROM
+
+        dt, nt, th = d["aux"]
+        return InstationaryROM(
+            arr("mass_r"), load_affine(d, "lhs"), load_affine(d, "rhs"),
+            arr("u0_r"), float(dt), int(nt),
+            est_mass=arr("est_mass"), est_lhs=load_affine(d, "est_lhs"),
+            est_rhs=load_affine(d, "est_rhs"),
+            output_functional=load_affine(d, "out"), time_theta=float(th),
+        )
+    if kind == "wave":
+        from rla4mor_tpu.models.wave import WaveROM
+
+        dt, nt, beta, gamma = d["aux"]
+        return WaveROM(
+            arr("mass_r"), load_affine(d, "lhs"), load_affine(d, "rhs"),
+            arr("u0_r"), arr("v0_r"), float(dt), int(nt), float(beta),
+            float(gamma),
+            est_mass=arr("est_mass"), est_lhs=load_affine(d, "est_lhs"),
+            est_rhs=load_affine(d, "est_rhs"),
+            output_functional=load_affine(d, "out"),
+        )
+    raise ValueError(f"unknown ROM kind {kind!r}")
+
+
 def _eim_interp_arrays(interp) -> dict:
     """EimInterpolant -> npz-ready field dict (one site; the mdeim
     round-trip reuses it so the two can never diverge)."""

@@ -297,3 +297,77 @@ def test_wave_reductor_roundtrip(tmp_path):
     t2, e2 = red2.reduce().solve(mu_t, return_estimate=True)
     assert np.array_equal(np.asarray(t1), np.asarray(t2))
     assert float(e1) == float(e2)
+
+
+def test_standalone_rom_roundtrip(thermal_fom, tmp_path):
+    """save_rom/load_rom ships trained ROMs with no FOM/reductor in the
+    runtime: stationary (incl. estimator + ls flag), parabolic, and wave
+    ROMs round-trip with bit-identical solves/estimates/outputs."""
+    from rla4mor_tpu.core.orthonormalize import pod
+    from rla4mor_tpu.models import (
+        InstationaryReductor, WaveReductor, instationary_thermal_block,
+        wave_thermal_block,
+    )
+    from rla4mor_tpu.mor import load_rom, save_rom
+
+    # stationary
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    theta = GaussianEmbedding.make(fom.solution_dim, sqrt_product=Ru.sqrt,
+                                   range_dim=80, seed=3)
+    red = SketchedReductor(fom, embedding_primal=theta, product=Ru,
+                           log_level=30)
+    mus = fom.parameter_space.sample_randomly(3, key=0)
+    red.extend_basis(fom.solve_many(mus), mu=None)
+    rom = red.reduce(seed=5)
+    p = tmp_path / "rom_s.npz"
+    save_rom(rom, p)
+    rom2 = load_rom(p)
+    mu = fom.parameter_space.sample_randomly(1, key=9)[0]
+    assert np.array_equal(np.asarray(rom.solve(mu)),
+                          np.asarray(rom2.solve(mu)))
+    u = rom.solve(mu)
+    assert float(rom.error_estimator.estimate_error(u, mu)) == \
+        float(rom2.error_estimator.estimate_error(u, mu))
+
+    # parabolic
+    pfom = instationary_thermal_block((2, 2), 8, T=0.5, nt=8)
+    Rp = pfom.products["h1_0"]
+    emb = GaussianEmbedding.make(pfom.solution_dim, sqrt_product=Rp.sqrt,
+                                 range_dim=60, seed=4)
+    ired = InstationaryReductor(pfom, embedding=emb, product=Rp,
+                                log_level=30)
+    mu_p = pfom.parameter_space.sample_randomly(1, key=1)[0]
+    modes, _ = pod(pfom.solve(mu_p), product=Rp, modes=4)
+    ired.extend_basis(modes)
+    irom = ired.reduce()
+    p2 = tmp_path / "rom_i.npz"
+    save_rom(irom, p2)
+    irom2 = load_rom(p2)
+    t1, e1 = irom.solve(mu_p, return_estimate=True)
+    t2, e2 = irom2.solve(mu_p, return_estimate=True)
+    assert np.array_equal(np.asarray(t1), np.asarray(t2))
+    assert float(e1) == float(e2)
+    assert np.array_equal(np.asarray(irom.output(t1, mu_p)),
+                          np.asarray(irom2.output(t2, mu_p)))
+
+    # wave
+    wfom = wave_thermal_block((2, 2), 8, T=0.5, nt=8)
+    Rw = wfom.products["h1_0"]
+    embw = GaussianEmbedding.make(wfom.solution_dim, sqrt_product=Rw.sqrt,
+                                  range_dim=60, seed=6)
+    wred = WaveReductor(wfom, embedding=embw, product=Rw, log_level=30)
+    mu_w = wfom.parameter_space.sample_randomly(1, key=2)[0]
+    wmodes, _ = pod(wfom.solve(mu_w), product=Rw, modes=4)
+    wred.extend_basis(wmodes)
+    wrom = wred.reduce()
+    p3 = tmp_path / "rom_w.npz"
+    save_rom(wrom, p3)
+    wrom2 = load_rom(p3)
+    t1, e1 = wrom.solve(mu_w, return_estimate=True)
+    t2, e2 = wrom2.solve(mu_w, return_estimate=True)
+    assert np.array_equal(np.asarray(t1), np.asarray(t2))
+    assert float(e1) == float(e2)
+
+    with pytest.raises(TypeError, match="unsupported ROM"):
+        save_rom(object(), tmp_path / "bad.npz")
