@@ -349,15 +349,62 @@ def save_rom(rom, path) -> None:
         save_affine(d, "est_lhs", rom.est_lhs)
         save_affine(d, "est_rhs", rom.est_rhs)
         save_affine(d, "out", rom.output_functional)
+    elif type(rom).__name__ == "CorrectedOutputROM":
+        d["kind"] = "corrected_output"
+        d["aux"] = np.asarray([], np.float64)
+        _save_rom_into(d, "pr", rom.rom_pr)
+        _save_rom_into(d, "du", rom.rom_du)
+        save_affine(d, "rhs_z", rom.rhs_z)
+        save_affine(d, "op_zv", rom.op_zv)
+    elif type(rom).__name__ == "InstationaryCorrectedOutputROM":
+        d["kind"] = "instationary_corrected_output"
+        d["aux"] = np.asarray([], np.float64)
+        _save_rom_into(d, "pr", rom.rom_pr)
+        arr("mass_zz", rom.mass_zz)
+        arr("mass_zv", rom.mass_zv)
+        arr("est_mass_z", rom.est_mass_z)
+        save_affine(d, "lhs_zz", rom.lhs_zz)
+        save_affine(d, "l_z", rom.l_z)
+        save_affine(d, "rhs_z", rom.rhs_z)
+        save_affine(d, "op_zv", rom.op_zv)
+        save_affine(d, "est_lhs_z", rom.est_lhs_z)
+        save_affine(d, "est_l", rom.est_l)
     else:
         raise TypeError(f"save_rom: unsupported ROM type {type(rom)!r}")
     np.savez_compressed(path, **d)
 
 
+def _save_rom_into(d: dict, prefix: str, rom) -> None:
+    """Nested-ROM serialization (the corrected-output composites): save
+    the component ROM under key prefixes via a temporary dict."""
+    sub: dict = {}
+    import io
+
+    buf = io.BytesIO()
+    save_rom(rom, buf)
+    buf.seek(0)
+    loaded = np.load(buf, allow_pickle=False)
+    for k in loaded.files:
+        sub[f"{prefix}__{k}"] = loaded[k]
+    d.update(sub)
+
+
+def _load_rom_from(d, prefix: str):
+    import io
+
+    sub = {k[len(prefix) + 2:]: d[k] for k in d.files
+           if k.startswith(prefix + "__")}
+    buf = io.BytesIO()
+    np.savez(buf, **sub)
+    buf.seek(0)
+    return load_rom(buf)
+
+
 def load_rom(path):
     """Load a ROM saved by :func:`save_rom` (type restored from the
     file)."""
-    d = np.load(Path(path), allow_pickle=False)
+    src = path if hasattr(path, "read") else Path(path)
+    d = np.load(src, allow_pickle=False)
     _check_seed_derivation(d)
     kind = str(d["kind"])
 
@@ -402,6 +449,26 @@ def load_rom(path):
             est_mass=arr("est_mass"), est_lhs=load_affine(d, "est_lhs"),
             est_rhs=load_affine(d, "est_rhs"),
             output_functional=load_affine(d, "out"),
+        )
+    if kind == "corrected_output":
+        from rla4mor_tpu.mor.primal_dual import CorrectedOutputROM
+
+        return CorrectedOutputROM(
+            _load_rom_from(d, "pr"), _load_rom_from(d, "du"),
+            load_affine(d, "rhs_z"), load_affine(d, "op_zv"),
+        )
+    if kind == "instationary_corrected_output":
+        from rla4mor_tpu.models.instationary_primal_dual import (
+            InstationaryCorrectedOutputROM,
+        )
+
+        return InstationaryCorrectedOutputROM(
+            _load_rom_from(d, "pr"), arr("mass_zz"),
+            load_affine(d, "lhs_zz"), load_affine(d, "l_z"),
+            load_affine(d, "rhs_z"), arr("mass_zv"),
+            load_affine(d, "op_zv"), est_mass_z=arr("est_mass_z"),
+            est_lhs_z=load_affine(d, "est_lhs_z"),
+            est_l=load_affine(d, "est_l"),
         )
     raise ValueError(f"unknown ROM kind {kind!r}")
 

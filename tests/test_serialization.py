@@ -371,3 +371,56 @@ def test_standalone_rom_roundtrip(thermal_fom, tmp_path):
 
     with pytest.raises(TypeError, match="unsupported ROM"):
         save_rom(object(), tmp_path / "bad.npz")
+
+
+def test_corrected_output_rom_roundtrip(thermal_fom, tmp_path):
+    """The goal-oriented composites ship too: stationary
+    CorrectedOutputROM and the parabolic discrete-adjoint ROM round-trip
+    with bit-identical corrected outputs + indicators."""
+    from rla4mor_tpu.core.affine import AffineDense
+    from rla4mor_tpu.core.orthonormalize import pod
+    from rla4mor_tpu.core.parameters import ONE
+    from rla4mor_tpu.models import (
+        InstationaryPrimalDualReductor, instationary_thermal_block,
+    )
+    from rla4mor_tpu.mor import PrimalDualReductor, load_rom, save_rom
+
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    theta = GaussianEmbedding.make(fom.solution_dim, sqrt_product=Ru.sqrt,
+                                   range_dim=80, seed=3)
+    pd = PrimalDualReductor(fom, embedding_primal=theta, product=Ru,
+                            log_level=30)
+    for mu in fom.parameter_space.sample_randomly(2, key=0):
+        pd.extend(mu)
+    rom = pd.reduce(seed=5)
+    p = tmp_path / "rom_pd.npz"
+    save_rom(rom, p)
+    rom2 = load_rom(p)
+    mu = fom.parameter_space.sample_randomly(1, key=9)[0]
+    s1, e1 = rom.output_corrected(mu)
+    s2, e2 = rom2.output_corrected(mu)
+    assert float(s1) == float(s2) and float(e1) == float(e2)
+
+    pfom = instationary_thermal_block((2, 2), 8, T=0.5, nt=8)
+    nx = 8
+    w = np.zeros((nx - 1, nx - 1))
+    w[:3, :3] = 1.0
+    pfom.output_functional = AffineDense(
+        jnp.asarray(w.reshape(1, 1, -1) / w.sum()), (ONE,)
+    )
+    Rp = pfom.products["h1_0"]
+    emb = GaussianEmbedding.make(pfom.solution_dim, sqrt_product=Rp.sqrt,
+                                 range_dim=60, seed=4)
+    ipd = InstationaryPrimalDualReductor(pfom, embedding=emb, product=Rp,
+                                         log_level=30)
+    for mu_i in pfom.parameter_space.sample_randomly(2, key=1):
+        ipd.extend(mu_i, modes_per_extension=2)
+    irom = ipd.reduce()
+    p2 = tmp_path / "rom_ipd.npz"
+    save_rom(irom, p2)
+    irom2 = load_rom(p2)
+    mu_t = pfom.parameter_space.sample_randomly(1, key=5)[0]
+    s1, e1 = irom.output_corrected(mu_t)
+    s2, e2 = irom2.output_corrected(mu_t)
+    assert float(s1) == float(s2) and float(e1) == float(e2)
