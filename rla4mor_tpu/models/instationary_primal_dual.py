@@ -79,10 +79,18 @@ def _output_terms(fom: InstationaryFOM) -> AffineDense:
     return ofd.H  # (To, n, 1), conj coefficients
 
 
-def solve_dual(fom: InstationaryFOM, mu: Mu) -> jax.Array:
+def solve_dual(fom: InstationaryFOM, mu: Mu,
+               output_kind: str = "final") -> jax.Array:
     """(n, nt) exact discrete-adjoint trajectory, column k-1 = z_k
     (z_K first solved, stored last-to-first in forward index order).
-    One host factorization of S^H per mu, like the primal solve."""
+    One host factorization of S^H per mu, like the primal solve.
+
+    ``output_kind='final'``: adjoint of s = l^H u_K (terminal condition
+    S^H z_K = l, homogeneous backward recursion).
+    ``output_kind='integral'``: adjoint of the right-endpoint quadrature
+    s = dt sum_k l^H u_k — the source dt*l enters EVERY backward step
+    (S^H z_K = dt l; S^H z_k = C^H z_{k+1} + dt l)."""
+    _check_output_kind(output_kind)
     A = fom._assemble_A(mu)
     M = sps.csc_matrix(fom.mass.S)
     th, dt = fom.time_theta, fom.dt
@@ -95,13 +103,25 @@ def solve_dual(fom: InstationaryFOM, mu: Mu) -> jax.Array:
     lu = spla.splu(sps.csc_matrix(S.conj().T, dtype=dt_num))
     l = l.astype(dt_num)
     CH = sps.csc_matrix(C.conj().T)
-    z = lu.solve(l)
+    integral = output_kind == "integral"
+    term = dt * l if integral else l
+    z = lu.solve(term)
     out = [z]
     for _ in range(fom.nt - 1):
-        z = lu.solve(np.asarray(CH @ z))
+        rhs = np.asarray(CH @ z)
+        if integral:
+            rhs = rhs + dt * l
+        z = lu.solve(rhs)
         out.append(z)
     out.reverse()  # forward index order z_1 .. z_K
     return jnp.asarray(np.stack(out, axis=1))
+
+
+def _check_output_kind(kind: str) -> None:
+    if kind not in ("final", "integral"):
+        raise ValueError(
+            f"output_kind must be 'final' or 'integral': {kind!r}"
+        )
 
 
 class InstationaryCorrectedOutputROM:
@@ -110,7 +130,10 @@ class InstationaryCorrectedOutputROM:
 
     def __init__(self, rom_pr: InstationaryROM, mass_zz, lhs_zz: AffineDense,
                  l_z: AffineDense, rhs_z: AffineDense, mass_zv, op_zv:
-                 AffineDense, est_mass_z=None, est_lhs_z=None, est_l=None):
+                 AffineDense, est_mass_z=None, est_lhs_z=None, est_l=None,
+                 output_kind: str = "final"):
+        _check_output_kind(output_kind)
+        self.output_kind = output_kind
         self.rom_pr = rom_pr
         self.mass_zz = mass_zz    # (rz, rz)      Z^H M Z
         self.lhs_zz = lhs_zz      # (T, rz, rz)   Z^H A_t^H Z, conj thetas
@@ -125,7 +148,7 @@ class InstationaryCorrectedOutputROM:
     def tree_flatten(self):
         return (self.rom_pr, self.mass_zz, self.lhs_zz, self.l_z,
                 self.rhs_z, self.mass_zv, self.op_zv, self.est_mass_z,
-                self.est_lhs_z, self.est_l), ()
+                self.est_lhs_z, self.est_l), (self.output_kind,)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
@@ -133,11 +156,17 @@ class InstationaryCorrectedOutputROM:
         (obj.rom_pr, obj.mass_zz, obj.lhs_zz, obj.l_z, obj.rhs_z,
          obj.mass_zv, obj.op_zv, obj.est_mass_z, obj.est_lhs_z,
          obj.est_l) = ch
+        obj.output_kind, = aux
         return obj
 
+    def _plain_from_traj(self, traj, mu) -> jax.Array:
+        outs = self.rom_pr.output(traj, mu)[0]
+        if self.output_kind == "integral":
+            return self.rom_pr.dt * jnp.sum(outs[1:])
+        return outs[-1]
+
     def output_plain(self, mu: Mu) -> jax.Array:
-        traj = self.rom_pr.solve(mu)
-        return self.rom_pr.output(traj, mu)[0, -1]
+        return self._plain_from_traj(self.rom_pr.solve(mu), mu)
 
     def solve_dual_reduced(self, mu: Mu):
         """((rz, nt) zeta trajectory in forward index order, eta_du)."""
@@ -147,9 +176,12 @@ class InstationaryCorrectedOutputROM:
         Szz = self.mass_zz + th * dt * Azz
         Czz = self.mass_zz - (1.0 - th) * dt * Azz
         l_r = self.l_z.assemble_vec(mu)
+        integral = self.output_kind == "integral"
         # Szz already IS Z^H S^H Z (built from adjoint terms + conj thetas)
         lu = jax.scipy.linalg.lu_factor(Szz)
-        zeta_K = jax.scipy.linalg.lu_solve(lu, l_r)
+        zeta_K = jax.scipy.linalg.lu_solve(
+            lu, dt * l_r if integral else l_r
+        )
 
         rdtype = jnp.real(zeta_K).dtype
         estimating = self.est_mass_z is not None
@@ -157,18 +189,25 @@ class InstationaryCorrectedOutputROM:
             skM = self.est_mass_z
             skA = self.est_lhs_z.assemble(mu)
             skl = self.est_l.assemble_vec(mu)
-            # terminal residual rho_K = l - S^H Z zeta_K, 1/dt-scaled
-            rho_K = (skl - _mm(skM, zeta_K)) / dt - th * _mm(skA, zeta_K)
+            # terminal residual (1/dt-scaled): rho_K = l - S^H Z zeta_K
+            # (final) / dt l - S^H Z zeta_K (integral)
+            lK = skl if integral else skl / dt
+            rho_K = lK - _mm(skM, zeta_K) / dt - th * _mm(skA, zeta_K)
             acc0 = jnp.real(jnp.sum(jnp.abs(rho_K) ** 2)).astype(rdtype)
         else:
             acc0 = jnp.asarray(0.0, rdtype)
 
         def bstep(carry, _):
             zeta_next, acc = carry
-            zeta = jax.scipy.linalg.lu_solve(lu, _mm(Czz, zeta_next))
+            rhs = _mm(Czz, zeta_next)
+            if integral:
+                rhs = rhs + dt * l_r
+            zeta = jax.scipy.linalg.lu_solve(lu, rhs)
             if estimating:
                 rho = _mm(skM, zeta_next - zeta) / dt \
                     - _mm(skA, th * zeta + (1.0 - th) * zeta_next)
+                if integral:
+                    rho = rho + skl
                 acc = acc + jnp.real(jnp.sum(jnp.abs(rho) ** 2))
             return (zeta, acc), zeta
 
@@ -180,12 +219,13 @@ class InstationaryCorrectedOutputROM:
         return zetas, eta_du
 
     def output_corrected(self, mu: Mu):
-        """(s_c, eta_s): discrete-adjoint corrected final-time output and
-        the residual-product output indicator — one jittable call."""
+        """(s_c, eta_s): discrete-adjoint corrected output (final-time
+        or time-integrated, per ``output_kind``) and the
+        residual-product output indicator — one jittable call."""
         rom = self.rom_pr
         th, dt = rom.time_theta, rom.dt
         traj, eta_pr = rom.solve(mu, return_estimate=True)  # (rv, K+1)
-        s = rom.output(traj, mu)[0, -1]
+        s = self._plain_from_traj(traj, mu)
         zetas, eta_du = self.solve_dual_reduced(mu)         # (K, rz)
 
         a_prev = traj[:, :-1].T  # (K, rv)
@@ -216,7 +256,10 @@ class InstationaryPrimalDualReductor:
     ``extend_primal``/``extend_dual`` for direct control."""
 
     def __init__(self, fom: InstationaryFOM, embedding=None,
-                 embedding_dual=None, product=None, log_level: int = 20):
+                 embedding_dual=None, product=None,
+                 output_kind: str = "final", log_level: int = 20):
+        _check_output_kind(output_kind)
+        self.output_kind = output_kind
         self.fom = fom
         self.lterms = _output_terms(fom)  # validates single output
         self.primal = InstationaryReductor(
@@ -262,7 +305,7 @@ class InstationaryPrimalDualReductor:
                          modes=modes_per_extension)
         if modes_p.shape[1]:
             self.extend_primal(modes_p)
-        ztraj = solve_dual(self.fom, mu)
+        ztraj = solve_dual(self.fom, mu, output_kind=self.output_kind)
         err_z = self.project_dual_trajectory(ztraj)
         modes_z, _ = pod(err_z, product=self.product,
                          modes=modes_per_extension)
@@ -374,6 +417,7 @@ class InstationaryPrimalDualReductor:
         return InstationaryCorrectedOutputROM(
             rom_pr, mass_zz, lhs_zz, l_z, rhs_z, mass_zv, op_zv,
             est_mass_z=est_mass_z, est_lhs_z=est_lhs_z, est_l=est_l,
+            output_kind=self.output_kind,
         )
 
 

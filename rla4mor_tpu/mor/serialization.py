@@ -359,6 +359,7 @@ def save_rom(rom, path) -> None:
     elif type(rom).__name__ == "InstationaryCorrectedOutputROM":
         d["kind"] = "instationary_corrected_output"
         d["aux"] = np.asarray([], np.float64)
+        d["output_kind"] = rom.output_kind
         _save_rom_into(d, "pr", rom.rom_pr)
         arr("mass_zz", rom.mass_zz)
         arr("mass_zv", rom.mass_zv)
@@ -469,6 +470,8 @@ def load_rom(path):
             load_affine(d, "op_zv"), est_mass_z=arr("est_mass_z"),
             est_lhs_z=load_affine(d, "est_lhs_z"),
             est_l=load_affine(d, "est_l"),
+            output_kind=(str(d["output_kind"])
+                         if "output_kind" in d else "final"),
         )
     raise ValueError(f"unknown ROM kind {kind!r}")
 

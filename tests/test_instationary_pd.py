@@ -207,3 +207,56 @@ def test_padded_reduce_equals_unpadded(pfom, emb):
         output_pod_greedy(pfom, bare,
                           pfom.parameter_space.sample_randomly(2, key=1),
                           max_extensions=2, log_level=30)
+
+
+def test_time_integrated_output(pfom, emb):
+    """output_kind='integral' (right-endpoint quadrature s = dt sum l^H
+    u_k): the distributed-source adjoint makes the correction exact in
+    the dual limit, beats plain Galerkin on generic bases, the indicator
+    tracks, and the kind round-trips through save_rom."""
+    from rla4mor_tpu.mor import load_rom, save_rom
+
+    Ru = pfom.products["h1_0"]
+    mu = pfom.parameter_space.sample_randomly(1, key=5)[0]
+    traj = pfom.solve(mu)
+    outs = np.asarray(pfom.output_functional.apply(traj, mu))[0]
+    s_int = pfom.dt * outs[1:].sum()
+
+    red = InstationaryPrimalDualReductor(
+        pfom, embedding=emb, product=Ru, output_kind="integral",
+        log_level=30,
+    )
+    modes_p, _ = pod(traj, product=Ru, modes=2)
+    red.extend_primal(modes_p)
+    red.extend_dual(solve_dual(pfom, mu, output_kind="integral"))
+    rom = red.reduce()
+    assert abs(float(rom.output_plain(mu)) - s_int) > 1e-7
+    s_c, eta = rom.output_corrected(mu)
+    assert abs(float(s_c) - s_int) < 1e-12
+    assert float(eta) < 1e-12
+
+    red2 = InstationaryPrimalDualReductor(
+        pfom, embedding=emb, product=Ru, output_kind="integral",
+        log_level=30,
+    )
+    for m in pfom.parameter_space.sample_randomly(3, key=1):
+        red2.extend(m, modes_per_extension=2)
+    rom2 = red2.reduce()
+    err_plain = abs(float(rom2.output_plain(mu)) - s_int)
+    s_c2, eta2 = rom2.output_corrected(mu)
+    err_corr = abs(float(s_c2) - s_int)
+    assert err_corr < 0.1 * err_plain
+    assert err_corr / 50 <= float(eta2) <= 50 * max(err_corr, 1e-14)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/rom.npz"
+        save_rom(rom2, p)
+        rom3 = load_rom(p)
+        assert rom3.output_kind == "integral"
+        s3, e3 = rom3.output_corrected(mu)
+        assert float(s3) == float(s_c2) and float(e3) == float(eta2)
+
+    with pytest.raises(ValueError, match="output_kind"):
+        InstationaryPrimalDualReductor(pfom, embedding=emb,
+                                       output_kind="mean", log_level=30)
