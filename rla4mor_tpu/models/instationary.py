@@ -30,6 +30,9 @@ import scipy.sparse.linalg as spla
 
 from rla4mor_tpu.core.affine import AffineDense, AffineOp
 from rla4mor_tpu.core.linops import HostSparseOp
+from rla4mor_tpu.core.parameters import Mu, ParameterSpace, eval_coefficients
+from rla4mor_tpu.core.products import Product
+from rla4mor_tpu.utils.logger import get_logger
 
 # reduced-system matmuls are tiny (r x r); HIGHEST removes the TPU f32
 # -> bf16 truncation from trajectories and estimators at no real cost
@@ -38,9 +41,6 @@ _HI = jax.lax.Precision.HIGHEST
 
 def _mm(a, b):
     return jnp.matmul(a, b, precision=_HI)
-from rla4mor_tpu.core.parameters import Mu, ParameterSpace, eval_coefficients
-from rla4mor_tpu.core.products import Product
-from rla4mor_tpu.utils.logger import get_logger
 
 
 class InstationaryFOM:
@@ -487,6 +487,18 @@ def pod_greedy(
             alphas = np.asarray(coercivity.tabulate(list(training_set)))
         else:  # jittable bounds (mor.bounds)
             alphas = np.asarray(jax.jit(jax.vmap(coercivity))(mus_batched))
+        if not np.all(alphas > 0):
+            # sqrt of a <=0 bound would flow NaN into the argmax, which
+            # then silently re-selects one mu forever; fail loudly (SCM
+            # LPs can legitimately return <=0 far from their anchor set)
+            bad = np.flatnonzero(~(alphas > 0))
+            raise ValueError(
+                f"certified pod_greedy: coercivity lower bound is not "
+                f"positive at {bad.size} training parameter(s) (first "
+                f"index {int(bad[0])}, value {float(alphas[bad[0]]):.3e}); "
+                "tighten the SCM fit (more anchors) or drop coercivity= "
+                "for indicator-only greedy"
+            )
         sqrt_alphas = np.sqrt(alphas)
 
     first_max = None

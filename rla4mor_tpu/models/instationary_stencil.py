@@ -235,13 +235,17 @@ class MassStencilOp(FlatGridOp):
         return self
 
 
+_UNBUILT = object()  # lazy-output sentinel (None is a valid built value)
+
+
 def _mean_value_output(fom):
     """The stencil families' lumped-integral output (``st.output``:
     sum(u) * h^d, uniform weights) as an affine (1, 1, n) row so the
     reduced models emit outputs; None when the family defines no
     output. The per-entry weight is derived by linearity from
-    ``output(ones)`` (uniform-weight functionals only — true for every
-    stencil family here)."""
+    ``output(ones)``; a one-hot probe verifies the uniform-weight
+    assumption so a future non-uniform ``output`` fails loudly here
+    instead of silently producing a wrong affine row."""
     from rla4mor_tpu.core.affine import AffineDense
     from rla4mor_tpu.core.parameters import ONE
 
@@ -251,6 +255,14 @@ def _mean_value_output(fom):
     n = math.prod(fom.solution_shape)
     ones = jnp.ones(fom.solution_shape, st.dtype)
     c = jnp.asarray(st.output(ones)) / n
+    e0 = jnp.zeros(fom.solution_shape, st.dtype).reshape(-1).at[0].set(1.0)
+    w0 = jnp.asarray(st.output(e0.reshape(fom.solution_shape)))
+    if not bool(jnp.abs(w0 - c) <= 1e-5 * (jnp.abs(c) + 1e-30)):
+        raise NotImplementedError(
+            f"{type(st).__name__}.output is not a uniform-weight "
+            "functional; _mean_value_output cannot derive its affine row "
+            f"(weight[0]={float(w0):.6e} != mean weight {float(c):.6e})"
+        )
     return AffineDense(jnp.full((1, 1, n), c, st.dtype), (ONE,))
 
 
@@ -275,7 +287,14 @@ class _FlatParabolicView:
         self.time_theta = fom.time_theta
         self.parameter_space = fom.parameter_space
         self.products = {}
-        self.output_functional = _mean_value_output(fom)
+        self._output_functional = _UNBUILT  # lazy: the dense (1,1,n)
+        # row is ~n*8 bytes, wasted on output-free big-n pipelines
+
+    @property
+    def output_functional(self):
+        if self._output_functional is _UNBUILT:
+            self._output_functional = _mean_value_output(self._fom)
+        return self._output_functional
 
     def solve(self, mu) -> jax.Array:
         return self._fom.solve_flat(mu, **self._solve_kw)

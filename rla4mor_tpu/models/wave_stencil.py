@@ -176,11 +176,19 @@ class _FlatWaveView:
         self.beta, self.gamma = fom.beta, fom.gamma
         self.parameter_space = fom.parameter_space
         self.products = {}
-        from rla4mor_tpu.models.instationary_stencil import (
-            _mean_value_output,
-        )
+        self._output_functional = None  # lazy (see _FlatParabolicView)
+        self._output_built = False
 
-        self.output_functional = _mean_value_output(fom)
+    @property
+    def output_functional(self):
+        if not self._output_built:
+            from rla4mor_tpu.models.instationary_stencil import (
+                _mean_value_output,
+            )
+
+            self._output_functional = _mean_value_output(self._fom)
+            self._output_built = True
+        return self._output_functional
 
     def solve(self, mu) -> jax.Array:
         traj = self._fom.solve(mu, **self._solve_kw)

@@ -244,6 +244,7 @@ def save_primal_dual_reductor(reductor, path) -> None:
         "seed_derivation": SEED_DERIVATION,
         "rb": np.asarray(reductor.primal.rb),
         "rb_dual": np.asarray(reductor.rb_dual),
+        "output_kind": getattr(reductor, "output_kind", "final"),
     }
     if reductor.primal.embedding is not None:
         d["seed_embedding"] = reductor.primal.embedding.seed
@@ -257,6 +258,14 @@ def load_primal_dual_reductor_state(reductor, path) -> None:
     freshly-constructed reductor over the same FOM."""
     d = np.load(Path(path), allow_pickle=False)
     _check_seed_derivation(d)
+    stored_kind = str(d["output_kind"]) if "output_kind" in d else "final"
+    own_kind = getattr(reductor, "output_kind", "final")
+    if stored_kind != own_kind:
+        raise ValueError(
+            f"checkpoint was written under output_kind={stored_kind!r} but "
+            f"the reductor uses {own_kind!r}: rb_dual holds POD modes of a "
+            "different adjoint problem"
+        )
     for key, emb in (("seed_embedding", reductor.primal.embedding),
                      ("seed_embedding_dual", reductor.embedding_dual)):
         if key in d and emb is not None and int(d[key]) != emb.seed:
@@ -304,13 +313,25 @@ def load_wave_reductor_state(reductor, path) -> None:
 # reductor checkpoint alongside when reconstruct() is part of serving.
 
 def save_rom(rom, path) -> None:
-    """Persist a :class:`StationaryROM`, :class:`InstationaryROM` or
-    :class:`WaveROM` standalone."""
+    """Persist a :class:`StationaryROM`, :class:`InstationaryROM`,
+    :class:`WaveROM` or a corrected-output composite standalone."""
+    np.savez_compressed(
+        path, seed_derivation=SEED_DERIVATION, **_rom_fields(rom)
+    )
+
+
+def _rom_fields(rom) -> dict:
+    """ROM -> flat npz-ready field dict (shared by the top-level save and
+    the composite nesting, so neither pays an intermediate npz pass)."""
     from rla4mor_tpu.models.instationary import InstationaryROM
+    from rla4mor_tpu.models.instationary_primal_dual import (
+        InstationaryCorrectedOutputROM,
+    )
     from rla4mor_tpu.models.stationary import StationaryROM
     from rla4mor_tpu.models.wave import WaveROM
+    from rla4mor_tpu.mor.primal_dual import CorrectedOutputROM
 
-    d: dict = {"seed_derivation": SEED_DERIVATION}
+    d: dict = {}
 
     def arr(key, x):
         if x is not None:
@@ -349,14 +370,14 @@ def save_rom(rom, path) -> None:
         save_affine(d, "est_lhs", rom.est_lhs)
         save_affine(d, "est_rhs", rom.est_rhs)
         save_affine(d, "out", rom.output_functional)
-    elif type(rom).__name__ == "CorrectedOutputROM":
+    elif isinstance(rom, CorrectedOutputROM):
         d["kind"] = "corrected_output"
         d["aux"] = np.asarray([], np.float64)
         _save_rom_into(d, "pr", rom.rom_pr)
         _save_rom_into(d, "du", rom.rom_du)
         save_affine(d, "rhs_z", rom.rhs_z)
         save_affine(d, "op_zv", rom.op_zv)
-    elif type(rom).__name__ == "InstationaryCorrectedOutputROM":
+    elif isinstance(rom, InstationaryCorrectedOutputROM):
         d["kind"] = "instationary_corrected_output"
         d["aux"] = np.asarray([], np.float64)
         d["output_kind"] = rom.output_kind
@@ -372,33 +393,21 @@ def save_rom(rom, path) -> None:
         save_affine(d, "est_l", rom.est_l)
     else:
         raise TypeError(f"save_rom: unsupported ROM type {type(rom)!r}")
-    np.savez_compressed(path, **d)
+    return d
 
 
 def _save_rom_into(d: dict, prefix: str, rom) -> None:
-    """Nested-ROM serialization (the corrected-output composites): save
-    the component ROM under key prefixes via a temporary dict."""
-    sub: dict = {}
-    import io
-
-    buf = io.BytesIO()
-    save_rom(rom, buf)
-    buf.seek(0)
-    loaded = np.load(buf, allow_pickle=False)
-    for k in loaded.files:
-        sub[f"{prefix}__{k}"] = loaded[k]
-    d.update(sub)
+    """Nested-ROM serialization (the corrected-output composites): the
+    component ROM's fields merge in under key prefixes."""
+    for k, v in _rom_fields(rom).items():
+        d[f"{prefix}__{k}"] = v
 
 
 def _load_rom_from(d, prefix: str):
-    import io
-
-    sub = {k[len(prefix) + 2:]: d[k] for k in d.files
+    keys = d.files if hasattr(d, "files") else list(d.keys())
+    sub = {k[len(prefix) + 2:]: d[k] for k in keys
            if k.startswith(prefix + "__")}
-    buf = io.BytesIO()
-    np.savez(buf, **sub)
-    buf.seek(0)
-    return load_rom(buf)
+    return _rom_from_fields(sub)
 
 
 def load_rom(path):
@@ -407,6 +416,10 @@ def load_rom(path):
     src = path if hasattr(path, "read") else Path(path)
     d = np.load(src, allow_pickle=False)
     _check_seed_derivation(d)
+    return _rom_from_fields(d)
+
+
+def _rom_from_fields(d):
     kind = str(d["kind"])
 
     def arr(key):

@@ -500,6 +500,46 @@ def test_pod_greedy_certified(pfom):
                    max_extensions=2, coercivity=alpha, log_level=30)
 
 
+def test_pod_greedy_rejects_nonpositive_coercivity(pfom):
+    """A coercivity lower bound that is not positive on the training set
+    fails loudly (sqrt would flow NaN into the argmax, silently pinning
+    the greedy to one mu forever)."""
+    Ru = pfom.products["h1_0"]
+    emb = GaussianEmbedding.make(pfom.solution_dim, sqrt_product=Ru.sqrt,
+                                 range_dim=40, seed=2)
+    red = InstationaryReductor(pfom, embedding=emb, product=Ru,
+                               log_level=30)
+    train = pfom.parameter_space.sample_randomly(3, key=2)
+
+    def bad_alpha(mu):
+        return jnp.sum(mu["diffusion"]) * 0.0 - 1.0
+
+    with pytest.raises(ValueError, match="not\\s+positive"):
+        pod_greedy(pfom, red, train, max_extensions=2,
+                   coercivity=bad_alpha, log_level=30)
+
+
+def test_mean_value_output_rejects_nonuniform():
+    """_mean_value_output derives the affine output row by linearity
+    from output(ones); a non-uniform-weight functional must be rejected
+    by the one-hot probe, not silently averaged."""
+    from rla4mor_tpu.models.instationary_stencil import _mean_value_output
+
+    class _St:
+        dtype = jnp.float64
+
+        def output(self, u):
+            w = jnp.arange(1.0, 17.0).reshape(4, 4)
+            return jnp.sum(w * u)
+
+    class _Fom:
+        stencil = _St()
+        solution_shape = (4, 4)
+
+    with pytest.raises(NotImplementedError, match="uniform-weight"):
+        _mean_value_output(_Fom())
+
+
 def test_flat_view_output_functional():
     """The stencil flat views expose the family's lumped-integral output
     as an affine row: it matches st.output column-wise on trajectories,

@@ -270,6 +270,15 @@ def test_primal_dual_reductor_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="seed_embedding_dual"):
         load_primal_dual_reductor_state(red3, path)
 
+    # output_kind mismatch -> rejected (rb_dual holds POD modes of a
+    # different adjoint problem)
+    red4 = InstationaryPrimalDualReductor(
+        pfom, embedding=emb, product=Ru, output_kind="integral",
+        log_level=30,
+    )
+    with pytest.raises(ValueError, match="output_kind"):
+        load_primal_dual_reductor_state(red4, path)
+
 
 def test_wave_reductor_roundtrip(tmp_path):
     """Wave reductor checkpoint: basis + embedding seed round-trip, ROM
