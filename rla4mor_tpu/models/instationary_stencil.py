@@ -255,13 +255,28 @@ def _mean_value_output(fom):
     n = math.prod(fom.solution_shape)
     ones = jnp.ones(fom.solution_shape, st.dtype)
     c = jnp.asarray(st.output(ones)) / n
-    e0 = jnp.zeros(fom.solution_shape, st.dtype).reshape(-1).at[0].set(1.0)
-    w0 = jnp.asarray(st.output(e0.reshape(fom.solution_shape)))
-    if not bool(jnp.abs(w0 - c) <= 1e-5 * (jnp.abs(c) + 1e-30)):
+
+    def _weight_at(flat_index, amplitude=1.0):
+        e = (jnp.zeros(n, st.dtype).at[flat_index].set(amplitude)
+             .reshape(fom.solution_shape))
+        return jnp.asarray(st.output(e))
+
+    # probe two one-hot weights AND homogeneity (output(2 e) == 2 output(e)),
+    # so non-uniform linear functionals and homogeneous nonlinear outputs
+    # (e.g. sum(u**2) * h^d, which passes a single one-hot check exactly)
+    # both fail loudly instead of silently producing a wrong affine row
+    w0 = _weight_at(0)
+    w_mid = _weight_at(n // 2)
+    w0_scaled = _weight_at(0, amplitude=2.0)
+    tol = 1e-5 * (jnp.abs(c) + 1e-30)
+    if not bool((jnp.abs(w0 - c) <= tol) & (jnp.abs(w_mid - c) <= tol)
+                & (jnp.abs(w0_scaled - 2.0 * w0) <= 2 * tol)):
         raise NotImplementedError(
-            f"{type(st).__name__}.output is not a uniform-weight "
+            f"{type(st).__name__}.output is not a uniform-weight linear "
             "functional; _mean_value_output cannot derive its affine row "
-            f"(weight[0]={float(w0):.6e} != mean weight {float(c):.6e})"
+            f"(weight[0]={float(w0):.6e}, weight[n//2]={float(w_mid):.6e}, "
+            f"output(2 e0)={float(w0_scaled):.6e} vs mean weight "
+            f"{float(c):.6e})"
         )
     return AffineDense(jnp.full((1, 1, n), c, st.dtype), (ONE,))
 

@@ -176,18 +176,19 @@ class _FlatWaveView:
         self.beta, self.gamma = fom.beta, fom.gamma
         self.parameter_space = fom.parameter_space
         self.products = {}
-        self._output_functional = None  # lazy (see _FlatParabolicView)
-        self._output_built = False
+        from rla4mor_tpu.models.instationary_stencil import _UNBUILT
+
+        self._output_functional = _UNBUILT  # lazy (see _FlatParabolicView)
 
     @property
     def output_functional(self):
-        if not self._output_built:
-            from rla4mor_tpu.models.instationary_stencil import (
-                _mean_value_output,
-            )
+        from rla4mor_tpu.models.instationary_stencil import (
+            _UNBUILT,
+            _mean_value_output,
+        )
 
+        if self._output_functional is _UNBUILT:
             self._output_functional = _mean_value_output(self._fom)
-            self._output_built = True
         return self._output_functional
 
     def solve(self, mu) -> jax.Array:

@@ -539,6 +539,21 @@ def test_mean_value_output_rejects_nonuniform():
     with pytest.raises(NotImplementedError, match="uniform-weight"):
         _mean_value_output(_Fom())
 
+    # a homogeneous NONLINEAR output (sum(u^2)/n) passes any single
+    # one-hot weight check exactly; the homogeneity probe must catch it
+    class _StSq:
+        dtype = jnp.float64
+
+        def output(self, u):
+            return jnp.sum(u * u) / 16.0
+
+    class _FomSq:
+        stencil = _StSq()
+        solution_shape = (4, 4)
+
+    with pytest.raises(NotImplementedError, match="uniform-weight"):
+        _mean_value_output(_FomSq())
+
 
 def test_flat_view_output_functional():
     """The stencil flat views expose the family's lumped-integral output
