@@ -25,6 +25,7 @@ mor       sketched reduced-basis reductor + greedy driver
 precond   sketched-HS-norm parametric preconditioner machinery
 estim     inverse problems: PBDW / dictionary recovery, manifold distances
 parallel  mesh / sharding helpers for pod-scale sketching
+serve     batched online serving of shipped ROMs (jitted, hot-swappable)
 """
 
 __version__ = "0.1.0"
