@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--grid", type=int, default=64,
                     help="thermal-block FEM intervals (n = (grid-1)^2)")
     ap.add_argument("--snapshots", type=int, default=20)
+    ap.add_argument("--r", type=int, default=12,
+                    help="shipped reduced dimension (truncate_basis)")
     ap.add_argument("--k", type=int, default=200)
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[1, 16, 256, 4096, 65536])
@@ -66,14 +68,25 @@ def main():
             fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=args.k,
             seed=seed,
         )
-        red = SketchedReductor(fom, embedding_primal=theta, product=Ru)
+        # f32 offline (no x64 here): truncate near-dependent snapshot
+        # directions at ~sqrt(eps_f32), else the reduced Galerkin system
+        # of RANDOM (collinear) snapshots is numerically singular.  The
+        # kept count is data-dependent, so pin the SHIPPED dims with
+        # truncate_basis — the hot swap below needs both trainings at
+        # identical reduced dims (same jitted program, zero recompiles).
+        red = SketchedReductor(fom, embedding_primal=theta, product=Ru,
+                               truncation_rtol=3e-4)
         mus = fom.parameter_space.sample_randomly(args.snapshots, key=seed)
         red.extend_basis(fom.solve_many(mus))
+        red.truncate_basis(args.r)
+        assert red.basis_size == args.r, (
+            f"only {red.basis_size} independent directions at rtol 3e-4; "
+            f"lower --r or raise --snapshots")
         return red.reduce(seed=seed + 1)
 
     path = Path("/tmp/rla4mor_serving_model.npz")
     save_rom(train(seed=0), path)
-    print(f"offline: trained + shipped r={args.snapshots} ROM "
+    print(f"offline: trained + shipped r={args.r} ROM "
           f"({path.stat().st_size / 1e3:.0f} kB artifact) in "
           f"{time.perf_counter() - t0:.1f}s")
 

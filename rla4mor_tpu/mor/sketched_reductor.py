@@ -78,6 +78,7 @@ class SketchedReductor:
         projection: str = "galerkin",
         log_level: int = 20,
         offline_dtype=None,
+        truncation_rtol: float = 0.0,
     ):
         """``offline_dtype`` (e.g. ``jnp.bfloat16``): store snapshots and
         feed every primal-embedding sketch at that dtype — halves the HBM
@@ -87,7 +88,16 @@ class SketchedReductor:
         by ~2^-9 relative, so error estimates carry an O(1e-3) relative
         floor — fine for greedy selection and 3-digit certification;
         tests/test_bf16_offline.py pins it.  Complex snapshots are left
-        untouched (no complex bf16)."""
+        untouched (no complex bf16).
+
+        ``truncation_rtol``: drop basis columns whose orthogonalized
+        direction has sketch norm < rtol * column norm (the vector-removal
+        semantics the reference inherits from pyMOR's ``gram_schmidt``
+        rtol, reference mor/sketched_reductor.py:94).  0.0 (default)
+        keeps every column — near-dependent directions become noise at
+        working precision and the reduced Galerkin system can turn
+        numerically singular.  Recommended for redundant snapshot sets:
+        ~1e-13 at f64, ~sqrt(eps)≈3e-4 at f32 offline."""
         assert projection in ("galerkin", "minres")
         self.fom = fom
         self.offline_dtype = (
@@ -108,6 +118,7 @@ class SketchedReductor:
         self.save_rb = save_rb
         self.orthonormalize = orthonormalize
         self.projection = projection
+        self.truncation_rtol = float(truncation_rtol)
         self.logger = get_logger("mor.sketched_reductor", log_level)
 
         k = self.embedding_primal.range_dim
@@ -176,14 +187,42 @@ class SketchedReductor:
             self.orthonormalize_basis(offset=self.basis_size - U.shape[1])
 
     def orthonormalize_basis(
-        self, offset: int = 0, T=None, return_T: bool = False
+        self, offset: int = 0, T=None, return_T: bool = False,
+        truncation_rtol: Optional[float] = None,
     ):
         """Orthonormalize ``srb`` (l2, sketch space) and push the change of
         basis T = pinv(R) through rb, residual and output (reference
-        mor/sketched_reductor.py:90-118)."""
+        mor/sketched_reductor.py:90-118).
+
+        ``truncation_rtol`` (default: the reductor's) > 0 additionally
+        DROPS columns whose orthogonalized direction fell below
+        rtol * column norm — pyMOR's vector-removal semantics, which the
+        reference inherits through ``gram_schmidt(..., rtol=...)``.  T
+        then has shape (r_old, r_kept)."""
         if T is None:
             Q, R = gram_schmidt(self.srb, offset=offset, return_R=True)
             T = jnp.linalg.pinv(R)
+            rtol = (self.truncation_rtol if truncation_rtol is None
+                    else float(truncation_rtol))
+            if rtol > 0.0 and self.basis_size > offset:
+                Rh = np.asarray(R)
+                col = np.linalg.norm(Rh, axis=0)
+                diag = np.abs(np.diagonal(Rh))
+                keep = diag > rtol * np.maximum(
+                    col, np.finfo(col.dtype).tiny
+                )
+                keep[:offset] = True
+                if not keep.all():
+                    self.logger.info(
+                        "truncating %d near-dependent basis column(s) "
+                        "(rtol=%.1e)", int((~keep).sum()), rtol,
+                    )
+                    Q = Q[:, keep]
+                    T = T[:, keep]
+                    if len(self.mu_basis) == keep.size:
+                        self.mu_basis = [
+                            m for m, k in zip(self.mu_basis, keep) if k
+                        ]
         else:
             Q = self.srb @ T
         self.srb = Q
@@ -197,6 +236,26 @@ class SketchedReductor:
         if self.output_functional is not None:
             self.output_functional = self.output_functional.rmul(T)
         return T if return_T else None
+
+    def truncate_basis(self, r: int) -> None:
+        """Keep only the FIRST ``r`` basis columns (no-op if r >= size).
+
+        Requires an orthonormalized sketched basis (``orthonormalize=True``
+        or a prior :meth:`orthonormalize_basis` call): leading-``r``
+        slicing is then the Galerkin restriction onto the leading
+        subspace, pushed consistently through srb / rb / residual /
+        output.  Use to ship FIXED-dimension artifacts — e.g. a nightly
+        model refresh at the same reduced dims as the previous artifact,
+        so :func:`rla4mor_tpu.serve.serve_batch` hot-swaps it with zero
+        recompiles (jit keys on leaf shapes).  The reference has no
+        analog (its online stage is shapeless per-mu Python)."""
+        if r < 0:
+            raise ValueError(f"truncate_basis: negative rank {r}")
+        if r >= self.basis_size:
+            return
+        T = jnp.eye(self.basis_size, r, dtype=self.srb.dtype)
+        self.orthonormalize_basis(T=T)
+        self.mu_basis = self.mu_basis[:r]
 
     # ------------------------------------------------------------------ reduce
     def _sketch_residual(

@@ -86,6 +86,39 @@ def evaluate_batch(rom, mus_batched):
 serve_batch = jax.jit(evaluate_batch)
 
 
+def serve_batch_sharded(rom, mus_batched, mesh, batch_axis: str = "mu"):
+    """Data-parallel serving over a device mesh.
+
+    The ROM pytree is replicated (it is small — dense reduced stacks),
+    the request batch is sharded over ``batch_axis``, and the same jitted
+    :func:`serve_batch` program runs SPMD: each request's online stage is
+    independent, so GSPMD partitions the vmapped program with zero
+    collectives in the hot path.  Serving throughput scales linearly in
+    mesh size until the per-device batch stops filling the MXU.
+
+    The batch size must be a multiple of the mesh axis size — quantize
+    traffic with :func:`pad_batch` onto multiples of
+    ``mesh.shape[batch_axis]``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_axis = mesh.shape[batch_axis]
+    leaves = jax.tree.leaves(mus_batched)
+    if leaves and leaves[0].shape[0] % n_axis:
+        raise ValueError(
+            f"serve_batch_sharded: batch {leaves[0].shape[0]} not a "
+            f"multiple of mesh axis '{batch_axis}' ({n_axis}); pad with "
+            "pad_batch first"
+        )
+    rep = NamedSharding(mesh, PartitionSpec())
+    shard = NamedSharding(mesh, PartitionSpec(batch_axis))
+    rom_r = jax.tree.map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, rom
+    )
+    mus_s = jax.tree.map(lambda x: jax.device_put(x, shard), mus_batched)
+    return serve_batch(rom_r, mus_s)
+
+
 def pad_batch(mus_batched, batch_size: int) -> Tuple[dict, int]:
     """Pad a batched Mu up to ``batch_size`` rows -> (padded, n_valid).
 

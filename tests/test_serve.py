@@ -169,3 +169,26 @@ def test_pad_batch(thermal_fom):
     np.testing.assert_allclose(np.asarray(out_p["u"][:3]),
                                np.asarray(out["u"]), rtol=1e-12,
                                atol=1e-14)
+
+
+def test_serve_batch_sharded_matches_unsharded(thermal_fom):
+    """Data-parallel serving over an 8-device 'mu' mesh == unsharded
+    serve_batch, and non-multiple batches are rejected."""
+    from rla4mor_tpu.parallel import make_mesh
+    from rla4mor_tpu.serve import serve_batch_sharded
+
+    rom = _stationary_rom(thermal_fom)
+    mesh = make_mesh(8, ("mu",))
+    mus = mu_stack(thermal_fom.parameter_space.sample_randomly(16, key=11))
+    out_s = serve_batch_sharded(rom, mus, mesh)
+    out = serve_batch(rom, mus)
+    for key in out:
+        np.testing.assert_allclose(np.asarray(out_s[key]),
+                                   np.asarray(out[key]),
+                                   rtol=1e-12, atol=1e-14)
+    # the batch really is sharded over the mesh
+    assert len(out_s["u"].sharding.device_set) == 8
+
+    bad = mu_stack(thermal_fom.parameter_space.sample_randomly(5, key=12))
+    with pytest.raises(ValueError, match="multiple"):
+        serve_batch_sharded(rom, bad, mesh)

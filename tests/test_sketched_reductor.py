@@ -582,3 +582,83 @@ def test_inf_sup_lower_bound_helmholtz():
         batch)
     assert bnds.shape == (8,)
     assert int(jnp.sum(jnp.isfinite(bnds))) >= 6
+
+
+def test_truncation_rtol_drops_dependent_columns(thermal_fom):
+    """truncation_rtol > 0 restores the reference's pyMOR vector-removal
+    semantics (reference mor/sketched_reductor.py:94 inherits
+    gram_schmidt's rtol): duplicated snapshots are DROPPED from the
+    sketched state instead of becoming noise columns, the change of
+    basis stays consistent across srb / rb / residual / output, and the
+    emitted ROM still solves accurately."""
+    fom = thermal_fom
+    red, _ = _setup(fom, GaussianEmbedding, orthonormalize=False)
+    red.orthonormalize = True
+    red.truncation_rtol = 1e-8
+    mus, U = _snapshots(fom, count=5)
+    # 5 genuine snapshots + 3 exact duplicates, interleaved mus
+    Udup = jnp.concatenate([U, U[:, :3]], axis=1)
+    mus_dup = list(mus) + list(mus[:3])
+    for j, mu in enumerate(mus_dup):
+        red.extend_basis(Udup[:, j], mu=mu)
+    assert red.basis_size == 5
+    assert len(red.mu_basis) == 5
+    # consistency of every transformed container
+    assert red.rb.shape[1] == 5
+    assert red.residual_lhs.stack.shape[-1] == 5
+    np.testing.assert_allclose(
+        np.asarray(red.srb.conj().T @ red.srb), np.eye(5), atol=1e-10
+    )
+    rom = red.reduce(seed=7)
+    # Galerkin is exact at a training mu (the snapshot is in the kept
+    # span) — the truncated change of basis must preserve that
+    mu = mus[0]
+    u_rom = red.rb @ rom.solve(mu)
+    u_ref = jnp.asarray(fom.solve(mu))
+    rel = float(jnp.linalg.norm(u_rom - u_ref) / jnp.linalg.norm(u_ref))
+    est = float(rom.estimate_error(mu))
+    assert np.isfinite(est)
+    assert rel < 1e-8
+
+    # default (rtol=0) keeps the reference-kept behavior: all 8 columns
+    red0, _ = _setup(fom, GaussianEmbedding, orthonormalize=False)
+    red0.orthonormalize = True
+    red0.extend_basis(Udup)
+    assert red0.basis_size == 8
+
+
+def test_truncate_basis_fixed_rank(thermal_fom):
+    """truncate_basis(r) keeps the FIRST r orthonormal columns, pushes
+    the restriction consistently through every container, and the
+    truncated ROM == a ROM trained on just the first r snapshots
+    (the leading subspace is identical under ordered Gram-Schmidt)."""
+    fom = thermal_fom
+    red, _ = _setup(fom, GaussianEmbedding, orthonormalize=True)
+    mus, U = _snapshots(fom, count=8)
+    red.extend_basis(U)
+    assert red.basis_size == 8
+    red.truncate_basis(5)
+    assert red.basis_size == 5
+    assert red.rb.shape[1] == 5
+    assert red.residual_lhs.stack.shape[-1] == 5
+    np.testing.assert_allclose(
+        np.asarray(red.srb.conj().T @ red.srb), np.eye(5), atol=1e-10
+    )
+
+    red5, _ = _setup(fom, GaussianEmbedding, orthonormalize=True)
+    red5.extend_basis(U[:, :5])
+    rom_t = red.reduce(seed=3)
+    rom_5 = red5.reduce(seed=3)
+    mu = fom.parameter_space.sample_randomly(1, key=42)[0]
+    np.testing.assert_allclose(np.asarray(rom_t.solve(mu)),
+                               np.asarray(rom_5.solve(mu)),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(float(rom_t.estimate_error(mu)),
+                               float(rom_5.estimate_error(mu)),
+                               rtol=1e-8)
+
+    # no-op and validation paths
+    red.truncate_basis(99)
+    assert red.basis_size == 5
+    with pytest.raises(ValueError, match="negative"):
+        red.truncate_basis(-1)
