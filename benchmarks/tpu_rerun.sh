@@ -27,7 +27,7 @@ timeout 3600 python examples/large_scale_demo.py \
 #    (record the offline wall-clock split: coarse greedy / fine rebuild)
 timeout 3600 python examples/large_scale_demo.py \
   --family nonaffine --grid 2047 --eim-grid 63 --eim-scan \
-  --precond mg --steps 4
+  --sketch srht --precond mg --steps 4
 
 # 4. 3-D 16.78M-DoF family (check the flat-SRHT 3-D reshape for the
 #    re-tiling wall flagged in PERF.md round-3 notes)

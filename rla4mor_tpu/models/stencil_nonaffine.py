@@ -309,6 +309,26 @@ class EimStencilFOM:
         return cls(exact, interp, kappa_floor=floor)
 
     # --- stencil-FOM protocol ------------------------------------------------
+    def const_arrays(self) -> dict:
+        """Large constant array leaves for jit-closure hoisting.
+
+        The (M, *element_shape) EIM basis fields are the one pod-scale
+        constant this FOM holds — ~1.5 GB at M=87, grid 2048² — and a
+        jit closure would bake them into the HLO as literals (the remote
+        compile transport rejects such programs).  The sharded greedy
+        driver threads this pytree through its state and calls
+        :meth:`bind` on the traced leaves inside the step."""
+        return {"xi": self.xi}
+
+    def bind(self, aux: dict) -> "EimStencilFOM":
+        """Shallow view of this FOM with :meth:`const_arrays` leaves
+        replaced by (traced) ``aux`` — values identical by contract."""
+        import copy
+
+        f = copy.copy(self)
+        f.xi = aux["xi"]
+        return f
+
     @property
     def n_terms(self) -> int:
         return self.interpolant.n_terms

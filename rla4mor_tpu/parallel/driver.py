@@ -36,10 +36,17 @@ class GreedyState(NamedTuple):
     # (r_max, N+1, N+1) full basis grids, kept only for score="exact"
     # (None otherwise; invariant: srb[:, j] == sketch(U[j]))
     U: jax.Array | None = None
+    # constant FOM array leaves (fom.const_arrays()), threaded through
+    # the jitted step as an ARGUMENT pytree instead of closure capture:
+    # closure-captured concrete arrays are baked into the HLO as
+    # literals, and e.g. the 87 fine-grid EIM basis fields at 4.2M DoF
+    # are ~1.5 GB — the remote compile transport rejects the program
+    # (same failure class as the iota-traced stencil masks, PERF.md)
+    aux: dict | None = None
 
 
 def init_state(k: int, r_max: int, n_terms: int, res_rhs,
-               U0=None) -> GreedyState:
+               U0=None, aux=None) -> GreedyState:
     dt = res_rhs.dtype
     return GreedyState(
         srb=jnp.zeros((k, r_max), dt),
@@ -47,6 +54,7 @@ def init_state(k: int, r_max: int, n_terms: int, res_rhs,
         res_rhs=res_rhs,
         ncols=jnp.asarray(0, jnp.int32),
         U=U0,
+        aux=aux,
     )
 
 
@@ -180,10 +188,17 @@ def make_sharded_greedy_step(
         U0 = None
     else:
         raise ValueError(f"unknown score mode {score!r}")
-    state0 = init_state(k, r_max, fom.n_terms, res_rhs, U0=U0)
+    # hoist the FOM's large constant arrays (if it declares any) into the
+    # state pytree, so they enter the jitted step as arguments rather than
+    # HLO literals (see GreedyState.aux)
+    aux0 = fom.const_arrays() if hasattr(fom, "const_arrays") else None
+    state0 = init_state(k, r_max, fom.n_terms, res_rhs, U0=U0, aux=aux0)
+
+    def _fom(state: GreedyState):
+        return fom if aux0 is None else fom.bind(state.aux)
 
     def rom_solve_and_estimate(state: GreedyState, mu):
-        theta = fom.theta_vector(mu).astype(state.srb.dtype)
+        theta = _fom(state).theta_vector(mu).astype(state.srb.dtype)
         # mask unused columns: identity rows keep the system solvable
         col_mask = (jnp.arange(r_max) < state.ncols).astype(state.srb.dtype)
         res = jnp.einsum("t,tkr->kr", theta, state.res_lhs) * col_mask[None, :]
@@ -218,7 +233,7 @@ def make_sharded_greedy_step(
         )
         u_rom = lax.with_sharding_constraint(u_rom, grid_sharding)
         # fom.apply runs at the input's dtype (stencil-FOM protocol)
-        r_vec = fom.apply(mu, u_rom) - rhs_e
+        r_vec = _fom(state).apply(mu, u_rom) - rhs_e
         est = jnp.linalg.norm(r_vec)
         if model_error is not None:
             # surrogate-model error added to the RB residual: a TOTAL
@@ -229,21 +244,22 @@ def make_sharded_greedy_step(
         return est
 
     def step(state: GreedyState, mu, mu_batch):
+        fm = _fom(state)
         # 1) sharded FOM solve
-        bvec = lax.with_sharding_constraint(fom.rhs(), grid_sharding)
+        bvec = lax.with_sharding_constraint(fm.rhs(), grid_sharding)
         if cg_precond == "mg":
             from rla4mor_tpu.models.multigrid import make_vcycle
 
-            M = make_vcycle(fom.kappa(mu))
+            M = make_vcycle(fm.kappa(mu))
         else:
-            diag = fom.jacobi_diag(mu)
+            diag = fm.jacobi_diag(mu)
             M = lambda r: r / diag  # noqa: E731
 
         from rla4mor_tpu.core.solvers import bicgstab, cg
 
         solver = cg if getattr(fom, "is_spd", True) else bicgstab
         u = solver(
-            lambda v: fom.apply(mu, v),
+            lambda v: fm.apply(mu, v),
             bvec,
             precond=M,
             tol=cg_tol,
@@ -253,7 +269,7 @@ def make_sharded_greedy_step(
 
         # 2) sketch snapshot and its residual columns (one batched sketch)
         terms = jnp.stack(
-            [fom.apply_term(t, u).reshape(-1) for t in range(fom.n_terms)],
+            [fm.apply_term(t, u).reshape(-1) for t in range(fom.n_terms)],
             axis=1,
         )  # (n, T)
         X = jnp.concatenate([u.reshape(-1, 1), terms], axis=1)
@@ -315,7 +331,7 @@ def make_sharded_greedy_step(
             # (a vmap would stack batch-many 16.8M-DoF grids); rhs built
             # once outside the map
             rhs_e = lax.with_sharding_constraint(
-                fom.rhs(dtype=exact_dtype), grid_sharding
+                fm.rhs(dtype=exact_dtype), grid_sharding
             )
             estimates = lax.map(
                 lambda m: exact_estimate(state, m, rhs_e), mu_batch

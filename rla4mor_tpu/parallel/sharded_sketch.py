@@ -60,20 +60,38 @@ def gaussian_sketch_blocked(key, k: int, x: jax.Array, n_blocks: int) -> jax.Arr
 
 
 def gaussian_sketch_sharded(key, k: int, x: jax.Array, mesh: Mesh,
-                            axis: str = "dof") -> jax.Array:
+                            axis: str = "dof",
+                            max_omega_elems: int = 1 << 26) -> jax.Array:
     """Sharded Omega @ x: each shard generates its own column block from
-    fold_in(key, shard_index) and contributes via psum. Result replicated."""
+    fold_in(key, shard_index) and contributes via psum. Result replicated.
+
+    The local Omega strip is generated in column CHUNKS of at most
+    ``max_omega_elems`` entries (default 2^26 = 256 MB f32): tile-based
+    generation peaks at ~3x the strip (vmap stack + reshape + concat),
+    so an unchunked (k, n_local) strip at pod scale — e.g. (256, 4.2M)
+    on ONE device — exhausts HBM before the matmul even starts.  Chunk
+    starts stay width-aligned multiples of the canonical column offset,
+    so the values are bit-identical to the unchunked strip."""
     n_dev = mesh.shape[axis]
     n = x.shape[0]
     assert n % n_dev == 0
+    n_local = n // n_dev
+    width = n_local
+    while width * k > max_omega_elems and width % 2 == 0:
+        width //= 2
 
     def local(x_local):
         b = lax.axis_index(axis)
-        Ob = gaussian_block(key, k, x_local.shape[0], b, x_local.dtype)
-        return lax.psum(
-            jnp.matmul(Ob, x_local, precision=jax.lax.Precision.HIGHEST),
-            axis_name=axis,
-        )
+        c00 = b * n_local
+        acc = jnp.zeros((k,) + x_local.shape[1:], x_local.dtype)
+        for j in range(n_local // width):
+            Oj = gaussian_cols(key, k, c00 + j * width, width,
+                               x_local.dtype, aligned=True)
+            acc = acc + jnp.matmul(
+                Oj, lax.slice_in_dim(x_local, j * width, (j + 1) * width),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return lax.psum(acc, axis_name=axis)
 
     in_spec = P(axis) if x.ndim == 1 else P(axis, None)
     return jax.shard_map(

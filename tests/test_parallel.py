@@ -36,6 +36,20 @@ def test_gaussian_sharded_equals_blocked(mesh, rng):
     assert np.array_equal(g1, g2) or np.abs(g1 - g2).max() < 1e-12
 
 
+def test_gaussian_sharded_chunked_equals_unchunked(mesh, rng):
+    """Column-chunked local Omega generation (the pod-scale HBM guard:
+    an unchunked (k, n_local) strip peaks at ~3x its size during tile
+    generation) produces the same sketch as the single-chunk path."""
+    key = jax.random.key(3)
+    n, k, m = 512, 33, 5
+    x = jnp.asarray(rng.normal(size=(n, m)))
+    g1 = np.asarray(gaussian_sketch_sharded(key, k, x, mesh))
+    # force 4 chunks per local strip (n_local=64 -> width 16)
+    g2 = np.asarray(gaussian_sketch_sharded(key, k, x, mesh,
+                                            max_omega_elems=16 * k))
+    assert np.abs(g1 - g2).max() < 1e-12
+
+
 def test_srht_sharded_equals_blocked(mesh, rng):
     key = jax.random.key(4)
     n, k, m = 1024, 57, 3
