@@ -284,6 +284,7 @@ def make_sharded_greedy_step(
         # form (mor/sketched_reductor.py orthonormalize_basis)
         c = state.ncols
         col_mask = (jnp.arange(r_max) < c).astype(su.dtype)
+        su0_nrm = jnp.linalg.norm(su)  # raw sketch scale, pre-GS
         ug = u  # GS-combined snapshot grid (kept only for score="exact")
         for _ in range(2):  # one re-orthogonalization pass
             coeffs = (state.srb.conj().T @ su) * col_mask
@@ -295,11 +296,24 @@ def make_sharded_greedy_step(
                 # same combination on the stored basis grids, preserving
                 # the invariant srb[:, j] == sketch(U[j])
                 ug = ug - jnp.tensordot(coeffs, state.U, axes=1)
-        nrm = jnp.maximum(jnp.linalg.norm(su), 1e-30)
+        nrm_raw = jnp.linalg.norm(su)
+        nrm = jnp.maximum(nrm_raw, 1e-30)
         # saturate at r_max: JAX drops out-of-bounds scatters SILENTLY, so
         # without the guard an extra step would keep incrementing ncols
-        # against a stale basis (round-2 review finding)
-        ok = c < r_max
+        # against a stale basis (round-2 review finding). Also refuse to
+        # write a DEGENERATE snapshot: (a) non-finite — one diverged
+        # solve (e.g. the MG V-cycle amplifying on a sharp-feature kappa)
+        # would poison the padded state PERMANENTLY, every later estimate
+        # turns NaN (a NaN anywhere in u reaches every sketch entry
+        # through the sketching matmul, so the k-sized checks see it);
+        # (b) sketch-dependent — a zero solve (CG exits at x0 on NaN
+        # inputs: NaN comparisons are false) or an exact-duplicate
+        # snapshot leaves only GS roundoff, and normalizing noise into a
+        # live column makes the masked Galerkin system singular. This is
+        # the driver-side analog of the host reductor's truncation_rtol.
+        finite = jnp.all(jnp.isfinite(su)) & jnp.all(jnp.isfinite(s_terms))
+        indep = nrm_raw > 100 * jnp.finfo(su.dtype).eps * su0_nrm
+        ok = (c < r_max) & finite & indep
         c_write = jnp.minimum(c, r_max - 1)
         su_col = jnp.where(ok, su / nrm, state.srb[:, c_write])
         res_col = jnp.where(

@@ -276,6 +276,38 @@ def test_sharded_greedy_step():
     assert est_self.min() < 1e-6
 
 
+def test_sharded_step_skips_nonfinite_snapshot():
+    """A diverged/NaN FOM solve (here: a NaN parameter) must NOT be
+    written into the padded state — ncols stays put, estimates stay
+    finite, and a later good step extends normally (regression: one bad
+    solve at 4.2M DoF permanently poisoned every later estimate)."""
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("dof", "mu"))
+    fom = StencilThermalBlock((2, 2), 15, dtype=jnp.float64)
+    key = jax.random.key(0)
+    state0, step = make_sharded_greedy_step(
+        fom, mesh, key, k=32, r_max=4, cg_tol=1e-10, cg_maxiter=500
+    )
+    from rla4mor_tpu.core import mu_stack
+    from rla4mor_tpu.core.parameters import ParameterSpace
+
+    space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
+    mu_good = space.sample_randomly(1, key=1)[0]
+    mu_bad = jax.tree.map(lambda x: x * jnp.nan, mu_good)
+    batch = mu_stack(space.sample_randomly(8, key=2))
+    with mesh:
+        jit_step = jax.jit(step)
+        state, est0, _ = jit_step(state0, mu_good, batch)
+        state, est1, _ = jit_step(state, mu_bad, batch)
+        state, est2, _ = jit_step(state, space.sample_randomly(1, key=3)[0],
+                                  batch)
+    assert int(state.ncols) == 2  # the bad step was skipped
+    assert bool(jnp.all(jnp.isfinite(state.srb)))
+    assert bool(jnp.all(jnp.isfinite(state.res_lhs)))
+    for est in (est0, est1, est2):
+        assert np.all(np.isfinite(np.asarray(est)))
+
+
 def test_sharded_step_matches_unsharded_oracle():
     """The sharded step's sketched state equals a hand-built unsharded one."""
     devices = np.array(jax.devices()[:8]).reshape(4, 2)
