@@ -40,6 +40,16 @@ from rla4mor_tpu.mor.eim import (
     mdeim,
     theta_coefficients,
 )
+from rla4mor_tpu.mor.optimize import (
+    CertifiedOptimum,
+    MinimizeResult,
+    OutputDualNorm,
+    certified_minimize,
+    make_objective,
+    minimize_output,
+    output_error_bound,
+    output_gradient,
+)
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
     save_rom,
@@ -68,6 +78,9 @@ __all__ = [
     "MinThetaCoercivity", "error_bound", "InfSupLowerBound",
     "inf_sup_error_bound", "parabolic_error_bound",
     "ScmHermitian", "ScmCoercivity", "ScmInfSup",
+    "CertifiedOptimum", "MinimizeResult", "OutputDualNorm",
+    "certified_minimize", "make_objective", "minimize_output",
+    "output_error_bound", "output_gradient",
     "EimInterpolant", "eim_greedy", "eim_greedy_device", "eim_greedy_scan",
     "eim_rebuild", "deim", "deim_points",
     "MdeimOperator", "mdeim", "theta_coefficients",

@@ -1,0 +1,321 @@
+"""Certified ROM-based parameter optimization.
+
+The reference framework's online stage is evaluation-only (greedy loops in
+user scripts, reference mor/sketched_reductor.py; no optimizer anywhere in
+/root/reference). This module adds the classic downstream application of a
+certified reduced model: minimize an output functional
+
+    J(mu) = objective(s(u_r(mu)), mu),   A(mu) u = b(mu),  s = C(mu) u
+
+over the box parameter space, TPU-native end to end:
+
+* **Exact gradients via autodiff through the reduced solve.** ``jax.grad``
+  of ``StationaryROM.solve`` differentiates ``jnp.linalg.solve``, whose
+  transpose rule IS the discrete adjoint equation — one extra r x r solve
+  per gradient, not r forward solves and no hand-derived adjoint (the
+  pyMOR stack the reference builds on ships a hand-written
+  ``output_d_mu``; here the chain rule through the affine coefficient
+  functionals is mechanical).
+* **Batched multi-start.** All starting points run one jitted
+  ``vmap``-of-``lax.scan`` projected-gradient program — S optimizers cost
+  one program on the MXU, not S Python loops.
+* **Certification.** ``|J_fom - J_rom| <= ||l(mu)||_{R^-1} * eta(mu) /
+  alpha_LB(mu)`` combines the sketched residual estimator with a
+  coercivity lower bound (:class:`~rla4mor_tpu.mor.bounds.MinThetaCoercivity`)
+  and the exact affine Gram of the output functional's Riesz
+  representatives. :func:`certified_minimize` wraps the optimizer in the
+  standard enrich-at-the-optimum loop: optimize on the ROM, certify the
+  candidate, extend the basis with one FOM solve there if the certificate
+  is too loose, repeat — FOM solves are spent only where the optimizer
+  actually goes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rla4mor_tpu.core.affine import AffineDense
+from rla4mor_tpu.core.parameters import Mu, ParameterSpace, eval_coefficients
+from rla4mor_tpu.core.products import Product
+from rla4mor_tpu.mor.bounds import error_bound
+from rla4mor_tpu.utils.logger import get_logger
+
+
+# ---------------------------------------------------------------------------
+# Objective construction
+# ---------------------------------------------------------------------------
+
+
+def make_objective(
+    rom,
+    space: ParameterSpace,
+    objective: Optional[Callable] = None,
+    component: int = 0,
+):
+    """Scalar function ``J(x)`` of the FLAT parameter vector ``x``.
+
+    ``objective(s, mu)`` maps the output vector ``s = C(mu) u_r`` (and
+    ``mu``) to a real scalar; default = ``Re s[component]``. The returned
+    function is pure and jit/grad/vmap-safe (``ParameterSpace.parse`` is
+    traced slicing).
+    """
+    if objective is None:
+        def objective(s, mu):  # noqa: ARG001 - uniform signature
+            return jnp.real(jnp.asarray(s).reshape(-1)[component])
+
+    def J(x):
+        mu = space.parse(x)
+        u = rom.solve(mu)
+        return objective(rom.output(u, mu), mu)
+
+    return J
+
+
+def output_gradient(rom, space: ParameterSpace, objective=None, component=0):
+    """``(value, grad)`` of the reduced output w.r.t. the flat parameter
+    vector — autodiff through the reduced solve (adjoint-exact)."""
+    return jax.value_and_grad(
+        make_objective(rom, space, objective, component)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Box-constrained multi-start projected gradient (one jitted program)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MinimizeResult:
+    x: jax.Array            # (d,) best final iterate
+    value: float            # J(x)
+    stationarity: float     # ||x - P(x - grad)||_2 at the best iterate
+    xs: jax.Array           # (S, d) all final iterates
+    values: jax.Array       # (S,)
+    iterations: int
+
+
+def minimize_output(
+    rom,
+    space: ParameterSpace,
+    objective: Optional[Callable] = None,
+    component: int = 0,
+    n_starts: int = 8,
+    iters: int = 100,
+    key: jax.Array | int = 0,
+    step0: float = 1.0,
+    sigma: float = 1e-4,
+    x0: Optional[jax.Array] = None,
+) -> MinimizeResult:
+    """Minimize the reduced output over the box ``[space.low, space.high]^d``.
+
+    Projected gradient with Armijo backtracking (sufficient decrease
+    ``J(x+) <= J(x) - (sigma/t) ||x - x+||^2``), step doubled after each
+    accepted iterate. All ``n_starts`` starts (uniform draws + the box
+    midpoint; rows of ``x0`` override) advance together in one jitted
+    ``vmap(lax.scan)`` program.
+    """
+    d = space.dim()
+    lo = jnp.asarray(space.low, jnp.result_type(float))
+    hi = jnp.asarray(space.high, jnp.result_type(float))
+    if x0 is not None:
+        starts = jnp.atleast_2d(jnp.asarray(x0, lo.dtype))
+        assert starts.shape[1] == d
+    else:
+        if isinstance(key, int):
+            key = jax.random.key(key)
+        starts = jax.random.uniform(
+            key, (max(int(n_starts), 1), d), minval=lo, maxval=hi,
+            dtype=lo.dtype,
+        )
+        starts = starts.at[0].set(jnp.full((d,), 0.5 * (lo + hi), lo.dtype))
+
+    J = make_objective(rom, space, objective, component)
+    vg = jax.value_and_grad(J)
+    proj = lambda z: jnp.clip(z, lo, hi)  # noqa: E731
+    t_max = jnp.asarray(max(step0, 1.0) * 1024.0, lo.dtype)
+    t_min = jnp.asarray(1e-14, lo.dtype)
+
+    def pgd(x_init):
+        def body(carry, _):
+            x, t = carry
+            f0, g = vg(x)
+
+            def trial(tt):
+                xn = proj(x - tt * g)
+                return xn, J(xn)
+
+            xn, fn = trial(t)
+
+            def need_backtrack(st):
+                tt, xn, fn = st
+                decrease = f0 - fn
+                required = (sigma / tt) * jnp.sum((x - xn) ** 2)
+                return (decrease < required) & (tt > t_min)
+
+            def backtrack(st):
+                tt = st[0] * 0.5
+                xn, fn = trial(tt)
+                return (tt, xn, fn)
+
+            t, xn, fn = jax.lax.while_loop(
+                need_backtrack, backtrack, (t, xn, fn)
+            )
+            accept = fn <= f0
+            x1 = jnp.where(accept, xn, x)
+            t1 = jnp.where(accept, jnp.minimum(2.0 * t, t_max), t)
+            return (x1, t1), None
+
+        (x_fin, _), _ = jax.lax.scan(
+            body, (x_init, jnp.asarray(step0, lo.dtype)), None, length=iters
+        )
+        f_fin, g_fin = vg(x_fin)
+        stat = jnp.linalg.norm(x_fin - proj(x_fin - g_fin))
+        return x_fin, f_fin, stat
+
+    xs, values, stats = jax.jit(jax.vmap(pgd))(starts)
+    best = int(jnp.argmin(values))
+    return MinimizeResult(
+        x=xs[best],
+        value=float(values[best]),
+        stationarity=float(stats[best]),
+        xs=xs,
+        values=values,
+        iterations=int(iters),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Output error certification
+# ---------------------------------------------------------------------------
+
+
+class OutputDualNorm:
+    """Exact ``||l(mu)||_{R^-1}`` for one row of an affine output functional.
+
+    ``l(mu) = sum_t theta_t(mu) c_t`` (row ``component`` of each term of
+    ``fom.output_functional``); the T x T Gram ``G_ts = c_t R^-1 c_s^H`` of
+    the Riesz representatives is precomputed once on host (T is tiny), so
+    evaluation ``sqrt(theta^H G theta)`` is jittable/vmappable. Combined
+    with a state bound it certifies ``|s(u) - s(u_r)| <= ||l|| * ||e||_R``.
+    """
+
+    def __init__(self, fom, product: Product, component: int = 0):
+        of = fom.output_functional
+        assert of is not None, "FOM has no output functional"
+        if isinstance(of, AffineDense):
+            rows = [np.asarray(of.stack[t])[component]
+                    for t in range(of.stack.shape[0])]
+            coeffs = of.coefficients
+        else:  # AffineOp with host/dense terms
+            rows = [np.asarray(term.matrix())[component] for term in of.terms]
+            coeffs = of.coefficients
+        self.coefficients = tuple(coeffs)
+        C = np.stack(rows, axis=0)  # (T, n)
+        Q = np.asarray(product.riesz(jnp.asarray(C.conj().T)))  # (n, T)
+        self.G = jnp.asarray(C @ Q)  # (T, T), Hermitian PSD
+
+    def __call__(self, mu: Mu) -> jax.Array:
+        theta = jnp.asarray(eval_coefficients(self.coefficients, mu))
+        q = jnp.real(theta.conj() @ (self.G @ theta))
+        return jnp.sqrt(jnp.maximum(q, 0.0))
+
+
+def output_error_bound(rom, mu: Mu, coercivity, dual_norm: OutputDualNorm,
+                       u_r=None) -> jax.Array:
+    """Certified (up to sketch distortion) output error bound
+    ``||l(mu)||_{R^-1} * eta(mu) / alpha_LB(mu)``. Jittable, vmappable."""
+    return dual_norm(mu) * error_bound(rom, mu, coercivity, u_r)
+
+
+# ---------------------------------------------------------------------------
+# Certified optimization: optimize on the ROM, enrich at the optimum
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CertifiedOptimum:
+    mu: Mu
+    x: jax.Array
+    value: float                 # reduced output at mu
+    bound: float                 # certified |J_fom - value| bound at mu
+    converged: bool
+    n_enrichments: int
+    history: List[dict] = field(default_factory=list)
+
+
+def certified_minimize(
+    fom,
+    reductor,
+    coercivity,
+    tol: float,
+    space: Optional[ParameterSpace] = None,
+    objective: Optional[Callable] = None,
+    component: int = 0,
+    max_enrichments: int = 20,
+    seed: int = 0,
+    log_level: int = 20,
+    **minimize_kwargs,
+) -> CertifiedOptimum:
+    """Minimize the FOM output to certified absolute accuracy ``tol``.
+
+    Loop: reduce -> multi-start PGD on the ROM -> certify the candidate
+    optimum with :func:`output_error_bound` -> if the certificate exceeds
+    ``tol``, spend ONE FOM solve there (`extend_basis`) and repeat. This is
+    the standard certified-surrogate optimization pattern (cf. Qian et al.
+    trust-region RB); FOM work concentrates where the optimizer goes
+    instead of a global greedy over a training set.
+
+    ``objective`` must be the default output component for the certificate
+    to apply verbatim (a custom objective reuses the optimizer but the
+    bound still certifies the output COMPONENT, not the composite).
+    """
+    space = space or fom.parameter_space
+    logger = get_logger("mor.optimize", log_level)
+    dual = OutputDualNorm(fom, product=reductor.product, component=component)
+    history: List[dict] = []
+
+    if reductor.basis_size == 0:
+        mu0 = space.parse(
+            jnp.full((space.dim(),), 0.5 * (space.low + space.high))
+        )
+        logger.info("empty basis: seeding with one FOM solve at the midpoint")
+        reductor.extend_basis(fom.solve(mu0), mu=mu0)
+
+    n_enrich = 0
+    for round_idx in range(max_enrichments + 1):
+        rom = reductor.reduce(seed=seed + 17 * round_idx)
+        res = minimize_output(
+            rom, space, objective=objective, component=component,
+            key=seed + round_idx, **minimize_kwargs,
+        )
+        mu = space.parse(res.x)
+        bound = float(output_error_bound(rom, mu, coercivity, dual))
+        history.append(
+            {"round": round_idx, "basis_size": reductor.basis_size,
+             "value": res.value, "bound": bound,
+             "stationarity": res.stationarity}
+        )
+        logger.info(
+            "round %d: r=%d J=%.6e bound=%.3e stat=%.2e",
+            round_idx, reductor.basis_size, res.value, bound,
+            res.stationarity,
+        )
+        if bound <= tol:
+            return CertifiedOptimum(
+                mu=mu, x=res.x, value=res.value, bound=bound,
+                converged=True, n_enrichments=n_enrich, history=history,
+            )
+        if round_idx == max_enrichments:
+            break
+        reductor.extend_basis(fom.solve(mu), mu=mu)
+        n_enrich += 1
+
+    return CertifiedOptimum(
+        mu=mu, x=res.x, value=res.value, bound=bound,
+        converged=False, n_enrichments=n_enrich, history=history,
+    )

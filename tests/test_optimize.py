@@ -1,0 +1,245 @@
+"""Certified ROM-based parameter optimization (mor/optimize.py).
+
+Oracle pattern (reference preconditioners/tests.py): autodiff gradients
+against central finite differences, the optimizer against dense grid
+search over the FOM, and the output certificate against a hand-composed
+dual-norm * residual/alpha product — plus one strictly rigorous run with
+an exact (identity-Q) sketch where |J_fom - J_rom| <= bound must hold as
+a theorem, not a heuristic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rla4mor_tpu.mor import (
+    MinThetaCoercivity,
+    SketchedReductor,
+    certified_minimize,
+    error_bound,
+    make_objective,
+    minimize_output,
+    output_error_bound,
+    output_gradient,
+    OutputDualNorm,
+)
+from rla4mor_tpu.ops import GaussianEmbedding, IdentityEmbedding
+
+
+def _trained_rom(fom, n_snapshots=8, k=150, k_online=60, seed=3):
+    Ru = fom.h1_0_product
+    theta = GaussianEmbedding.make(
+        fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=k, seed=seed
+    )
+    phi = GaussianEmbedding.make(k, range_dim=k_online, seed=seed + 100)
+    red = SketchedReductor(
+        fom, embedding_primal=theta, embedding_online=phi, product=Ru,
+        orthonormalize=True,
+    )
+    mus = fom.parameter_space.sample_randomly(n_snapshots, key=7)
+    red.extend_basis(fom.solve_many(mus))
+    return red, red.reduce(seed=5)
+
+
+def _exact_reductor(fom):
+    """Reductor whose residual sketch is EXACT: Theta = Q with Q^H Q = R,
+    so the estimator computes ||r||_{R^-1} with no sketch distortion and
+    every bound downstream is rigorous."""
+    Ru = fom.h1_0_product
+    theta = IdentityEmbedding(fom.solution_dim, sqrt_product=Ru.sqrt)
+    return SketchedReductor(
+        fom, embedding_primal=theta,
+        embedding_online=IdentityEmbedding(theta.range_dim),
+        product=Ru, orthonormalize=True,
+    )
+
+
+def test_output_gradient_matches_finite_differences(thermal_fom):
+    fom = thermal_fom
+    _, rom = _trained_rom(fom)
+    space = fom.parameter_space
+    vg = output_gradient(rom, space)
+
+    x = jnp.asarray([0.4, 0.7, 0.55, 0.3])
+    val, grad = vg(x)
+    J = make_objective(rom, space)
+    eps = 1e-6
+    for i in range(4):
+        e = jnp.zeros(4).at[i].set(eps)
+        fd = (J(x + e) - J(x - e)) / (2 * eps)
+        assert abs(float(grad[i]) - float(fd)) <= 1e-6 * max(
+            1.0, abs(float(fd))
+        )
+    assert np.isfinite(val)
+
+
+def test_minimize_beats_grid_search(thermal_fom):
+    """Multi-start PGD on the ROM finds an output value <= the best of a
+    dense parameter grid evaluated on the SAME ROM (and the maximize
+    direction works via a custom objective)."""
+    fom = thermal_fom
+    _, rom = _trained_rom(fom)
+    space = fom.parameter_space
+
+    res = minimize_output(rom, space, n_starts=6, iters=80, key=1)
+    grid = space.sample_uniformly(4)  # 256 points
+    from rla4mor_tpu.core.parameters import mu_stack
+
+    J_grid = jax.vmap(
+        lambda mu: jnp.real(rom.output(rom.solve(mu), mu).reshape(-1)[0])
+    )(mu_stack(grid))
+    assert res.value <= float(jnp.min(J_grid)) + 1e-12
+    assert bool(jnp.all(res.x >= space.low - 1e-12))
+    assert bool(jnp.all(res.x <= space.high + 1e-12))
+    # mean temperature decreases with diffusion -> minimizer at the top
+    # boundary in every component
+    assert bool(jnp.all(res.x >= space.high - 1e-6))
+
+    neg = minimize_output(
+        rom, space,
+        objective=lambda s, mu: -jnp.real(jnp.asarray(s).reshape(-1)[0]),
+        n_starts=6, iters=80, key=2,
+    )
+    assert bool(jnp.all(neg.x <= space.low + 1e-6))
+
+
+def test_minimize_interior_optimum(thermal_fom):
+    """A least-squares objective (J - J_target)^2 has interior optima;
+    PGD must drive it (near) to zero with zero stationarity gap."""
+    fom = thermal_fom
+    _, rom = _trained_rom(fom)
+    space = fom.parameter_space
+    J = make_objective(rom, space)
+    target = 0.5 * (float(J(jnp.full(4, 0.2))) + float(J(jnp.full(4, 0.9))))
+
+    res = minimize_output(
+        rom, space,
+        objective=lambda s, mu: (
+            jnp.real(jnp.asarray(s).reshape(-1)[0]) - target
+        ) ** 2,
+        n_starts=8, iters=120, key=3,
+    )
+    assert res.value <= 1e-14
+    assert res.stationarity <= 1e-6
+
+
+def test_output_dual_norm_oracle(thermal_fom):
+    """theta^H G theta == dense c R^-1 c^H at several mu."""
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    dual = OutputDualNorm(fom, product=Ru)
+    c = np.asarray(fom.output_functional.stack[0][0])  # non-parametric row
+    expected = float(np.sqrt(c @ np.asarray(Ru.riesz(jnp.asarray(c)))))
+    for key in (1, 2):
+        mu = fom.parameter_space.sample_randomly(1, key=key)[0]
+        assert abs(float(dual(mu)) - expected) <= 1e-12 * expected
+
+
+def test_output_error_bound_is_rigorous_with_exact_sketch(thermal_fom):
+    """With Theta = Q (exact estimator) the certificate is a theorem:
+    |s(u) - s(u_r)| <= ||l||_{R^-1} * eta / alpha_LB at every mu tested."""
+    fom = thermal_fom
+    red = _exact_reductor(fom)
+    mus = fom.parameter_space.sample_randomly(4, key=11)
+    red.extend_basis(fom.solve_many(mus))
+    rom = red.reduce()
+    mu_ref = {"diffusion": jnp.full((4,), 1.0)}
+    alpha = MinThetaCoercivity(fom, mu_ref)
+    dual = OutputDualNorm(fom, product=fom.h1_0_product)
+
+    for key in (21, 22, 23):
+        mu = fom.parameter_space.sample_randomly(1, key=key)[0]
+        u = fom.solve(mu)
+        u_r = rom.solve(mu)
+        true_err = abs(
+            float(fom.output(u, mu).reshape(-1)[0])
+            - float(rom.output(u_r, mu).reshape(-1)[0])
+        )
+        bound = float(output_error_bound(rom, mu, alpha, dual, u_r=u_r))
+        # sanity: bound decomposes as dual * state bound
+        state = float(error_bound(rom, mu, alpha, u_r=u_r))
+        assert abs(bound - float(dual(mu)) * state) <= 1e-12 * max(bound, 1.0)
+        assert true_err <= bound * (1 + 1e-12)
+        # and the R-norm state bound itself is rigorous here too
+        e = np.asarray(u) - np.asarray(red.rb) @ np.asarray(u_r)
+        r_norm = float(fom.h1_0_product.norm(jnp.asarray(e)))
+        assert r_norm <= state * (1 + 1e-12)
+
+
+def test_certified_minimize_converges_and_certifies(thermal_fom):
+    fom = thermal_fom
+    red = _exact_reductor(fom)
+    mu_ref = {"diffusion": jnp.full((4,), 1.0)}
+    alpha = MinThetaCoercivity(fom, mu_ref)
+
+    tol = 1e-8
+    opt = certified_minimize(
+        fom, red, alpha, tol=tol, n_starts=4, iters=60, seed=0,
+        log_level=30,
+    )
+    assert opt.converged
+    assert opt.bound <= tol
+    # the certificate really brackets the FOM output at the optimum
+    s_fom = float(fom.output(fom.solve(opt.mu), opt.mu).reshape(-1)[0])
+    assert abs(s_fom - opt.value) <= opt.bound * (1 + 1e-12)
+    # enrichment happened (started from an empty basis) and is recorded
+    assert opt.history[0]["basis_size"] >= 1
+    assert opt.n_enrichments == len(opt.history) - 1
+    # FOM optimum check: certified min <= FOM output on a random sample
+    for key in (31, 32):
+        mu = fom.parameter_space.sample_randomly(1, key=key)[0]
+        s = float(fom.output(fom.solve(mu), mu).reshape(-1)[0])
+        assert opt.value - opt.bound <= s + 1e-10
+
+
+def test_certified_minimize_enriches_at_the_optimum(thermal_fom):
+    """A basis seeded AWAY from the optimizer's target cannot certify a
+    tiny tolerance -> the loop must spend FOM solves at the candidate
+    optima until the certificate closes (n_enrichments >= 1), and the
+    enrichment parameters recorded in the reductor include the optimum."""
+    fom = thermal_fom
+    red = _exact_reductor(fom)
+    # one snapshot off the uniform-diffusion line (which spans the
+    # uniform-mu manifold exactly and would certify in zero rounds)
+    mu0 = {"diffusion": jnp.asarray([0.15, 0.9, 0.3, 0.7])}
+    red.extend_basis(fom.solve(mu0), mu=mu0)
+    mu_ref = {"diffusion": jnp.full((4,), 1.0)}
+    alpha = MinThetaCoercivity(fom, mu_ref)
+
+    opt = certified_minimize(
+        fom, red, alpha, tol=1e-12, n_starts=4, iters=80, seed=2,
+        log_level=30,
+    )
+    assert opt.converged
+    assert opt.n_enrichments >= 1
+    assert opt.bound <= 1e-12
+    # bounds are recorded decreasing to convergence
+    assert opt.history[0]["bound"] > 1e-12
+    s_fom = float(fom.output(fom.solve(opt.mu), opt.mu).reshape(-1)[0])
+    assert abs(s_fom - opt.value) <= max(opt.bound, 1e-15) * (1 + 1e-12)
+
+
+def test_certified_minimize_reports_nonconvergence(thermal_fom):
+    """Impossible tolerance with zero allowed enrichments -> converged is
+    False and the history is still populated (no exception)."""
+    fom = thermal_fom
+    red = _exact_reductor(fom)
+    mu_ref = {"diffusion": jnp.full((4,), 1.0)}
+    alpha = MinThetaCoercivity(fom, mu_ref)
+    opt = certified_minimize(
+        fom, red, alpha, tol=0.0, max_enrichments=0,
+        n_starts=2, iters=20, seed=1, log_level=30,
+    )
+    assert not opt.converged
+    assert len(opt.history) == 1
+
+
+def test_minimize_x0_rows_override_random_starts(thermal_fom):
+    fom = thermal_fom
+    _, rom = _trained_rom(fom)
+    space = fom.parameter_space
+    x0 = jnp.asarray([[0.2, 0.2, 0.2, 0.2], [0.9, 0.9, 0.9, 0.9]])
+    res = minimize_output(rom, space, x0=x0, iters=40)
+    assert res.xs.shape == (2, 4)
+    assert res.value == float(jnp.min(res.values))
