@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Certified UQ demo (mor/uq.py): output statistics over the parameter box.
+
+Mean/variance of the thermal-block mean temperature under uniform mu, and
+a certified bracket for the exceedance probability P[s > c] — every sample
+is a reduced solve + rigorous certificate, evaluated in jitted vmapped
+batches; the ROM-vs-FOM bias is bounded, not hoped for. QMC (scrambled
+Halton) vs plain MC shown side by side.
+
+Run on CPU: python examples/uq_demo.py --cpu
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--intervals", type=int, default=40)
+    ap.add_argument("--n", type=int, default=20000)
+    ap.add_argument("--snapshots", type=int, default=30)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from rla4mor_tpu.models import ThermalBlockFOM
+    from rla4mor_tpu.mor import (
+        MinThetaCoercivity,
+        OutputDualNorm,
+        SketchedReductor,
+        certified_moments,
+        exceedance_probability,
+    )
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    fom = ThermalBlockFOM(grid_shape=(3, 3), num_intervals=args.intervals)
+    space = fom.parameter_space
+    Ru = fom.h1_0_product
+    print(f"FOM: n={fom.solution_dim}, parameters={space.dim()}")
+
+    theta = GaussianEmbedding.make(
+        fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=400, seed=0
+    )
+    phi = GaussianEmbedding.make(400, range_dim=200, seed=100)
+    red = SketchedReductor(
+        fom, embedding_primal=theta, embedding_online=phi, product=Ru,
+        orthonormalize=True,
+    )
+    mus = space.sample_randomly(args.snapshots, key=7)
+    t0 = time.perf_counter()
+    red.extend_basis(fom.solve_many(mus))
+    rom = red.reduce(seed=1)
+    print(f"offline: {args.snapshots} snapshots -> r={red.basis_size} "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    alpha = MinThetaCoercivity(fom, {"diffusion": jnp.full((9,), 1.0)})
+    dual = OutputDualNorm(fom, product=Ru)
+
+    for method in ("mc", "halton"):
+        t0 = time.perf_counter()
+        res = certified_moments(
+            rom, space, alpha, dual, n=args.n, key=5, method=method,
+            batch=4096,
+        )
+        dt = time.perf_counter() - t0
+        print(
+            f"{method:6s}: E[s]={res.mean:.6f} "
+            f"(bias<= {res.bias_bound:.1e}, mc +-{res.mc_stderr:.1e})  "
+            f"std={res.std:.6f} (var bias<= {res.var_bias_bound:.1e})  "
+            f"[{res.n} samples, {dt:.1f}s = "
+            f"{res.n / dt:.0f} certified solves/s]"
+        )
+
+    c = res.mean + res.std
+    t0 = time.perf_counter()
+    exc = exceedance_probability(
+        rom, space, alpha, dual, threshold=c, n=args.n, key=6, batch=4096
+    )
+    print(
+        f"P[s > {c:.4f}] in [{exc.p_lo:.4f}, {exc.p_hi:.4f}] "
+        f"(nominal {exc.p_nominal:.4f} +-{exc.mc_stderr:.1e}; "
+        f"certificate gap {exc.p_hi - exc.p_lo:.1e}) "
+        f"[{time.perf_counter() - t0:.1f}s]"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,13 @@ from rla4mor_tpu.mor.optimize import (
     output_error_bound,
     output_gradient,
 )
+from rla4mor_tpu.mor.uq import (
+    ExceedanceResult,
+    UqResult,
+    certified_moments,
+    exceedance_probability,
+    sample_mu_batched,
+)
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
     save_rom,
@@ -81,6 +88,8 @@ __all__ = [
     "CertifiedOptimum", "MinimizeResult", "OutputDualNorm",
     "certified_minimize", "make_objective", "minimize_output",
     "output_error_bound", "output_gradient",
+    "UqResult", "ExceedanceResult", "certified_moments",
+    "exceedance_probability", "sample_mu_batched",
     "EimInterpolant", "eim_greedy", "eim_greedy_device", "eim_greedy_scan",
     "eim_rebuild", "deim", "deim_points",
     "MdeimOperator", "mdeim", "theta_coefficients",

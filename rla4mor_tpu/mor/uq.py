@@ -1,0 +1,240 @@
+"""Certified uncertainty quantification over the parameter box.
+
+The reference framework has no UQ story (its online stage evaluates one
+mu at a time, reference mor/sketched_reductor.py greedy scripts). This
+module estimates statistics of the output ``s(mu)`` under the uniform
+distribution on the parameter box using the certified reduced model:
+
+* every sample is a reduced solve + output + certificate, evaluated in
+  jitted vmapped batches on the MXU (thousands of samples per dispatch);
+* the ROM-vs-FOM **bias is bounded rigorously** by the per-sample output
+  certificate ``eta_s(mu) = ||l(mu)||_{R^-1} eta(mu) / alpha_LB(mu)``
+  (:func:`~rla4mor_tpu.mor.optimize.output_error_bound`):
+
+  - mean:      |E s_fom - E s_rom|   <=  E eta_s,
+  - variance:  |V s_fom - V s_rom|   <=  E[eta_s^2] + 2 sqrt(E[eta_s^2] V s_rom)
+    (write s_fom = s_rom + d with |d| <= eta_s pointwise; V(r+d) - V(r)
+    = V(d) + 2 Cov(r, d), then Cauchy-Schwarz and V(d) <= E[d^2]),
+  - exceedance P[s_fom > c]: samples with s_rom - eta_s > c certainly
+    exceed, samples with s_rom + eta_s <= c certainly do not — a
+    deterministic bracket [p_lo, p_hi] up to Monte-Carlo error only.
+
+* sampling is plain Monte Carlo (``method='mc'``) or scrambled Halton
+  QMC (``method='halton'``, O(n^-1) for smooth outputs vs O(n^-1/2));
+  both deterministic in ``key``.
+
+MC standard errors describe the sampling noise and are reported
+separately from the (deterministic) model-bias bounds — the two do not
+mix: total |E s_fom - mean| <= bias_bound + O(mc_stderr).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rla4mor_tpu.core.parameters import Mu, ParameterSpace
+from rla4mor_tpu.mor.optimize import OutputDualNorm
+
+
+# ---------------------------------------------------------------------------
+# Batched sampling of the parameter box
+# ---------------------------------------------------------------------------
+
+
+def sample_mu_batched(
+    space: ParameterSpace, n: int, key: jax.Array | int = 0,
+    method: str = "mc", offset: int = 0,
+) -> Mu:
+    """A batched ``Mu`` (each leaf ``(n, size)``) of box samples.
+
+    ``method='mc'``: iid uniform, one fold of ``key`` per GLOBAL sample
+    index (threefry) — sample ``offset + i`` is the same array whatever
+    the batching, so streaming in batches reproduces the one-shot draw.
+    ``method='halton'``: scrambled Halton low-discrepancy points
+    (scipy.stats.qmc, seeded by ``key``); ``offset`` skips the first
+    ``offset`` points of the SAME sequence so batched streaming over one
+    sequence stays a valid QMC point set.
+    """
+    d = space.dim()
+    if method == "mc":
+        if isinstance(key, int):
+            key = jax.random.key(key)
+
+        def draw(i):
+            return jax.random.uniform(
+                jax.random.fold_in(key, i), (d,),
+                minval=space.low, maxval=space.high,
+                dtype=jnp.result_type(float),
+            )
+
+        x = jax.vmap(draw)(jnp.arange(offset, offset + n))
+    elif method == "halton":
+        from scipy.stats import qmc
+
+        seed = key if isinstance(key, int) else int(
+            jax.random.randint(key, (), 0, 2**31 - 1)
+        )
+        h = qmc.Halton(d=d, scramble=True, seed=seed)
+        if offset:
+            h.fast_forward(offset)
+        x = jnp.asarray(
+            space.low + (space.high - space.low) * h.random(n),
+            jnp.result_type(float),
+        )
+    else:
+        raise ValueError(f"method must be 'mc' or 'halton': {method!r}")
+
+    out: Mu = {}
+    off = 0
+    for name, size in space.shapes:
+        out[name] = x[:, off:off + size]
+        off += size
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Certified moments
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class UqResult:
+    mean: float              # MC/QMC estimate of E s_rom
+    std: float               # sqrt of the (unbiased) sample variance
+    mc_stderr: float         # sampling std error of `mean` (0 meaning for QMC)
+    bias_bound: float        # certified |E s_fom - E s_rom| bound
+    var_bias_bound: float    # certified |V s_fom - V s_rom| bound
+    mean_eta: float          # E eta_s (the certificate's own average)
+    n: int
+    method: str
+
+
+def _batched_output_and_bound(rom, coercivity, dual_norm, component):
+    def one(mu: Mu):
+        u = rom.solve(mu)
+        s = jnp.real(jnp.asarray(rom.output(u, mu)).reshape(-1)[component])
+        eta = rom.error_estimator.estimate_error(u, mu)
+        eta_s = dual_norm(mu) * eta / coercivity(mu)
+        return s, eta_s
+
+    return jax.jit(jax.vmap(one))
+
+
+def certified_moments(
+    rom,
+    space: ParameterSpace,
+    coercivity,
+    dual_norm: OutputDualNorm,
+    n: int = 4096,
+    key: jax.Array | int = 0,
+    method: str = "mc",
+    component: int = 0,
+    batch: int = 4096,
+) -> UqResult:
+    """Mean/variance of the output over the box with certified ROM bias.
+
+    ``dual_norm`` is the :class:`OutputDualNorm` built on the SAME product
+    R the ROM's residual estimator sketches in. Samples stream in jitted
+    batches of ``batch`` (one program, reused), so ``n`` is bounded by
+    time, not memory.
+    """
+    run = _batched_output_and_bound(rom, coercivity, dual_norm, component)
+
+    tot = 0
+    s_sum = 0.0
+    s_sq = 0.0
+    e_sum = 0.0
+    e_sq = 0.0
+    while tot < n:
+        b = min(batch, n - tot)
+        mus = sample_mu_batched(space, b, key=key, method=method, offset=tot)
+        s, eta = run(mus)
+        s = np.asarray(s, np.float64)
+        eta = np.asarray(eta, np.float64)
+        s_sum += float(s.sum())
+        s_sq += float((s * s).sum())
+        e_sum += float(eta.sum())
+        e_sq += float((eta * eta).sum())
+        tot += b
+
+    mean = s_sum / tot
+    var = max(s_sq / tot - mean * mean, 0.0) * (tot / max(tot - 1, 1))
+    mean_eta = e_sum / tot
+    mean_eta2 = e_sq / tot
+    var_bias = mean_eta2 + 2.0 * math.sqrt(mean_eta2 * var)
+    return UqResult(
+        mean=mean,
+        std=math.sqrt(var),
+        mc_stderr=math.sqrt(var / tot) if method == "mc" else 0.0,
+        bias_bound=mean_eta,
+        var_bias_bound=var_bias,
+        mean_eta=mean_eta,
+        n=tot,
+        method=method,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Certified exceedance probability
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ExceedanceResult:
+    p_lo: float         # fraction CERTAINLY above the threshold
+    p_hi: float         # fraction possibly above (1 - certainly below)
+    p_nominal: float    # plain ROM estimate P[s_rom > c]
+    mc_stderr: float    # sampling std error of the nominal estimate
+    n: int
+    threshold: float
+
+
+def exceedance_probability(
+    rom,
+    space: ParameterSpace,
+    coercivity,
+    dual_norm: OutputDualNorm,
+    threshold: float,
+    n: int = 4096,
+    key: jax.Array | int = 0,
+    method: str = "mc",
+    component: int = 0,
+    batch: int = 4096,
+) -> ExceedanceResult:
+    """Certified bracket for ``P[s_fom(mu) > threshold]``.
+
+    ``p_lo <= P <= p_hi`` holds deterministically for the SAMPLED empirical
+    measure (the certificates decide each sample); the gap ``p_hi - p_lo``
+    is the fraction of samples whose certificate straddles the threshold —
+    it shrinks as the basis is enriched, independent of n.
+    """
+    run = _batched_output_and_bound(rom, coercivity, dual_norm, component)
+    tot = 0
+    n_sure = 0
+    n_maybe = 0
+    n_nom = 0
+    while tot < n:
+        b = min(batch, n - tot)
+        mus = sample_mu_batched(space, b, key=key, method=method, offset=tot)
+        s, eta = run(mus)
+        s = np.asarray(s, np.float64)
+        eta = np.asarray(eta, np.float64)
+        n_sure += int((s - eta > threshold).sum())
+        n_maybe += int((s + eta > threshold).sum())
+        n_nom += int((s > threshold).sum())
+        tot += b
+    p_nom = n_nom / tot
+    return ExceedanceResult(
+        p_lo=n_sure / tot,
+        p_hi=n_maybe / tot,
+        p_nominal=p_nom,
+        mc_stderr=math.sqrt(max(p_nom * (1 - p_nom), 0.0) / tot)
+        if method == "mc" else 0.0,
+        n=tot,
+        threshold=threshold,
+    )

@@ -1,0 +1,150 @@
+"""Certified UQ over the parameter box (mor/uq.py).
+
+Oracle pattern: the batched estimators are recomputed by direct per-sample
+evaluation; bias bounds are checked against a FOM Monte Carlo on the SAME
+samples (with the exact identity-Q sketch the certificates are theorems,
+so |E s_fom - E s_rom| <= bias_bound must hold sample-for-sample).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rla4mor_tpu.core.parameters import mu_unstack
+from rla4mor_tpu.mor import (
+    MinThetaCoercivity,
+    OutputDualNorm,
+    SketchedReductor,
+    certified_moments,
+    exceedance_probability,
+    sample_mu_batched,
+)
+from rla4mor_tpu.ops import IdentityEmbedding
+
+
+@pytest.fixture(scope="module")
+def setup(thermal_fom):
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    theta = IdentityEmbedding(fom.solution_dim, sqrt_product=Ru.sqrt)
+    red = SketchedReductor(
+        fom, embedding_primal=theta,
+        embedding_online=IdentityEmbedding(theta.range_dim),
+        product=Ru, orthonormalize=True,
+    )
+    mus = fom.parameter_space.sample_randomly(5, key=3)
+    red.extend_basis(fom.solve_many(mus))
+    rom = red.reduce()
+    alpha = MinThetaCoercivity(fom, {"diffusion": jnp.full((4,), 1.0)})
+    dual = OutputDualNorm(fom, product=Ru)
+    return fom, rom, alpha, dual
+
+
+def test_sample_mu_batched_shapes_and_determinism(thermal_fom):
+    space = thermal_fom.parameter_space
+    for method in ("mc", "halton"):
+        a = sample_mu_batched(space, 16, key=5, method=method)
+        b = sample_mu_batched(space, 16, key=5, method=method)
+        assert a["diffusion"].shape == (16, 4)
+        assert np.allclose(np.asarray(a["diffusion"]),
+                           np.asarray(b["diffusion"]))
+        arr = np.asarray(a["diffusion"])
+        assert arr.min() >= space.low and arr.max() <= space.high
+    # offset streams the same sequence: [0:8]+[8:16] == [0:16]
+    full = np.asarray(
+        sample_mu_batched(space, 16, key=7, method="halton")["diffusion"]
+    )
+    tail = np.asarray(
+        sample_mu_batched(space, 8, key=7, method="halton", offset=8)[
+            "diffusion"]
+    )
+    assert np.allclose(full[8:], tail)
+
+
+def test_certified_moments_vs_fom_monte_carlo(setup):
+    """ROM moments on n samples agree with a direct FOM evaluation of the
+    SAME samples within the certified bias bounds (+ tiny slack for the
+    f64 arithmetic)."""
+    fom, rom, alpha, dual = setup
+    space = fom.parameter_space
+    n = 64
+    res = certified_moments(
+        rom, space, alpha, dual, n=n, key=11, method="mc", batch=32
+    )
+    assert res.n == n and res.method == "mc"
+
+    mus = sample_mu_batched(space, n, key=11, method="mc")
+    s_fom = np.array([
+        float(fom.output(fom.solve(mu), mu).reshape(-1)[0])
+        for mu in mu_unstack(mus)
+    ])
+    mean_fom = s_fom.mean()
+    var_fom = s_fom.var(ddof=1)
+    assert abs(mean_fom - res.mean) <= res.bias_bound + 1e-12
+    assert abs(var_fom - res.std ** 2) <= res.var_bias_bound + 1e-12
+    assert res.mc_stderr > 0
+
+
+def test_certified_moments_batch_invariance(setup):
+    """Streaming in batches must not change the estimate (same sequence)."""
+    fom, rom, alpha, dual = setup
+    space = fom.parameter_space
+    a = certified_moments(rom, space, alpha, dual, n=48, key=2, batch=48)
+    b = certified_moments(rom, space, alpha, dual, n=48, key=2, batch=16)
+    assert abs(a.mean - b.mean) <= 1e-12 * max(1.0, abs(a.mean))
+    assert abs(a.std - b.std) <= 1e-12
+    assert abs(a.bias_bound - b.bias_bound) <= 1e-14
+
+
+def test_halton_moments_converge_faster_is_not_asserted_but_runs(setup):
+    fom, rom, alpha, dual = setup
+    res = certified_moments(
+        rom, fom.parameter_space, alpha, dual, n=128, key=3, method="halton"
+    )
+    assert res.mc_stderr == 0.0
+    assert np.isfinite(res.mean) and res.std >= 0
+
+
+def test_exceedance_bracket_contains_fom_probability(setup):
+    fom, rom, alpha, dual = setup
+    space = fom.parameter_space
+    n = 64
+    # median-ish threshold so both sides are populated
+    probe = certified_moments(rom, space, alpha, dual, n=32, key=4)
+    c = probe.mean
+    res = exceedance_probability(
+        rom, space, alpha, dual, threshold=c, n=n, key=13, batch=32
+    )
+    assert 0.0 <= res.p_lo <= res.p_nominal <= res.p_hi <= 1.0
+
+    mus = sample_mu_batched(space, n, key=13, method="mc")
+    s_fom = np.array([
+        float(fom.output(fom.solve(mu), mu).reshape(-1)[0])
+        for mu in mu_unstack(mus)
+    ])
+    p_emp = float((s_fom > c).mean())
+    assert res.p_lo - 1e-12 <= p_emp <= res.p_hi + 1e-12
+
+
+def test_enrichment_tightens_the_bracket(setup, thermal_fom):
+    """The certificate gap p_hi - p_lo is a model-quality measure: a
+    richer basis must shrink it (independently of n)."""
+    fom, rom5, alpha, dual = setup
+    space = fom.parameter_space
+    Ru = fom.h1_0_product
+    theta = IdentityEmbedding(fom.solution_dim, sqrt_product=Ru.sqrt)
+    red = SketchedReductor(
+        fom, embedding_primal=theta,
+        embedding_online=IdentityEmbedding(theta.range_dim),
+        product=Ru, orthonormalize=True,
+    )
+    mus = space.sample_randomly(25, key=3)
+    red.extend_basis(fom.solve_many(mus))
+    rom25 = red.reduce()
+
+    probe = certified_moments(rom25, space, alpha, dual, n=32, key=4)
+    kw = dict(threshold=probe.mean, n=64, key=13, batch=32)
+    gap5 = exceedance_probability(rom5, space, alpha, dual, **kw)
+    gap25 = exceedance_probability(rom25, space, alpha, dual, **kw)
+    assert gap25.p_hi - gap25.p_lo < gap5.p_hi - gap5.p_lo
+    assert gap25.p_hi - gap25.p_lo <= 0.25
