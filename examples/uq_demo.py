@@ -83,6 +83,22 @@ def main():
             f"{res.n / dt:.0f} certified solves/s]"
         )
 
+    from rla4mor_tpu.mor import sobol_indices
+    from rla4mor_tpu.mor.optimize import make_objective
+
+    t0 = time.perf_counter()
+    sob = sobol_indices(
+        make_objective(rom, space), space, n=2048, key=8, method="halton"
+    )
+    order = sorted(range(space.dim()), key=lambda i: -sob.total[i])
+    tops = ", ".join(
+        f"{sob.names[i]}: S={sob.first[i]:.3f} T={sob.total[i]:.3f}"
+        for i in order[:3]
+    )
+    print(f"Sobol sensitivities (top 3 of {space.dim()}): {tops} "
+          f"[{2048 * (space.dim() + 2)} evals, "
+          f"{time.perf_counter() - t0:.1f}s]")
+
     c = res.mean + res.std
     t0 = time.perf_counter()
     exc = exceedance_probability(

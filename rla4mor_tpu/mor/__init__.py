@@ -47,15 +47,18 @@ from rla4mor_tpu.mor.optimize import (
     certified_minimize,
     make_objective,
     minimize_output,
+    minimize_scalar,
     output_error_bound,
     output_gradient,
 )
 from rla4mor_tpu.mor.uq import (
     ExceedanceResult,
+    SobolResult,
     UqResult,
     certified_moments,
     exceedance_probability,
     sample_mu_batched,
+    sobol_indices,
 )
 from rla4mor_tpu.mor.serialization import (
     save_reductor,
@@ -88,8 +91,9 @@ __all__ = [
     "CertifiedOptimum", "MinimizeResult", "OutputDualNorm",
     "certified_minimize", "make_objective", "minimize_output",
     "output_error_bound", "output_gradient",
-    "UqResult", "ExceedanceResult", "certified_moments",
-    "exceedance_probability", "sample_mu_batched",
+    "UqResult", "ExceedanceResult", "SobolResult", "certified_moments",
+    "exceedance_probability", "sample_mu_batched", "sobol_indices",
+    "minimize_scalar",
     "EimInterpolant", "eim_greedy", "eim_greedy_device", "eim_greedy_scan",
     "eim_rebuild", "deim", "deim_points",
     "MdeimOperator", "mdeim", "theta_coefficients",

@@ -99,11 +99,9 @@ class MinimizeResult:
     iterations: int
 
 
-def minimize_output(
-    rom,
+def minimize_scalar(
+    J: Callable,
     space: ParameterSpace,
-    objective: Optional[Callable] = None,
-    component: int = 0,
     n_starts: int = 8,
     iters: int = 100,
     key: jax.Array | int = 0,
@@ -111,13 +109,17 @@ def minimize_output(
     sigma: float = 1e-4,
     x0: Optional[jax.Array] = None,
 ) -> MinimizeResult:
-    """Minimize the reduced output over the box ``[space.low, space.high]^d``.
+    """Minimize a jittable scalar ``J(x)`` of the FLAT parameter vector
+    over the box ``[space.low, space.high]^d``.
 
     Projected gradient with Armijo backtracking (sufficient decrease
     ``J(x+) <= J(x) - (sigma/t) ||x - x+||^2``), step doubled after each
     accepted iterate. All ``n_starts`` starts (uniform draws + the box
     midpoint; rows of ``x0`` override) advance together in one jitted
-    ``vmap(lax.scan)`` program.
+    ``vmap(lax.scan)`` program. Any differentiable reduced quantity
+    works as ``J`` — e.g. ``lambda x: rom.output_corrected(
+    space.parse(x))[0]`` for a goal-oriented primal-dual ROM, or a
+    final-time parabolic output (autodiff flows through ``lax.scan``).
     """
     d = space.dim()
     lo = jnp.asarray(space.low, jnp.result_type(float))
@@ -134,7 +136,6 @@ def minimize_output(
         )
         starts = starts.at[0].set(jnp.full((d,), 0.5 * (lo + hi), lo.dtype))
 
-    J = make_objective(rom, space, objective, component)
     vg = jax.value_and_grad(J)
     proj = lambda z: jnp.clip(z, lo, hi)  # noqa: E731
     t_max = jnp.asarray(max(step0, 1.0) * 1024.0, lo.dtype)
@@ -186,6 +187,20 @@ def minimize_output(
         xs=xs,
         values=values,
         iterations=int(iters),
+    )
+
+
+def minimize_output(
+    rom,
+    space: ParameterSpace,
+    objective: Optional[Callable] = None,
+    component: int = 0,
+    **kwargs,
+) -> MinimizeResult:
+    """Minimize the reduced output over the box — :func:`minimize_scalar`
+    on :func:`make_objective`; see there for the optimizer options."""
+    return minimize_scalar(
+        make_objective(rom, space, objective, component), space, **kwargs
     )
 
 

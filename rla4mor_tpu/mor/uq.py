@@ -180,6 +180,107 @@ def certified_moments(
 
 
 # ---------------------------------------------------------------------------
+# Variance-based global sensitivity (Sobol indices)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SobolResult:
+    first: np.ndarray     # (d,) first-order indices S_i
+    total: np.ndarray     # (d,) total-effect indices T_i
+    variance: float       # sample variance of the output
+    n: int                # base sample count (total evals = n * (d + 2))
+    names: tuple          # flat-coordinate labels, e.g. ('diffusion[0]', ...)
+
+
+def sobol_indices(
+    J,
+    space: ParameterSpace,
+    n: int = 2048,
+    key: jax.Array | int = 0,
+    method: str = "halton",
+    batch: int = 4096,
+) -> SobolResult:
+    """First-order and total Sobol indices of ``J(x)`` under uniform mu.
+
+    Saltelli pick-freeze design with the Saltelli-2010 first-order and
+    Jansen total-effect estimators: two independent point sets A, B plus
+    the d column-swapped hybrids — ``n * (d + 2)`` evaluations, all
+    through one jitted ``vmap`` of ``J`` in batches. ``J`` takes the flat
+    parameter vector (build it with
+    :func:`~rla4mor_tpu.mor.optimize.make_objective`); sensitivity is
+    reported per flat coordinate.
+
+    ROM caveat: indices inherit the ROM's output error — treat them as
+    certified only when the output certificate is small relative to
+    ``sqrt(variance)`` (check e.g. :func:`certified_moments`'
+    ``bias_bound``).
+    """
+    d = space.dim()
+    A, B = _pick_freeze_points(space, n, key, method)
+
+    Jv = jax.jit(jax.vmap(J))
+
+    def run(X):
+        outs = []
+        for i in range(0, X.shape[0], batch):
+            outs.append(np.asarray(Jv(X[i:i + batch]), np.float64))
+        return np.concatenate(outs)
+
+    fA = run(A)
+    fB = run(B)
+    center = 0.5 * (fA.mean() + fB.mean())
+    fA_c = fA - center
+    fB_c = fB - center
+    var = float(np.concatenate([fA_c, fB_c]).var())
+    first = np.zeros(d)
+    total = np.zeros(d)
+    for i in range(d):
+        ABi = A.at[:, i].set(B[:, i])
+        fABi = run(ABi) - center
+        # Saltelli 2010: V_i = mean(fB * (fABi - fA))
+        first[i] = float(np.mean(fB_c * (fABi - fA_c))) / var
+        # Jansen 1999: VT_i = mean((fA - fABi)^2) / 2
+        total[i] = 0.5 * float(np.mean((fA_c - fABi) ** 2)) / var
+
+    names = tuple(
+        f"{name}[{j}]" for name, size in space.shapes for j in range(size)
+    )
+    return SobolResult(first=first, total=total, variance=var, n=n,
+                       names=names)
+
+
+def _pick_freeze_points(space: ParameterSpace, n: int, key, method: str):
+    """The (A, B) pair of the Saltelli design: one 2d-dimensional uniform
+    point set split into two d-dim halves. For QMC this is essential —
+    two CHUNKS of the same d-dim Halton sequence are correlated and bias
+    the pick-freeze estimators; one 2d-dim sequence split by coordinates
+    is the standard (and unbiased) construction."""
+    d = space.dim()
+    if method == "mc":
+        if isinstance(key, int):
+            key = jax.random.key(key)
+        x = jax.random.uniform(
+            key, (n, 2 * d), minval=space.low, maxval=space.high,
+            dtype=jnp.result_type(float),
+        )
+    elif method == "halton":
+        from scipy.stats import qmc
+
+        seed = key if isinstance(key, int) else int(
+            jax.random.randint(key, (), 0, 2**31 - 1)
+        )
+        h = qmc.Halton(d=2 * d, scramble=True, seed=seed)
+        x = jnp.asarray(
+            space.low + (space.high - space.low) * h.random(n),
+            jnp.result_type(float),
+        )
+    else:
+        raise ValueError(f"method must be 'mc' or 'halton': {method!r}")
+    return x[:, :d], x[:, d:]
+
+
+# ---------------------------------------------------------------------------
 # Certified exceedance probability
 # ---------------------------------------------------------------------------
 

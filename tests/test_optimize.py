@@ -235,6 +235,95 @@ def test_certified_minimize_reports_nonconvergence(thermal_fom):
     assert len(opt.history) == 1
 
 
+def test_minimize_scalar_analytic_quadratic(thermal_fom):
+    """The PGD engine solves a plain box-constrained quadratic exactly:
+    interior target -> hits it; exterior target -> hits its projection."""
+    from rla4mor_tpu.mor import minimize_scalar
+
+    space = thermal_fom.parameter_space
+    for target in (jnp.asarray([0.3, 0.8, 0.5, 0.2]),
+                   jnp.asarray([-1.0, 2.0, 0.4, 3.0])):
+        res = minimize_scalar(
+            lambda x, t=target: jnp.sum((x - t) ** 2), space,
+            n_starts=3, iters=60, key=9,
+        )
+        expect = jnp.clip(target, space.low, space.high)
+        assert float(jnp.max(jnp.abs(res.x - expect))) <= 1e-8
+        assert res.stationarity <= 1e-8
+
+
+def test_minimize_scalar_goal_oriented_corrected_output():
+    """Optimizing the dual-corrected output of a primal-dual ROM — grad
+    flows through both reduced solves and the correction term."""
+    from rla4mor_tpu.models import AdvectionDiffusionFOM
+    from rla4mor_tpu.mor import PrimalDualReductor, minimize_scalar
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    fom = AdvectionDiffusionFOM(num_intervals=16)
+    Ru = fom.h1_0_product
+    theta = GaussianEmbedding.make(
+        fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=150, seed=0
+    )
+    phi = GaussianEmbedding.make(150, range_dim=80, seed=100)
+    red = PrimalDualReductor(fom, embedding_primal=theta,
+                             embedding_online=phi, product=Ru, log_level=30)
+    for mu in fom.sample_parameters(5, key=1):
+        red.extend(mu)
+    rom = red.reduce(seed=2)
+    space = fom.parameter_space
+
+    def J(x):
+        s_c, _ = rom.output_corrected(space.parse(x))
+        return jnp.real(s_c)
+
+    # gradient sanity vs central differences
+    x = jnp.full((space.dim(),), 0.5)
+    g = jax.grad(J)(x)
+    eps = 1e-6
+    e0 = jnp.zeros_like(x).at[0].set(eps)
+    fd = (J(x + e0) - J(x - e0)) / (2 * eps)
+    assert abs(float(g[0]) - float(fd)) <= 1e-5 * max(1.0, abs(float(fd)))
+
+    res = minimize_scalar(J, space, n_starts=4, iters=60, key=4)
+    assert res.value <= float(J(x)) + 1e-12
+    assert bool(jnp.all(res.x >= space.low - 1e-12))
+    assert bool(jnp.all(res.x <= space.high + 1e-12))
+
+
+def test_minimize_scalar_parabolic_final_output():
+    """Autodiff through the whole implicit-Euler lax.scan (LU-once +
+    lu_solve per step): optimize the final-time parabolic output."""
+    from rla4mor_tpu.models import (
+        InstationaryReductor,
+        instationary_thermal_block,
+    )
+    from rla4mor_tpu.mor import minimize_scalar
+
+    fom = instationary_thermal_block(num_intervals=12, nt=20)
+    red = InstationaryReductor(fom)
+    for mu in fom.parameter_space.sample_randomly(3, key=2):
+        traj = fom.solve(mu)  # (n, nt+1), u0 = 0 -> POD modes, not columns
+        U, _, _ = jnp.linalg.svd(traj, full_matrices=False)
+        red.extend_basis(U[:, :4])
+    rom = red.reduce()
+    space = fom.parameter_space
+
+    def J(x):
+        traj = rom.solve(space.parse(x))
+        return jnp.real(rom.output(traj, space.parse(x)).reshape(-1, traj.shape[1])[0, -1])
+
+    x = jnp.full((space.dim(),), 0.4)
+    g = jax.grad(J)(x)
+    eps = 1e-6
+    e0 = jnp.zeros_like(x).at[1].set(eps)
+    fd = (J(x + e0) - J(x - e0)) / (2 * eps)
+    assert abs(float(g[1]) - float(fd)) <= 1e-5 * max(1.0, abs(float(fd)))
+
+    res = minimize_scalar(J, space, n_starts=3, iters=40, key=5)
+    # final-time heat content decreases with diffusion: top corner again
+    assert bool(jnp.all(res.x >= space.high - 1e-5))
+
+
 def test_minimize_x0_rows_override_random_starts(thermal_fom):
     fom = thermal_fom
     _, rom = _trained_rom(fom)

@@ -126,6 +126,55 @@ def test_exceedance_bracket_contains_fom_probability(setup):
     assert res.p_lo - 1e-12 <= p_emp <= res.p_hi + 1e-12
 
 
+def test_sobol_additive_linear(thermal_fom):
+    """Additive J = sum c_i x_i under independent uniforms: S_i = T_i =
+    c_i^2 var(x_i) / sum c_j^2 var(x_j) (equal var here), exactly."""
+    import jax.numpy as jnp
+
+    from rla4mor_tpu.mor import sobol_indices
+
+    space = thermal_fom.parameter_space
+    c = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    res = sobol_indices(lambda x: jnp.sum(c * x), space, n=2048, key=1)
+    exact = np.asarray(c) ** 2 / float((c @ c))
+    assert np.max(np.abs(res.first - exact)) <= 0.02
+    assert np.max(np.abs(res.total - exact)) <= 0.02
+    assert res.names == ("diffusion[0]", "diffusion[1]", "diffusion[2]",
+                         "diffusion[3]")
+
+
+def test_sobol_pure_interaction():
+    """J = x0 * x1 on [0,1]^2: S_i = 3/7, T_i = 4/7 (classic closed form:
+    V = 7/144, V_i = 1/48, VT_i = V - V_j = 4/7 V)."""
+    import jax.numpy as jnp
+
+    from rla4mor_tpu.core.parameters import ParameterSpace
+    from rla4mor_tpu.mor import sobol_indices
+
+    space = ParameterSpace.make({"p": 2}, 0.0, 1.0)
+    res = sobol_indices(lambda x: x[0] * x[1], space, n=4096, key=2)
+    assert np.max(np.abs(res.first - 3.0 / 7.0)) <= 0.03
+    assert np.max(np.abs(res.total - 4.0 / 7.0)) <= 0.03
+    # interaction shows up as T_i - S_i > 0
+    assert np.all(res.total - res.first > 0.05)
+
+
+def test_sobol_on_the_rom(setup):
+    """Smoke + structure on the thermal-block ROM output: indices are in
+    [0,1] (up to MC error), totals dominate firsts, and the symmetric
+    2x2 block structure makes all four parameters comparably important."""
+    from rla4mor_tpu.mor import sobol_indices
+    from rla4mor_tpu.mor.optimize import make_objective
+
+    fom, rom, _, _ = setup
+    space = fom.parameter_space
+    res = sobol_indices(make_objective(rom, space), space, n=512, key=3)
+    assert np.all(res.first >= -0.05) and np.all(res.first <= 1.05)
+    assert np.all(res.total >= res.first - 0.05)
+    assert res.variance > 0
+    assert res.first.min() >= 0.1 * res.first.max() - 0.05
+
+
 def test_enrichment_tightens_the_bracket(setup, thermal_fom):
     """The certificate gap p_hi - p_lo is a model-quality measure: a
     richer basis must shrink it (independently of n)."""
