@@ -505,6 +505,19 @@ def pod_greedy(
     rom = reductor.reduce(pad_to=pad_to)
     for _it in range(1, max_extensions):
         estimates = np.asarray(_estimate_sweep(rom, mus_batched))
+        if np.iscomplexobj(estimates):
+            # estimates are norms — real by construction; a complex dtype
+            # only carries promotion roundoff. Never discard a genuine
+            # imaginary part silently.
+            scale = max(float(np.max(np.abs(estimates))), 1e-300)
+            imag_max = float(np.max(np.abs(estimates.imag)))
+            if imag_max > 1e-8 * scale:
+                raise ValueError(
+                    f"pod_greedy: error estimates carry a non-roundoff "
+                    f"imaginary part (max |Im| = {imag_max:.3e} at scale "
+                    f"{scale:.3e}) — the estimator is broken upstream"
+                )
+            estimates = estimates.real
         if sqrt_alphas is not None:
             estimates = estimates / sqrt_alphas
         imax = int(np.argmax(estimates))

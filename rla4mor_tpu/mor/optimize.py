@@ -179,7 +179,15 @@ def minimize_scalar(
         return x_fin, f_fin, stat
 
     xs, values, stats = jax.jit(jax.vmap(pgd))(starts)
-    best = int(jnp.argmin(values))
+    # NaN lanes (e.g. a singular reduced system at some iterate) must not
+    # win the argmin; if EVERY start diverged, fail loudly.
+    finite = jnp.where(jnp.isnan(values), jnp.inf, values)
+    if not bool(jnp.isfinite(finite).any()):
+        raise FloatingPointError(
+            "minimize_scalar: the objective evaluated to NaN/inf at every "
+            "start's final iterate — the model is singular over the box"
+        )
+    best = int(jnp.argmin(finite))
     return MinimizeResult(
         x=xs[best],
         value=float(values[best]),
@@ -276,14 +284,21 @@ def certified_minimize(
     log_level: int = 20,
     **minimize_kwargs,
 ) -> CertifiedOptimum:
-    """Minimize the FOM output to certified absolute accuracy ``tol``.
+    """Minimize the reduced output; certify the FOM output AT the result.
+
+    The guarantee is local: on success the FOM output at the returned
+    parameter satisfies ``|J_fom(mu*) - value| <= tol`` (the certificate is
+    :func:`output_error_bound` at the candidate). Global optimality is
+    heuristic — multi-start PGD explores the box but nothing certifies that
+    no better FOM minimizer exists elsewhere. For certificate-gated step
+    acceptance with trust-region radius management (fewer FOM solves, same
+    local guarantee), see :func:`trust_region_minimize`.
 
     Loop: reduce -> multi-start PGD on the ROM -> certify the candidate
     optimum with :func:`output_error_bound` -> if the certificate exceeds
-    ``tol``, spend ONE FOM solve there (`extend_basis`) and repeat. This is
-    the standard certified-surrogate optimization pattern (cf. Qian et al.
-    trust-region RB); FOM work concentrates where the optimizer goes
-    instead of a global greedy over a training set.
+    ``tol``, spend ONE FOM solve there (`extend_basis`) and repeat —
+    FOM work concentrates where the optimizer goes instead of a global
+    greedy over a training set.
 
     ``objective`` must be the default output component for the certificate
     to apply verbatim (a custom objective reuses the optimizer but the

@@ -106,7 +106,9 @@ def sample_mu_batched(
 class UqResult:
     mean: float              # MC/QMC estimate of E s_rom
     std: float               # sqrt of the (unbiased) sample variance
-    mc_stderr: float         # sampling std error of `mean` (0 meaning for QMC)
+    mc_stderr: float         # sampling std error of `mean`; NaN for QMC
+                             # (the iid formula has no meaning for a
+                             # low-discrepancy set — not "zero error")
     bias_bound: float        # certified |E s_fom - E s_rom| bound
     var_bias_bound: float    # certified |V s_fom - V s_rom| bound
     mean_eta: float          # E eta_s (the certificate's own average)
@@ -170,7 +172,7 @@ def certified_moments(
     return UqResult(
         mean=mean,
         std=math.sqrt(var),
-        mc_stderr=math.sqrt(var / tot) if method == "mc" else 0.0,
+        mc_stderr=math.sqrt(var / tot) if method == "mc" else float("nan"),
         bias_bound=mean_eta,
         var_bias_bound=var_bias,
         mean_eta=mean_eta,
@@ -233,6 +235,16 @@ def sobol_indices(
     fA_c = fA - center
     fB_c = fB - center
     var = float(np.concatenate([fA_c, fB_c]).var())
+    scale = float(np.max(np.abs(np.concatenate([fA_c, fB_c]))) or 1.0)
+    if var <= (1e-14 * scale) ** 2:
+        # (near-)constant output: every index is 0/0. Return zeros with the
+        # variance so callers can see why, instead of silent NaN/inf.
+        names = tuple(
+            f"{name}[{j}]" for name, size in space.shapes
+            for j in range(size)
+        )
+        return SobolResult(first=np.zeros(d), total=np.zeros(d),
+                           variance=var, n=n, names=names)
     first = np.zeros(d)
     total = np.zeros(d)
     for i in range(d):
@@ -335,7 +347,7 @@ def exceedance_probability(
         p_hi=n_maybe / tot,
         p_nominal=p_nom,
         mc_stderr=math.sqrt(max(p_nom * (1 - p_nom), 0.0) / tot)
-        if method == "mc" else 0.0,
+        if method == "mc" else float("nan"),
         n=tot,
         threshold=threshold,
     )

@@ -62,7 +62,7 @@ def test_output_is_mean():
     fom = ThermalBlockFOM((2, 2), 16)
     mu = {"diffusion": jnp.ones(4)}
     u = fom.solve(mu)
-    s = float(np.asarray(fom.output_functional.apply(u, mu)))
+    s = np.asarray(fom.output_functional.apply(u, mu)).item()
     # integral of u over the domain (load vector = lumped integration)
     assert 0.0 < s < 0.074  # bounded by max(u) * area
 

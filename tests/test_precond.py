@@ -276,9 +276,9 @@ def test_factored_rom_output(setup, reductor_stable):
     mu_p = s.mu_p(key_mu=77, key_y=78)
     rom = reductor_stable.prom.rom
     y = rom.solve(mu_p)
-    out = float(np.asarray(rom.output_functional.apply(y, mu_p)))
+    out = np.asarray(rom.output_functional.apply(y, mu_p)).item()
     u = np.asarray(s.u_basis) @ np.asarray(y)
-    want = float(np.asarray(s.fom.output_functional.apply(jnp.asarray(u), mu_p)))
+    want = np.asarray(s.fom.output_functional.apply(jnp.asarray(u), mu_p)).item()
     assert abs(out - want) < 1e-9
 
 

@@ -48,24 +48,50 @@ def test_serve_stationary_matches_direct(thermal_fom):
 
 def test_serve_hot_swap_no_recompile(thermal_fom):
     """A re-reduced ROM with the same reduced dimensions is served by the
-    already-compiled executable (the zero-recompile model refresh)."""
+    already-compiled executable (the zero-recompile model refresh,
+    serve.py:82-87).
+
+    Compiles are counted by TRACING a fresh local jit of the same
+    ``evaluate_batch``: jax traces exactly once per new (pytree structure,
+    shapes) key, so the counter is immune to global jit-cache eviction by
+    other tests (the old ``serve_batch._cache_size()`` assertion read 0
+    after a long suite and passed vacuously). A retrace — which is what a
+    closed-over ROM, an evicted executable, or a shape-keyed rom leaf
+    would cause — fails the == 1 assertions loudly."""
+    from rla4mor_tpu.serve import evaluate_batch as _evaluate_batch
+
     rom1 = _stationary_rom(thermal_fom, seed=0)
     rom2 = _stationary_rom(thermal_fom, seed=42)  # same shapes, new model
     mus = mu_stack(thermal_fom.parameter_space.sample_randomly(4, key=9))
 
-    out1 = serve_batch(rom1, mus)
+    traces = {"n": 0}
+
+    def counting(rom, mus_batched):
+        traces["n"] += 1
+        return _evaluate_batch(rom, mus_batched)
+
+    served = jax.jit(counting)
+
+    out1 = served(rom1, mus)
     jax.block_until_ready(out1)
-    n_compiles = serve_batch._cache_size()
-    out2 = serve_batch(rom2, mus)
+    assert traces["n"] == 1  # mechanism is live — a 0 here is a bug
+    out2 = served(rom2, mus)
     jax.block_until_ready(out2)
-    assert serve_batch._cache_size() == n_compiles
+    assert traces["n"] == 1  # hot swap: same program, no retrace
     # and it genuinely served the NEW model
     assert not np.allclose(np.asarray(out1["u"]), np.asarray(out2["u"]))
+    # the swapped ROM is served CORRECTLY, not just differently
+    np.testing.assert_allclose(np.asarray(out2["u"]),
+                               np.asarray(rom2.solve_batch(mus)),
+                               rtol=1e-12, atol=1e-14)
 
-    # a different batch size or reduced dimension IS a new program
+    # a different batch size IS a new program
     mus8, _ = pad_batch(mus, 8)
-    jax.block_until_ready(serve_batch(rom1, mus8))
-    assert serve_batch._cache_size() == n_compiles + 1
+    jax.block_until_ready(served(rom1, mus8))
+    assert traces["n"] == 2
+    # ... and serving either ROM at the new size reuses it
+    jax.block_until_ready(served(rom2, mus8))
+    assert traces["n"] == 2
 
 
 def test_serve_instationary_and_wave():

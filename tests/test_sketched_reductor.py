@@ -235,9 +235,9 @@ def test_output_functional_projection(thermal_fom):
     rom = red.reduce(seed=9)
     mu = fom.parameter_space.sample_randomly(1, key=31)[0]
     y = rom.solve(mu)
-    s_rom = float(np.asarray(rom.output(y, mu)))
+    s_rom = np.asarray(rom.output(y, mu)).item()
     u = red.rb @ jnp.asarray(y)
-    s_direct = float(np.asarray(fom.output_functional.apply(u, mu)))
+    s_direct = np.asarray(fom.output_functional.apply(u, mu)).item()
     assert abs(s_rom - s_direct) < 1e-10
 
 

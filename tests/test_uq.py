@@ -101,7 +101,7 @@ def test_halton_moments_converge_faster_is_not_asserted_but_runs(setup):
     res = certified_moments(
         rom, fom.parameter_space, alpha, dual, n=128, key=3, method="halton"
     )
-    assert res.mc_stderr == 0.0
+    assert np.isnan(res.mc_stderr)  # iid stderr has no meaning for QMC
     assert np.isfinite(res.mean) and res.std >= 0
 
 
