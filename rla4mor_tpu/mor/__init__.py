@@ -28,6 +28,12 @@ from rla4mor_tpu.mor.scm import (
     ScmHermitian,
     ScmInfSup,
 )
+from rla4mor_tpu.mor.scm_matfree import (
+    MatrixFreeScmCoercivity,
+    MatrixFreeScmHermitian,
+    lobpcg_gen,
+    spectral_interval,
+)
 from rla4mor_tpu.mor.eim import (
     EimInterpolant,
     MdeimOperator,
@@ -52,10 +58,12 @@ from rla4mor_tpu.mor.optimize import (
     output_gradient,
 )
 from rla4mor_tpu.mor.uq import (
+    CertifiedSobolResult,
     ExceedanceResult,
     SobolResult,
     UqResult,
     certified_moments,
+    certified_sobol_indices,
     exceedance_probability,
     sample_mu_batched,
     sobol_indices,
@@ -88,11 +96,14 @@ __all__ = [
     "MinThetaCoercivity", "error_bound", "InfSupLowerBound",
     "inf_sup_error_bound", "parabolic_error_bound",
     "ScmHermitian", "ScmCoercivity", "ScmInfSup",
+    "MatrixFreeScmHermitian", "MatrixFreeScmCoercivity", "lobpcg_gen",
+    "spectral_interval",
     "CertifiedOptimum", "MinimizeResult", "OutputDualNorm",
     "certified_minimize", "make_objective", "minimize_output",
     "output_error_bound", "output_gradient",
     "UqResult", "ExceedanceResult", "SobolResult", "certified_moments",
     "exceedance_probability", "sample_mu_batched", "sobol_indices",
+    "CertifiedSobolResult", "certified_sobol_indices",
     "minimize_scalar",
     "EimInterpolant", "eim_greedy", "eim_greedy_device", "eim_greedy_scan",
     "eim_rebuild", "deim", "deim_points",

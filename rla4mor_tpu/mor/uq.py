@@ -7,8 +7,13 @@ distribution on the parameter box using the certified reduced model:
 
 * every sample is a reduced solve + output + certificate, evaluated in
   jitted vmapped batches on the MXU (thousands of samples per dispatch);
-* the ROM-vs-FOM **bias is bounded rigorously** by the per-sample output
-  certificate ``eta_s(mu) = ||l(mu)||_{R^-1} eta(mu) / alpha_LB(mu)``
+* the ROM-vs-FOM **bias is bounded rigorously — up to sketch
+  distortion** (the residual estimator inside ``eta_s`` is a sketched
+  norm; its quality is controlled separately by
+  ``SketchedReductor.reduce_adaptive``, which every entry point here can
+  invoke via ``reductor=`` before trusting the certificates) — by the
+  per-sample output certificate
+  ``eta_s(mu) = ||l(mu)||_{R^-1} eta(mu) / alpha_LB(mu)``
   (:func:`~rla4mor_tpu.mor.optimize.output_error_bound`):
 
   - mean:      |E s_fom - E s_rom|   <=  E eta_s,
@@ -89,6 +94,11 @@ def sample_mu_batched(
     else:
         raise ValueError(f"method must be 'mc' or 'halton': {method!r}")
 
+    return _mu_from_flat(space, x)
+
+
+def _mu_from_flat(space: ParameterSpace, x) -> Mu:
+    """Batched Mu from (n, d) flat coordinate rows."""
     out: Mu = {}
     off = 0
     for name, size in space.shapes:
@@ -114,6 +124,25 @@ class UqResult:
     mean_eta: float          # E eta_s (the certificate's own average)
     n: int
     method: str
+    sketch_info: dict | None = None   # reduce_adaptive report when a
+                                      # reductor was passed; its
+                                      # 'certified' says whether the
+                                      # online sketch itself validated
+
+
+def _maybe_refresh_sketch(rom, reductor, space, key, sketch_tol: float,
+                          sketch_samples: int):
+    """Run ``reduce_adaptive`` so the certificates' own sketch is
+    cross-validated before anything downstream trusts them (the "up to
+    sketch distortion" qualifier made checkable).  Returns
+    ``(rom, info)`` — the refreshed ROM replaces the caller's when a
+    reductor is given; ``info['certified']`` is the verdict."""
+    if reductor is None:
+        return rom, None
+    mus = sample_mu_batched(space, sketch_samples, key=key, method="mc",
+                            offset=1_000_003)
+    rom2, info = reductor.reduce_adaptive(mus, tol=sketch_tol)
+    return rom2, info
 
 
 def _batched_output_and_bound(rom, coercivity, dual_norm, component):
@@ -137,6 +166,9 @@ def certified_moments(
     method: str = "mc",
     component: int = 0,
     batch: int = 4096,
+    reductor=None,
+    sketch_tol: float = 0.2,
+    sketch_samples: int = 32,
 ) -> UqResult:
     """Mean/variance of the output over the box with certified ROM bias.
 
@@ -144,7 +176,14 @@ def certified_moments(
     R the ROM's residual estimator sketches in. Samples stream in jitted
     batches of ``batch`` (one program, reused), so ``n`` is bounded by
     time, not memory.
+
+    Pass ``reductor=`` (the SketchedReductor that produced ``rom``) to
+    cross-validate — and if needed refresh — the online sketch the
+    certificates depend on (``reduce_adaptive``) before sampling; the
+    verdict lands in ``result.sketch_info``.
     """
+    rom, sketch_info = _maybe_refresh_sketch(
+        rom, reductor, space, key, sketch_tol, sketch_samples)
     run = _batched_output_and_bound(rom, coercivity, dual_norm, component)
 
     tot = 0
@@ -178,6 +217,7 @@ def certified_moments(
         mean_eta=mean_eta,
         n=tot,
         method=method,
+        sketch_info=sketch_info,
     )
 
 
@@ -293,6 +333,155 @@ def _pick_freeze_points(space: ParameterSpace, n: int, key, method: str):
 
 
 # ---------------------------------------------------------------------------
+# CERTIFIED Sobol indices: interval-valued estimators
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CertifiedSobolResult:
+    first: np.ndarray        # (d,) nominal S_i (ROM point estimate)
+    total: np.ndarray        # (d,) nominal T_i
+    first_lo: np.ndarray     # certified brackets: S_i^fom (same-design
+    first_hi: np.ndarray     #   estimator on FOM outputs) lies inside
+    total_lo: np.ndarray
+    total_hi: np.ndarray
+    variance: float          # nominal output variance (fixed-center)
+    var_lo: float            # certified variance bracket
+    var_hi: float
+    n: int
+    names: tuple
+    certified: bool          # False when var_lo <= 0 (brackets vacuous)
+    center: float = 0.0      # the fixed centering constant (part of the
+                             # estimator definition; a FOM-side reference
+                             # estimator must use the same one)
+    sketch_info: dict | None = None
+
+
+def certified_sobol_indices(
+    rom,
+    space: ParameterSpace,
+    coercivity,
+    dual_norm: OutputDualNorm,
+    n: int = 2048,
+    key: jax.Array | int = 0,
+    method: str = "halton",
+    component: int = 0,
+    batch: int = 4096,
+    reductor=None,
+    sketch_tol: float = 0.2,
+    sketch_samples: int = 32,
+) -> CertifiedSobolResult:
+    """Sobol indices with certified interval brackets.
+
+    Every pick-freeze evaluation carries its output certificate
+    ``|s_fom(x) - s_rom(x)| <= eta_s(x)``; propagating the per-sample
+    intervals through the Saltelli-2010 first-order and Jansen
+    total-effect estimators (products and squares of intervals, then one
+    interval division by the bracketed variance) yields
+    ``[S_i_lo, S_i_hi]`` / ``[T_i_lo, T_i_hi]`` that deterministically
+    contain the SAME estimators evaluated on FOM outputs — the
+    interval-valued analog of :func:`exceedance_probability`'s bracket
+    (sampling error is separate, as everywhere in this module).
+
+    The estimators here use a FIXED centering constant (the ROM's
+    A/B-mean) so the FOM-side reference estimator is well-defined; the
+    uncentered-variance form ``V = mean(g^2) - mean(g)^2`` replaces
+    ``np.var`` for the same reason.  Nominal values agree with
+    :func:`sobol_indices` to MC accuracy.
+
+    ``reductor=``: cross-validate/refresh the certificates' own online
+    sketch first (see :func:`certified_moments`).
+    """
+    rom, sketch_info = _maybe_refresh_sketch(
+        rom, reductor, space, key, sketch_tol, sketch_samples)
+    d = space.dim()
+    A, B = _pick_freeze_points(space, n, key, method)
+    run_se = _batched_output_and_bound(rom, coercivity, dual_norm, component)
+
+    def run(X):
+        ss, ee = [], []
+        for i in range(0, X.shape[0], batch):
+            s, e = run_se(_mu_from_flat(space, X[i:i + batch]))
+            ss.append(np.asarray(s, np.float64))
+            ee.append(np.asarray(e, np.float64))
+        return np.concatenate(ss), np.concatenate(ee)
+
+    fA, eA = run(A)
+    fB, eB = run(B)
+    c = 0.5 * (fA.mean() + fB.mean())   # fixed center: part of the
+    gA, gB = fA - c, fB - c             # estimator's definition
+    g_all = np.concatenate([gA, gB])
+    e_all = np.concatenate([eA, eB])
+
+    # variance bracket: V = mean(g^2) - mean(g)^2 over [A; B]
+    q_lo = float(np.mean(np.maximum(np.abs(g_all) - e_all, 0.0) ** 2))
+    q_hi = float(np.mean((np.abs(g_all) + e_all) ** 2))
+    q_nom = float(np.mean(g_all ** 2))
+    m_nom = float(np.mean(g_all))
+    m_lo = m_nom - float(np.mean(e_all))
+    m_hi = m_nom + float(np.mean(e_all))
+    msq_hi = max(m_lo ** 2, m_hi ** 2)
+    msq_lo = 0.0 if m_lo <= 0.0 <= m_hi else min(m_lo ** 2, m_hi ** 2)
+    var = q_nom - m_nom ** 2
+    var_lo = q_lo - msq_hi
+    var_hi = q_hi - msq_lo
+
+    names = tuple(
+        f"{name}[{j}]" for name, size in space.shapes for j in range(size)
+    )
+    first = np.zeros(d)
+    total = np.zeros(d)
+    n_lo = np.zeros(d)
+    n_hi = np.zeros(d)
+    t_lo = np.zeros(d)
+    t_hi = np.zeros(d)
+    for i in range(d):
+        ABi = A.at[:, i].set(B[:, i])
+        fABi, eABi = run(ABi)
+        gABi = fABi - c
+        # Saltelli 2010 numerator N_i = mean(gB * (gABi - gA)); FOM-side
+        # per-sample error: |gB||dABi - dA| + |gABi - gA||dB| + |dB||dABi - dA|
+        diff = gABi - gA
+        ed = eABi + eA
+        nom = gB * diff
+        err = np.abs(gB) * ed + np.abs(diff) * eB + eB * ed
+        first[i] = float(np.mean(nom))
+        n_lo[i] = float(np.mean(nom - err))
+        n_hi[i] = float(np.mean(nom + err))
+        # Jansen total numerator VT_i = mean((gA - gABi)^2) / 2
+        u = gA - gABi
+        u_lo = np.maximum(np.abs(u) - ed, 0.0)
+        u_hi = np.abs(u) + ed
+        total[i] = 0.5 * float(np.mean(u ** 2))
+        t_lo[i] = 0.5 * float(np.mean(u_lo ** 2))
+        t_hi[i] = 0.5 * float(np.mean(u_hi ** 2))
+
+    certified = var_lo > 0.0
+    if certified:
+        def div(lo, hi):
+            # interval division by [var_lo, var_hi], var_lo > 0
+            cand = np.stack([lo / var_lo, lo / var_hi,
+                             hi / var_lo, hi / var_hi])
+            return cand.min(axis=0), cand.max(axis=0)
+
+        S_lo, S_hi = div(n_lo, n_hi)
+        T_lo, T_hi = div(t_lo, t_hi)
+    else:
+        S_lo = T_lo = np.full(d, -np.inf)
+        S_hi = T_hi = np.full(d, np.inf)
+    scale = var if var > 0 else 1.0
+    return CertifiedSobolResult(
+        first=first / scale,
+        total=total / scale,
+        first_lo=S_lo, first_hi=S_hi,
+        total_lo=T_lo, total_hi=T_hi,
+        variance=var, var_lo=var_lo, var_hi=var_hi,
+        n=n, names=names, certified=certified, center=float(c),
+        sketch_info=sketch_info,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Certified exceedance probability
 # ---------------------------------------------------------------------------
 
@@ -305,6 +494,7 @@ class ExceedanceResult:
     mc_stderr: float    # sampling std error of the nominal estimate
     n: int
     threshold: float
+    sketch_info: dict | None = None  # reduce_adaptive report (see UqResult)
 
 
 def exceedance_probability(
@@ -318,6 +508,9 @@ def exceedance_probability(
     method: str = "mc",
     component: int = 0,
     batch: int = 4096,
+    reductor=None,
+    sketch_tol: float = 0.2,
+    sketch_samples: int = 32,
 ) -> ExceedanceResult:
     """Certified bracket for ``P[s_fom(mu) > threshold]``.
 
@@ -325,7 +518,12 @@ def exceedance_probability(
     measure (the certificates decide each sample); the gap ``p_hi - p_lo``
     is the fraction of samples whose certificate straddles the threshold —
     it shrinks as the basis is enriched, independent of n.
+
+    ``reductor=``: cross-validate/refresh the certificates' online sketch
+    first (see :func:`certified_moments`).
     """
+    rom, sketch_info = _maybe_refresh_sketch(
+        rom, reductor, space, key, sketch_tol, sketch_samples)
     run = _batched_output_and_bound(rom, coercivity, dual_norm, component)
     tot = 0
     n_sure = 0
@@ -350,4 +548,5 @@ def exceedance_probability(
         if method == "mc" else float("nan"),
         n=tot,
         threshold=threshold,
+        sketch_info=sketch_info,
     )

@@ -197,3 +197,139 @@ def test_enrichment_tightens_the_bracket(setup, thermal_fom):
     gap25 = exceedance_probability(rom25, space, alpha, dual, **kw)
     assert gap25.p_hi - gap25.p_lo < gap5.p_hi - gap5.p_lo
     assert gap25.p_hi - gap25.p_lo <= 0.25
+
+
+def _coarse_rom(thermal_fom, n_snapshots):
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    theta = IdentityEmbedding(fom.solution_dim, sqrt_product=Ru.sqrt)
+    red = SketchedReductor(
+        fom, embedding_primal=theta,
+        embedding_online=IdentityEmbedding(theta.range_dim),
+        product=Ru, orthonormalize=True,
+    )
+    mus = fom.parameter_space.sample_randomly(n_snapshots, key=3)
+    red.extend_basis(fom.solve_many(mus))
+    return red.reduce()
+
+
+def _fom_sobol_reference(fom, space, n, key, method, center):
+    """The SAME pick-freeze estimators evaluated on FOM outputs (the
+    quantity the certified brackets must contain)."""
+    from rla4mor_tpu.mor.uq import _mu_from_flat, _pick_freeze_points
+
+    d = space.dim()
+    A, B = _pick_freeze_points(space, n, key, method)
+
+    def f(X):
+        return np.array([
+            float(np.asarray(fom.output(fom.solve(mu), mu)).reshape(-1)[0])
+            for mu in mu_unstack(_mu_from_flat(space, X))
+        ])
+
+    gA = f(A) - center
+    gB = f(B) - center
+    g_all = np.concatenate([gA, gB])
+    V = float(np.mean(g_all ** 2) - np.mean(g_all) ** 2)
+    S = np.zeros(d)
+    T = np.zeros(d)
+    for i in range(d):
+        gABi = f(np.asarray(A.at[:, i].set(B[:, i]))) - center
+        S[i] = float(np.mean(gB * (gABi - gA))) / V
+        T[i] = 0.5 * float(np.mean((gA - gABi) ** 2)) / V
+    return S, T, V
+
+
+def test_certified_sobol_brackets_contain_fom(setup, thermal_fom):
+    """Deliberately coarse ROM: the FOM-side pick-freeze estimators (same
+    design, same center) lie inside the certified brackets, and the
+    brackets tighten monotonically under basis enrichment."""
+    from rla4mor_tpu.mor import certified_sobol_indices
+
+    fom, _, alpha, dual = setup
+    space = fom.parameter_space
+    n = 48
+
+    # TOO coarse (2 snapshots): certificates swamp the variance — the
+    # result must declare itself uncertified, not emit garbage brackets
+    rom_bad = _coarse_rom(thermal_fom, 2)
+    res_bad = certified_sobol_indices(rom_bad, space, alpha, dual, n=n,
+                                      key=21, method="halton", batch=64)
+    assert not res_bad.certified
+    assert np.all(np.isinf(res_bad.first_lo))
+
+    rom2 = _coarse_rom(thermal_fom, 8)
+    res2 = certified_sobol_indices(rom2, space, alpha, dual, n=n, key=21,
+                                   method="halton", batch=64)
+    assert res2.certified
+    S_fom, T_fom, V_fom = _fom_sobol_reference(
+        fom, space, n, 21, "halton", res2.center)
+    eps = 1e-10
+    assert np.all(res2.first_lo - eps <= S_fom)
+    assert np.all(S_fom <= res2.first_hi + eps)
+    assert np.all(res2.total_lo - eps <= T_fom)
+    assert np.all(T_fom <= res2.total_hi + eps)
+    assert res2.var_lo - eps <= V_fom <= res2.var_hi + eps
+    # nominal values sit inside their own brackets
+    assert np.all(res2.first_lo - eps <= res2.first)
+    assert np.all(res2.first <= res2.first_hi + eps)
+
+    rom8 = _coarse_rom(thermal_fom, 14)
+    res8 = certified_sobol_indices(rom8, space, alpha, dual, n=n, key=21,
+                                   method="halton", batch=64)
+    assert res8.certified
+    # enrichment tightens EVERY bracket
+    assert np.all(res8.first_hi - res8.first_lo
+                  < res2.first_hi - res2.first_lo + eps)
+    assert np.all(res8.total_hi - res8.total_lo
+                  < res2.total_hi - res2.total_lo + eps)
+    assert res8.var_hi - res8.var_lo < res2.var_hi - res2.var_lo
+
+
+def test_certified_sobol_nominal_matches_plain(setup):
+    """Nominal values of the certified estimator == sobol_indices (same
+    design, same key) to fixed-center-vs-empirical-mean MC noise."""
+    from rla4mor_tpu.mor import certified_sobol_indices, sobol_indices
+    from rla4mor_tpu.mor.optimize import make_objective
+
+    fom, rom, alpha, dual = setup
+    space = fom.parameter_space
+    res_c = certified_sobol_indices(rom, space, alpha, dual, n=512, key=5)
+    res_p = sobol_indices(make_objective(rom, space), space, n=512, key=5)
+    np.testing.assert_allclose(res_c.first, res_p.first, atol=5e-2)
+    np.testing.assert_allclose(res_c.total, res_p.total, atol=5e-2)
+
+
+def test_sketch_refresh_wiring(thermal_fom):
+    """A deliberately tiny online sketch (k_online=2) passed through
+    ``reductor=`` either gets refreshed (online_dim grows) or the result
+    visibly carries certified=False — never a silent trust."""
+    from rla4mor_tpu.mor import MinThetaCoercivity, OutputDualNorm
+    from rla4mor_tpu.ops import GaussianEmbedding
+
+    fom = thermal_fom
+    Ru = fom.h1_0_product
+    theta = GaussianEmbedding.make(fom.solution_dim, sqrt_product=Ru.sqrt,
+                                   range_dim=120, seed=0)
+    red = SketchedReductor(
+        fom, embedding_primal=theta,
+        embedding_online=GaussianEmbedding.make(
+            theta.range_dim, range_dim=2, seed=1),
+        product=Ru, orthonormalize=True,
+    )
+    mus = fom.parameter_space.sample_randomly(5, key=3)
+    red.extend_basis(fom.solve_many(mus))
+    rom = red.reduce()
+    alpha = MinThetaCoercivity(fom, {"diffusion": jnp.full((4,), 1.0)})
+    dual = OutputDualNorm(fom, product=Ru)
+
+    res = certified_moments(rom, fom.parameter_space, alpha, dual, n=32,
+                            key=7, batch=32, reductor=red)
+    assert res.sketch_info is not None
+    info = res.sketch_info
+    assert info["online_dim"] > 2 or not info["certified"]
+    # without reductor= nothing is reported (the old silent behavior is
+    # at least explicit now)
+    res0 = certified_moments(rom, fom.parameter_space, alpha, dual, n=8,
+                             key=7, batch=8)
+    assert res0.sketch_info is None
