@@ -50,12 +50,14 @@ from rla4mor_tpu.mor.optimize import (
     CertifiedOptimum,
     MinimizeResult,
     OutputDualNorm,
+    TrustRegionResult,
     certified_minimize,
     make_objective,
     minimize_output,
     minimize_scalar,
     output_error_bound,
     output_gradient,
+    trust_region_minimize,
 )
 from rla4mor_tpu.mor.uq import (
     CertifiedSobolResult,
@@ -99,6 +101,7 @@ __all__ = [
     "MatrixFreeScmHermitian", "MatrixFreeScmCoercivity", "lobpcg_gen",
     "spectral_interval",
     "CertifiedOptimum", "MinimizeResult", "OutputDualNorm",
+    "TrustRegionResult", "trust_region_minimize",
     "certified_minimize", "make_objective", "minimize_output",
     "output_error_bound", "output_gradient",
     "UqResult", "ExceedanceResult", "SobolResult", "certified_moments",

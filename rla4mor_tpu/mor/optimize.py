@@ -349,3 +349,257 @@ def certified_minimize(
         mu=mu, x=res.x, value=res.value, bound=bound,
         converged=False, n_enrichments=n_enrich, history=history,
     )
+
+
+# ---------------------------------------------------------------------------
+# Trust-region RB optimization: certificate-gated steps, radius management
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TrustRegionResult:
+    mu: Mu
+    x: jax.Array
+    value: float                 # reduced output at mu
+    bound: float                 # certified |J_fom(mu) - value| at mu
+    converged: bool
+    n_fom_solves: int            # FOM solves spent (== basis enrichments)
+    n_steps: int                 # accepted TR steps
+    history: List[dict] = field(default_factory=list)
+
+
+def _tr_subproblem(rom, space, dual, coercivity, objective, component,
+                   j_floor, iters=40, sigma=1e-4):
+    """One jitted TR subproblem: projected-gradient descent on the
+    reduced objective from ``x0``, every step gated by the RELATIVE
+    certificate ``eta_s(x) <= delta * (|J(x)| + j_floor)`` (backtrack
+    until inside the trust region; ``delta = inf`` disables the gate).
+    Returns ``(x, J(x), eta_s(x), stationarity, boundary_hit)``."""
+    J = make_objective(rom, space, objective, component)
+
+    def eta_s(x):
+        mu = space.parse(x)
+        return output_error_bound(rom, mu, coercivity, dual)
+
+    lo = jnp.asarray(space.low, jnp.result_type(float))
+    hi = jnp.asarray(space.high, jnp.result_type(float))
+    proj = lambda z: jnp.clip(z, lo, hi)  # noqa: E731
+    vg = jax.value_and_grad(J)
+    t_min = 1e-14
+
+    def rel(en, fn):
+        return en / (jnp.abs(fn) + j_floor)
+
+    def run(x0, delta):
+        def body(carry, _):
+            x, t, f0 = carry
+            _, g = vg(x)
+
+            def trial(tt):
+                xn = proj(x - tt * g)
+                return xn, J(xn), eta_s(xn)
+
+            xn, fn, en = trial(t)
+
+            def bad(st):
+                tt, xn, fn, en = st
+                decrease_ok = (f0 - fn) >= (sigma / tt) * jnp.sum(
+                    (x - xn) ** 2)
+                return (~decrease_ok | (rel(en, fn) > delta)) & (tt > t_min)
+
+            def backtrack(st):
+                tt = st[0] * 0.5
+                xn, fn, en = trial(tt)
+                return (tt, xn, fn, en)
+
+            t, xn, fn, en = jax.lax.while_loop(
+                bad, backtrack, (t, xn, fn, en))
+            ok = (fn <= f0) & (rel(en, fn) <= delta)
+            x1 = jnp.where(ok, xn, x)
+            f1 = jnp.where(ok, fn, f0)
+            t1 = jnp.where(ok, 2.0 * t, t)
+            return (x1, t1, f1), None
+
+        f0 = J(x0)
+        (x, _, f), _ = jax.lax.scan(
+            body, (x0, jnp.asarray(1.0, lo.dtype), f0), None, length=iters)
+        e = eta_s(x)
+        _, g = vg(x)
+        stat = jnp.linalg.norm(x - proj(x - g))
+        return x, f, e, stat, rel(e, f) >= 0.75 * delta
+
+    return jax.jit(run), J, eta_s
+
+
+def trust_region_minimize(
+    fom,
+    reductor,
+    coercivity,
+    tol: float,
+    space: Optional[ParameterSpace] = None,
+    objective: Optional[Callable] = None,
+    component: int = 0,
+    max_fom_solves: int = 20,
+    max_steps: int = 60,
+    sub_iters: int = 40,
+    delta0: float = 0.1,
+    gtol: float = 1e-8,
+    j_floor: Optional[float] = None,
+    seed: int = 0,
+    log_level: int = 20,
+) -> TrustRegionResult:
+    """Certified trust-region RB optimization (Qian/Grepl/Veroy/Willcox
+    pattern): minimize the FOM output with FOM solves spent ONLY when a
+    step cannot be certified from the ROM alone.
+
+    The trust region is the set where the RELATIVE output certificate is
+    small, ``{x : eta_s(x) / (|J(x)| + j_floor) <= delta}`` — enriching
+    the basis enlarges it for free.  Each iteration solves a
+    projected-gradient subproblem gated by that constraint
+    (:func:`_tr_subproblem`); the trial point ``x_t`` is then judged:
+
+    * **certified decrease** — ``J_rom(x_t) + eta_s(x_t) <
+      J_rom(x_k) - eta_s(x_k)`` proves the TRUE objective decreased:
+      accept with ZERO FOM work, expand ``delta`` when the subproblem
+      pressed the boundary;
+    * **gate-choked** — the subproblem could not move at all because the
+      certificate is already too loose AT the iterate: spend one FOM
+      solve at ``x_k`` itself (the snapshot collapses the certificate
+      there to machine zero) and re-solve — never declare convergence
+      off a choked subproblem;
+    * otherwise spend ONE FOM solve at ``x_t``: the snapshot both
+      settles the actual-vs-predicted ratio ``rho`` (accept/reject +
+      radius update, classic TR rules) and enriches the basis there.
+
+    Terminates when the iterate is first-order stationary for the ROM
+    (``gtol``) AND its ABSOLUTE certificate is below ``tol`` — the same
+    local guarantee as :func:`certified_minimize` (``|J_fom(mu*) -
+    value| <= tol``; global optimality remains heuristic), typically at
+    a fraction of the FOM solves (comparison: tests/test_optimize.py).
+
+    ``coercivity`` must be jittable (e.g.
+    :class:`~rla4mor_tpu.mor.bounds.MinThetaCoercivity`); for an SCM
+    bound, pass its min-theta-style jittable surrogate or tabulate.
+    ``j_floor`` regularizes the relative certificate near ``J = 0``
+    (default ``max(tol, 1e-12 * (1 + |J(x_0)|))``).
+    """
+    space = space or fom.parameter_space
+    logger = get_logger("mor.optimize.tr", log_level)
+    dual = OutputDualNorm(fom, product=reductor.product, component=component)
+    history: List[dict] = []
+
+    n_fom = 0
+
+    def enrich(mu):
+        nonlocal n_fom
+        u = fom.solve(mu)
+        n_fom += 1
+        reductor.extend_basis(u, mu=mu)
+        s = fom.output_functional.apply(u, mu)
+        if objective is None:
+            return float(jnp.real(jnp.asarray(s).reshape(-1)[component]))
+        return float(objective(s, mu))
+
+    x_k = jnp.full((space.dim(),),
+                   0.5 * (space.low + space.high),
+                   jnp.result_type(float))
+    if reductor.basis_size == 0:
+        enrich(space.parse(x_k))
+
+    def rebuild():
+        rom = reductor.reduce(seed=seed + n_fom)
+        return _tr_subproblem(
+            rom, space, dual, coercivity, objective, component,
+            j_floor_, iters=sub_iters)
+
+    # j_floor needs one J evaluation; bootstrap with the unreduced output
+    # scale at the midpoint (cheap: r x r solve on the current ROM).
+    rom0 = reductor.reduce(seed=seed)
+    f_boot = float(make_objective(rom0, space, objective, component)(x_k))
+    j_floor_ = (float(j_floor) if j_floor is not None
+                else max(tol, 1e-12 * (1.0 + abs(f_boot))))
+
+    sub, J, eta_fn = rebuild()
+    f_k = float(J(x_k))
+    e_k = float(eta_fn(x_k))
+    delta = float(delta0)
+    n_steps = 0
+    pred_tiny = 1e-14
+
+    for it in range(max_steps):
+        x_t, f_t, e_t, stat, boundary = sub(x_k, jnp.asarray(delta))
+        f_t, e_t, stat = float(f_t), float(e_t), float(stat)
+        pred = f_k - f_t
+        moved = float(jnp.linalg.norm(x_t - x_k)) > 0.0
+        entry = {"it": it, "J": f_t, "eta": e_t, "delta": delta,
+                 "pred": pred, "basis_size": reductor.basis_size}
+
+        if not moved or pred <= pred_tiny * max(abs(f_k), 1.0):
+            # subproblem made no progress from x_k
+            if stat <= gtol and e_k <= tol:
+                history.append(entry)
+                logger.info(
+                    "converged: J=%.6e bound=%.3e fom_solves=%d steps=%d",
+                    f_k, e_k, n_fom, n_steps)
+                return TrustRegionResult(
+                    mu=space.parse(x_k), x=x_k, value=f_k, bound=e_k,
+                    converged=True, n_fom_solves=n_fom, n_steps=n_steps,
+                    history=history)
+            # gate-choked (certificate loose at the iterate) or ROM-
+            # stationary with a loose certificate: enrich AT x_k, which
+            # collapses eta there, and retry — NOT convergence.
+            enrich(space.parse(x_k))
+            sub, J, eta_fn = rebuild()
+            f_k, e_k = float(J(x_k)), float(eta_fn(x_k))
+            entry.update({"action": "enrich_at_iterate",
+                          "fom_solves": n_fom})
+            history.append(entry)
+            logger.info(
+                "it %d: choked/stationary-but-loose -> FOM solve #%d at "
+                "iterate, J=%.6e eta=%.2e", it, n_fom, f_k, e_k)
+            if n_fom >= max_fom_solves:
+                break
+            continue
+
+        certified_dec = (f_t + e_t) < (f_k - e_k)
+        entry["certified_step"] = bool(certified_dec)
+        if certified_dec:
+            x_k, f_k, e_k = x_t, f_t, e_t
+            n_steps += 1
+            if bool(boundary):
+                delta = min(2.0 * delta, 1e6)
+            entry["action"] = "certified_accept"
+            logger.info("it %d: certified step J=%.6e eta=%.2e delta=%.2e",
+                        it, f_k, e_k, delta)
+        else:
+            # uncertified decrease: one FOM solve at the trial point —
+            # judge the step (classic rho test) AND enrich the basis
+            mu_t = space.parse(x_t)
+            f_true = enrich(mu_t)
+            rho = (f_k - f_true) / pred
+            accept = rho >= 0.1
+            if accept:
+                x_k = x_t
+                n_steps += 1
+                if rho >= 0.75 and bool(boundary):
+                    delta = min(2.0 * delta, 1e6)
+            else:
+                delta = 0.5 * delta
+            sub, J, eta_fn = rebuild()
+            f_k, e_k = float(J(x_k)), float(eta_fn(x_k))
+            entry.update({"action": "fom_judged", "rho": rho,
+                          "accepted": bool(accept), "fom_solves": n_fom})
+            logger.info(
+                "it %d: FOM solve #%d rho=%.2f %s J=%.6e eta=%.2e "
+                "delta=%.2e", it, n_fom, rho,
+                "accept" if accept else "reject", f_k, e_k, delta)
+            if n_fom >= max_fom_solves:
+                history.append(entry)
+                break
+        history.append(entry)
+
+    mu = space.parse(x_k)
+    converged = e_k <= tol
+    return TrustRegionResult(
+        mu=mu, x=x_k, value=f_k, bound=e_k, converged=converged,
+        n_fom_solves=n_fom, n_steps=n_steps, history=history)

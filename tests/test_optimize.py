@@ -324,6 +324,125 @@ def test_minimize_scalar_parabolic_final_output():
     assert bool(jnp.all(res.x >= space.high - 1e-5))
 
 
+# ---------------------------------------------------------------------------
+# Trust-region RB optimization (certificate-gated steps)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bump_fom():
+    """Non-affine Gaussian-bump family via MDEIM on the host FEM path
+    (models/bump_host.py) — the oracle-scale non-affine optimization
+    fixture."""
+    from rla4mor_tpu.models.bump_host import bump_host_fom
+
+    return bump_host_fom(nx=12)
+
+
+def test_bump_host_fom_oracle(bump_fom):
+    """The MDEIM surrogate FOM is a faithful stand-in for the exact
+    bump operator: jittable magic entries == exact matrix entries,
+    surrogate solve == exact-operator solve to the MDEIM tolerance, and
+    the coercivity bound really lower-bounds the exact operator's
+    smallest generalized eigenvalue in the kappa=1 stiffness metric."""
+    from rla4mor_tpu.core.parameters import eval_coefficients
+    from rla4mor_tpu.models.bump_host import bump_coercivity
+    from scipy.linalg import eigh
+    import scipy.sparse.linalg as spla
+
+    fom = bump_fom
+    op = fom.mdeim_op
+    alpha = bump_coercivity(fom)
+    for key in (0, 5):
+        mu = fom.parameter_space.sample_randomly(1, key=key)[0]
+        A = fom.exact_assemble(mu)
+        th_jit = eval_coefficients(fom.operator.coefficients, mu)
+        th_exact = op.theta_from_matrix(A)
+        assert float(jnp.max(jnp.abs(th_jit - th_exact))) <= 1e-12 * float(
+            jnp.max(jnp.abs(th_exact)))
+        u_sur = np.asarray(fom.solve(mu))
+        u_ex = spla.splu(A.tocsc()).solve(
+            np.asarray(fom.assemble_rhs(mu), np.float64))
+        rel = np.linalg.norm(u_sur - u_ex) / np.linalg.norm(u_ex)
+        assert rel <= 1e-10  # MDEIM tol 1e-8 rel in the entries
+        # coercivity: alpha(mu) <= lambda_min(A_exact, K1); recover the
+        # dense product matrix by applying it to the identity
+        n = fom.solution_dim
+        R = np.asarray(fom.h1_0_product.op.apply(jnp.eye(n)))
+        lam = eigh(A.toarray(), R, eigvals_only=True)[0]
+        assert float(alpha(mu)) <= lam * (1 + 1e-10)
+        assert float(alpha(mu)) >= 1.0  # kappa0 = 1, bump nonnegative
+
+
+def test_trust_region_converges_and_certifies(thermal_fom):
+    """TR run on the thermal block with the exact estimator: converges,
+    the certificate brackets the true FOM output at the optimum, and
+    the history records certified (FOM-free) steps."""
+    from rla4mor_tpu.mor import trust_region_minimize
+
+    fom = thermal_fom
+    red = _exact_reductor(fom)
+    alpha = MinThetaCoercivity(fom, {"diffusion": jnp.full((4,), 1.0)})
+    tol = 1e-8
+    res = trust_region_minimize(fom, red, alpha, tol=tol, seed=0,
+                                log_level=30)
+    assert res.converged
+    assert res.bound <= tol
+    s_fom = float(fom.output(fom.solve(res.mu), res.mu).reshape(-1)[0])
+    assert abs(s_fom - res.value) <= max(res.bound, 1e-15) * (1 + 1e-12)
+    assert res.n_steps >= 1
+    # the minimizer of mean temperature is the all-high corner
+    assert bool(jnp.all(res.x >= fom.parameter_space.high - 1e-6))
+
+
+def test_trust_region_gate_choked_enriches_not_converges(thermal_fom):
+    """A tiny initial radius + a basis seeded AWAY from the uniform
+    line chokes the first subproblem (certificate loose at the iterate);
+    the driver must spend a FOM solve AT the iterate — never declare
+    convergence off a choked subproblem — and still converge."""
+    from rla4mor_tpu.mor import trust_region_minimize
+
+    fom = thermal_fom
+    red = _exact_reductor(fom)
+    mu0 = {"diffusion": jnp.asarray([0.15, 0.9, 0.3, 0.7])}
+    red.extend_basis(fom.solve(mu0), mu=mu0)
+    alpha = MinThetaCoercivity(fom, {"diffusion": jnp.full((4,), 1.0)})
+    res = trust_region_minimize(
+        fom, red, alpha, tol=1e-10, delta0=1e-8, seed=1, log_level=30)
+    assert res.converged
+    assert res.bound <= 1e-10
+    actions = [h.get("action") for h in res.history]
+    assert "enrich_at_iterate" in actions
+    s_fom = float(fom.output(fom.solve(res.mu), res.mu).reshape(-1)[0])
+    assert abs(s_fom - res.value) <= max(res.bound, 1e-15) * (1 + 1e-12)
+
+
+def test_trust_region_fewer_fom_solves_than_certified_minimize(bump_fom):
+    """VERDICT r3 item 4 'done' criterion: on the non-affine bump
+    family, the TR optimizer reaches the same certified optimum with
+    STRICTLY fewer FOM solves than the enrich-at-the-optimum loop."""
+    from rla4mor_tpu.models.bump_host import bump_coercivity
+    from rla4mor_tpu.mor import trust_region_minimize
+
+    fom = bump_fom
+    alpha = bump_coercivity(fom)
+    tol = 1e-10
+
+    tr = trust_region_minimize(fom, _exact_reductor(fom), alpha, tol=tol,
+                               seed=0, log_level=30)
+    cm = certified_minimize(fom, _exact_reductor(fom), alpha, tol=tol,
+                            n_starts=4, iters=60, seed=0, log_level=30)
+    assert tr.converged and cm.converged
+    assert tr.bound <= tol and cm.bound <= tol
+    cm_fom_solves = cm.n_enrichments + 1  # + the midpoint seed solve
+    assert tr.n_fom_solves < cm_fom_solves
+    # same certified optimum (both at the certified tolerance)
+    assert abs(tr.value - cm.value) <= 1e-8 * max(abs(cm.value), 1e-30)
+    # certificates are honest vs the (surrogate) FOM
+    s_fom = float(fom.output(fom.solve(tr.mu), tr.mu).reshape(-1)[0])
+    assert abs(s_fom - tr.value) <= max(tr.bound, 1e-15) * (1 + 1e-12)
+
+
 def test_minimize_x0_rows_override_random_starts(thermal_fom):
     fom = thermal_fom
     _, rom = _trained_rom(fom)
