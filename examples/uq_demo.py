@@ -111,6 +111,65 @@ def main():
         f"[{time.perf_counter() - t0:.1f}s]"
     )
 
+    # --- parabolic composition: certified UQ over a TIME-DEPENDENT output
+    # Every sample is a full reduced primal + backward dual time loop,
+    # vmapped into one program; the per-sample certificate is the
+    # Grepl-Patera product bound eta_pr * eta_du / alpha (implicit Euler).
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rla4mor_tpu.core.affine import AffineDense
+    from rla4mor_tpu.core.parameters import ONE
+    from rla4mor_tpu.models import (
+        InstationaryPrimalDualReductor,
+        instationary_thermal_block,
+    )
+
+    nx = 16
+    pfom = instationary_thermal_block((2, 2), nx, T=0.5, nt=30)
+    w = np.zeros((nx - 1, nx - 1))
+    w[: nx // 3, : nx // 3] = 1.0  # localized (non-compliant) output
+    pfom.output_functional = AffineDense(
+        jnp.asarray(w.reshape(1, 1, -1) / w.sum()), (ONE,)
+    )
+    Ru_p = pfom.products["h1_0"]
+    emb_p = GaussianEmbedding.make(
+        pfom.solution_dim, sqrt_product=Ru_p.sqrt, range_dim=150, seed=2
+    )
+    pred = InstationaryPrimalDualReductor(
+        pfom, embedding=emb_p, product=Ru_p, log_level=30
+    )
+    for m in pfom.parameter_space.sample_randomly(4, key=1):
+        pred.extend(m, modes_per_extension=3)
+    prom = pred.reduce()
+    alpha_p = MinThetaCoercivity(
+        pfom, {"diffusion": jnp.full((4,), 1.0)}, product=Ru_p
+    )
+    pspace = pfom.parameter_space
+    t0 = time.perf_counter()
+    pres = certified_moments(
+        prom, pspace, alpha_p, dual_norm=None, n=args.n, key=5, batch=4096
+    )
+    dt = time.perf_counter() - t0
+    print(
+        f"\nparabolic final-time output (n={pfom.solution_dim}, "
+        f"nt=30, dual-corrected): E[s(T)]={pres.mean:.6f} "
+        f"(bias<= {pres.bias_bound:.1e})  std={pres.std:.6f} "
+        f"[{pres.n} samples, {dt:.1f}s = "
+        f"{pres.n / dt:.0f} certified time-loops/s]"
+    )
+    c_p = pres.mean + pres.std
+    t0 = time.perf_counter()
+    pexc = exceedance_probability(
+        prom, pspace, alpha_p, dual_norm=None, threshold=c_p, n=args.n,
+        key=6, batch=4096
+    )
+    print(
+        f"P[s(T) > {c_p:.4f}] in [{pexc.p_lo:.4f}, {pexc.p_hi:.4f}] "
+        f"(nominal {pexc.p_nominal:.4f}; certificate gap "
+        f"{pexc.p_hi - pexc.p_lo:.1e}) [{time.perf_counter() - t0:.1f}s]"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -22,6 +22,7 @@ from rla4mor_tpu.mor.bounds import (
     error_bound,
     inf_sup_error_bound,
     parabolic_error_bound,
+    parabolic_output_error_bound,
 )
 from rla4mor_tpu.mor.scm import (
     ScmCoercivity,
@@ -97,6 +98,7 @@ __all__ = [
     "PrimalDualReductor", "CorrectedOutputROM", "dual_fom", "output_greedy",
     "MinThetaCoercivity", "error_bound", "InfSupLowerBound",
     "inf_sup_error_bound", "parabolic_error_bound",
+    "parabolic_output_error_bound",
     "ScmHermitian", "ScmCoercivity", "ScmInfSup",
     "MatrixFreeScmHermitian", "MatrixFreeScmCoercivity", "lobpcg_gen",
     "spectral_interval",

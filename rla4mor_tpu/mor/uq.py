@@ -146,12 +146,30 @@ def _maybe_refresh_sketch(rom, reductor, space, key, sketch_tol: float,
 
 
 def _batched_output_and_bound(rom, coercivity, dual_norm, component):
-    def one(mu: Mu):
-        u = rom.solve(mu)
-        s = jnp.real(jnp.asarray(rom.output(u, mu)).reshape(-1)[component])
-        eta = rom.error_estimator.estimate_error(u, mu)
-        eta_s = dual_norm(mu) * eta / coercivity(mu)
-        return s, eta_s
+    """Jitted vmapped ``mu -> (s, eta_s)``. Dispatch:
+
+    * stationary ROM: ``s = Re output[component]``, ``eta_s = ||l||
+      * eta / alpha`` (:func:`~rla4mor_tpu.mor.optimize.output_error_bound`);
+    * goal-oriented parabolic composite (anything exposing
+      ``output_corrected``): ``s = Re s_c``, ``eta_s = eta_pr * eta_du
+      / alpha`` (:func:`~rla4mor_tpu.mor.bounds.parabolic_output_error_bound`
+      — implicit Euler; ``dual_norm``/``component`` are unused, pass
+      ``dual_norm=None``).
+    """
+    if hasattr(rom, "output_corrected"):
+        from rla4mor_tpu.mor.bounds import parabolic_output_error_bound
+
+        def one(mu: Mu):
+            s_c, eta_s = parabolic_output_error_bound(rom, mu, coercivity)
+            return jnp.real(s_c), eta_s
+    else:
+        def one(mu: Mu):
+            u = rom.solve(mu)
+            s = jnp.real(
+                jnp.asarray(rom.output(u, mu)).reshape(-1)[component])
+            eta = rom.error_estimator.estimate_error(u, mu)
+            eta_s = dual_norm(mu) * eta / coercivity(mu)
+            return s, eta_s
 
     return jax.jit(jax.vmap(one))
 
@@ -181,6 +199,13 @@ def certified_moments(
     cross-validate — and if needed refresh — the online sketch the
     certificates depend on (``reduce_adaptive``) before sampling; the
     verdict lands in ``result.sketch_info``.
+
+    Time-dependent composition: pass a goal-oriented parabolic composite
+    (``InstationaryCorrectedOutputROM``, implicit Euler) as ``rom`` with
+    ``dual_norm=None`` — every sample is then a full reduced primal +
+    dual time loop and the per-sample certificate is the Grepl–Patera
+    product bound ``eta_pr * eta_du / alpha``
+    (:func:`~rla4mor_tpu.mor.bounds.parabolic_output_error_bound`).
     """
     rom, sketch_info = _maybe_refresh_sketch(
         rom, reductor, space, key, sketch_tol, sketch_samples)
@@ -520,7 +545,10 @@ def exceedance_probability(
     it shrinks as the basis is enriched, independent of n.
 
     ``reductor=``: cross-validate/refresh the certificates' online sketch
-    first (see :func:`certified_moments`).
+    first (see :func:`certified_moments`). Parabolic composition: same as
+    :func:`certified_moments` — a goal-oriented parabolic composite with
+    ``dual_norm=None`` brackets ``P[s_fom(T) > threshold]`` (or the
+    time-integrated output, per the composite's ``output_kind``).
     """
     rom, sketch_info = _maybe_refresh_sketch(
         rom, reductor, space, key, sketch_tol, sketch_samples)

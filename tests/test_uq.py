@@ -333,3 +333,123 @@ def test_sketch_refresh_wiring(thermal_fom):
     res0 = certified_moments(rom, fom.parameter_space, alpha, dual, n=8,
                              key=7, batch=8)
     assert res0.sketch_info is None
+
+
+# ---------------------------------------------------------------------------
+# Parabolic certified UQ composition (VERDICT r3 item 10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def parabolic_setup():
+    """Goal-oriented parabolic composite (implicit Euler, non-compliant
+    localized output) with the exact identity-Q estimator, deliberately
+    coarse bases so certificates are visibly nonzero."""
+    from rla4mor_tpu.core.affine import AffineDense
+    from rla4mor_tpu.core.parameters import ONE
+    from rla4mor_tpu.models import (
+        InstationaryPrimalDualReductor,
+        instationary_thermal_block,
+    )
+
+    fom = instationary_thermal_block((2, 2), 8, T=0.5, nt=10)
+    nx = 8
+    w = np.zeros((nx - 1, nx - 1))
+    w[:3, :3] = 1.0
+    fom.output_functional = AffineDense(
+        jnp.asarray(w.reshape(1, 1, -1) / w.sum()), (ONE,)
+    )
+    Ru = fom.products["h1_0"]
+    emb = IdentityEmbedding(fom.solution_dim, sqrt_product=Ru.sqrt)
+    red = InstationaryPrimalDualReductor(fom, embedding=emb, product=Ru,
+                                         log_level=30)
+    for m in fom.parameter_space.sample_randomly(3, key=1):
+        red.extend(m, modes_per_extension=2)
+    rom = red.reduce()
+    alpha = MinThetaCoercivity(fom, {"diffusion": jnp.full((4,), 1.0)},
+                               product=Ru)
+    return fom, rom, alpha
+
+
+def _s_fom_final(fom, mu):
+    traj = fom.solve(mu)
+    return float(np.asarray(
+        fom.output_functional.apply(jnp.asarray(traj), mu))[0, -1])
+
+
+def test_parabolic_output_bound_is_rigorous(parabolic_setup):
+    """|s_fom(T) - s_c| <= eta_pr * eta_du / alpha_LB at every sampled mu
+    (exact estimator => theorem, like the stationary exact-sketch test)."""
+    from rla4mor_tpu.mor import parabolic_output_error_bound
+
+    fom, rom, alpha = parabolic_setup
+    for key in range(8):
+        mu = fom.parameter_space.sample_randomly(1, key=key)[0]
+        s_c, eta_s = parabolic_output_error_bound(rom, mu, alpha)
+        err = abs(float(s_c) - _s_fom_final(fom, mu))
+        assert err <= float(eta_s) * (1 + 1e-12), (key, err, float(eta_s))
+        assert float(eta_s) > 0  # coarse basis: certificate is live
+
+
+def test_parabolic_output_bound_refuses_crank_nicolson():
+    """The product bound's derivation needs the adjoint pairing states to
+    be the dual theta-averages — only implicit Euler qualifies."""
+    from rla4mor_tpu.models import (
+        InstationaryPrimalDualReductor,
+        instationary_thermal_block,
+    )
+    from rla4mor_tpu.mor import parabolic_output_error_bound
+
+    fom = instationary_thermal_block((2, 2), 6, T=0.5, nt=8,
+                                     time_theta=0.5)
+    Ru = fom.products["h1_0"]
+    emb = IdentityEmbedding(fom.solution_dim, sqrt_product=Ru.sqrt)
+    red = InstationaryPrimalDualReductor(fom, embedding=emb, product=Ru,
+                                         log_level=30)
+    red.extend(fom.parameter_space.sample_randomly(1, key=0)[0])
+    rom = red.reduce()
+    alpha = MinThetaCoercivity(fom, {"diffusion": jnp.full((4,), 1.0)},
+                               product=Ru)
+    mu = fom.parameter_space.sample_randomly(1, key=1)[0]
+    with pytest.raises(ValueError, match="implicit Euler"):
+        parabolic_output_error_bound(rom, mu, alpha)
+
+
+def test_parabolic_certified_moments_bias_bound(parabolic_setup):
+    """certified_moments over the parabolic composite: the certified bias
+    bound contains the TRUE sampled ROM-vs-FOM output bias."""
+    fom, rom, alpha = parabolic_setup
+    space = fom.parameter_space
+    n = 24
+    res = certified_moments(rom, space, alpha, dual_norm=None, n=n, key=11,
+                            batch=n)
+    mus = sample_mu_batched(space, n, key=11, method="mc")
+    s_fom = np.array([_s_fom_final(fom, mu) for mu in mu_unstack(mus)])
+    s_rom = np.array([
+        float(np.real(rom.output_corrected(mu)[0]))
+        for mu in mu_unstack(mus)
+    ])
+    assert abs(res.mean - s_rom.mean()) <= 1e-10  # same samples, same mean
+    true_bias = abs(s_fom.mean() - s_rom.mean())
+    assert true_bias <= res.bias_bound * (1 + 1e-12)
+    assert res.bias_bound > 0
+
+
+def test_parabolic_exceedance_bracket_contains_fom(parabolic_setup):
+    """The deterministic exceedance bracket holds sample-for-sample for
+    the parabolic final-time output (VERDICT r3 item 10 'done' check)."""
+    fom, rom, alpha = parabolic_setup
+    space = fom.parameter_space
+    n = 24
+    probe = certified_moments(rom, space, alpha, dual_norm=None, n=8,
+                              key=4, batch=8)
+    c = probe.mean
+    res = exceedance_probability(rom, space, alpha, dual_norm=None,
+                                 threshold=c, n=n, key=13, batch=n)
+    assert 0.0 <= res.p_lo <= res.p_nominal <= res.p_hi <= 1.0
+    mus = sample_mu_batched(space, n, key=13, method="mc")
+    s_fom = np.array([_s_fom_final(fom, mu) for mu in mu_unstack(mus)])
+    p_emp = float((s_fom > c).mean())
+    assert res.p_lo - 1e-12 <= p_emp <= res.p_hi + 1e-12
+    # coarse basis: the bracket must be informative but not vacuous
+    assert res.p_hi - res.p_lo < 1.0
