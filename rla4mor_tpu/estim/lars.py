@@ -362,6 +362,254 @@ def lars_weighted_path_complex_jax(
     return path_s[:K] + 1j * path_s[K:], alphas, steps
 
 
+# ---------------------------------------------------------------------------
+# TRUE complex homotopy: rotation-invariant (group Re/Im) sparsity
+# ---------------------------------------------------------------------------
+
+
+def _complex_soft_threshold(z, t):
+    """prox of t*|.| for complex z: shrink the modulus, keep the phase."""
+    a = np.abs(z)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.where(a > t, 1.0 - t / np.where(a > 0, a, 1.0), 0.0)
+    return scale * z
+
+
+def complex_lasso_cd(
+    D: np.ndarray,
+    x: np.ndarray,
+    alpha: float,
+    beta0: Optional[np.ndarray] = None,
+    kkt_tol: float = 1e-10,
+    max_iter: int = 50_000,
+) -> np.ndarray:
+    """Complex LASSO  min 0.5||x - D beta||^2 + alpha sum_j |beta_j|
+    (modulus penalty == group LASSO over (Re, Im) pairs) by cyclic
+    coordinate descent with exact complex soft-threshold updates.
+
+    Converges to KKT residual <= ``kkt_tol * alpha_max``:
+    ``|c_j| <= alpha`` on the inactive set and ``c_j == alpha *
+    beta_j/|beta_j|`` on the active set, ``c = D^H (x - D beta)``.
+    The corrector of :func:`lars_lasso_path_complex_np`."""
+    D = np.asarray(D, np.complex128)
+    x = np.asarray(x, np.complex128).reshape(-1)
+    K = D.shape[1]
+    G = D.conj().T @ D
+    cx = D.conj().T @ x
+    Gd = np.real(np.diag(G)).copy()
+    dead = Gd <= 0  # zero atoms can never activate
+    Gd[dead] = 1.0
+    beta = (np.zeros(K, np.complex128) if beta0 is None
+            else np.asarray(beta0, np.complex128).copy())
+    c = cx - G @ beta
+    scale = float(np.abs(cx).max()) or 1.0
+    for _ in range(max_iter):
+        for j in range(K):
+            if dead[j]:
+                continue
+            zj = beta[j] + c[j] / Gd[j]
+            bj = _complex_soft_threshold(zj, alpha / Gd[j])
+            d = bj - beta[j]
+            if d != 0.0:
+                beta[j] = bj
+                c -= G[:, j] * d
+        # KKT residual (the honest convergence check)
+        act = beta != 0
+        r_in = max(np.abs(c[~act]).max() - alpha, 0.0) if (~act).any() else 0.0
+        r_ac = (np.abs(c[act] - alpha * beta[act] / np.abs(beta[act])).max()
+                if act.any() else 0.0)
+        if max(r_in, r_ac) <= kkt_tol * scale:
+            break
+    return beta
+
+
+def lars_lasso_path_complex_np(
+    D: np.ndarray,
+    x: np.ndarray,
+    alpha_min: float = 0.0,
+    max_steps: Optional[int] = None,
+    rho: float = 0.85,
+    kkt_tol: float = 1e-10,
+    event_rtol: float = 1e-4,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """TRUE complex LASSO homotopy (VERDICT r3 item 9): the path of
+    min 0.5||x - D beta||^2 + alpha sum_j |beta_j| over decreasing alpha
+    with the ROTATION-INVARIANT modulus penalty — one complex atom is
+    one path variable (no half-atom supports), and the whole path
+    commutes with a global phase ``x -> e^{i phi} x`` (the real-stacking
+    reduction :func:`lars_weighted_path_complex` does not).
+
+    Unlike the real case the complex path is only piecewise SMOOTH (the
+    active phases evolve nonlinearly), so exact breakpoints are not
+    polynomial-solvable; the homotopy is predictor-corrector: geometric
+    continuation ``alpha -> rho * alpha`` with warm-started coordinate
+    descent (:func:`complex_lasso_cd`) as the corrector, and support-
+    change events located by bisection to ``event_rtol`` so the returned
+    breakpoints carry LARS-like just-after-the-event solutions.
+
+    Returns ``(coefs (K, P) complex, alphas (P,))`` with ``coefs[:, 0]
+    = 0`` at ``alpha = max |D^H x|``; every column solves the complex
+    LASSO at its alpha to ``kkt_tol`` (oracle-tested against FISTA).
+    Reference semantics being generalized: inverse_problems/lars.py
+    real paths; its spams complex backend never existed."""
+    D = np.asarray(D, np.complex128)
+    x = np.asarray(x, np.complex128).reshape(-1)
+    m, K = D.shape
+    if max_steps is None:
+        max_steps = 8 * min(m, K)
+
+    lam0 = float(np.abs(D.conj().T @ x).max())
+    beta = np.zeros(K, np.complex128)
+    coefs = [beta.copy()]
+    alphas = [lam0]
+    if lam0 <= alpha_min or lam0 == 0.0:
+        return np.stack(coefs, axis=1), np.asarray(alphas)
+
+    floor = max(alpha_min, lam0 * 1e-12)
+    lam = lam0
+    while len(alphas) < max_steps + 1 and lam > floor * (1 + 1e-12):
+        target = max(lam * rho, floor)
+        beta_t = complex_lasso_cd(D, x, target, beta0=beta,
+                                  kkt_tol=kkt_tol)
+        sup_old = beta != 0
+        sup_new = beta_t != 0
+        if (sup_old != sup_new).any():
+            # bisect the FIRST support change in (target, lam) so the
+            # path records a just-after-the-event point
+            hi, lo = lam, target
+            beta_lo = beta_t
+            while hi - lo > event_rtol * hi:
+                mid = 0.5 * (hi + lo)
+                beta_m = complex_lasso_cd(D, x, mid, beta0=beta,
+                                          kkt_tol=kkt_tol)
+                if ((beta_m != 0) == sup_old).all():
+                    hi = mid
+                else:
+                    lo, beta_lo = mid, beta_m
+            if lo > target * (1 + 1e-12) and len(alphas) < max_steps:
+                coefs.append(beta_lo.copy())
+                alphas.append(lo)
+        beta = beta_t
+        coefs.append(beta.copy())
+        alphas.append(target)
+        lam = target
+    return np.stack(coefs, axis=1), np.asarray(alphas)
+
+
+@partial(jax.jit, static_argnames=("max_steps", "iters"))
+def complex_lasso_path_jax(
+    D: jax.Array,
+    x: jax.Array,
+    alpha_min: float = 0.0,
+    max_steps: int = 64,
+    iters: int = 300,
+) -> Tuple[jax.Array, jax.Array]:
+    """Device complex-LASSO path: warm-started FISTA over a geometric
+    alpha grid ``max|D^H x| -> max(alpha_min, 1e-6 max|D^H x|)`` of
+    ``max_steps + 1`` points (fixed shapes: jittable, vmappable over
+    observations). Same rotation-invariant modulus penalty as
+    :func:`lars_lasso_path_complex_np`; grid-sampled rather than
+    event-bisected (device analog of the real ``lars_lasso_jax``).
+
+    Returns ``(path (max_steps + 1, K) complex, alphas)``."""
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    D = jnp.asarray(D)
+    x = jnp.asarray(x).reshape(-1)
+    # a real dictionary with complex observations is a valid complex
+    # problem (coefficients complex); promote both sides
+    cdtype = jnp.promote_types(D.dtype, x.dtype)
+    assert jnp.issubdtype(cdtype, jnp.complexfloating), \
+        "complex_lasso_path_jax needs a complex problem (use lars_lasso_jax)"
+    D = D.astype(cdtype)
+    x = x.astype(cdtype)
+    K = D.shape[1]
+    G = mm(D.conj().T, D)
+    cx = mm(D.conj().T, x)
+    # Lipschitz constant of the smooth part (K x K Hermitian eigh: the
+    # dictionary is small by construction)
+    L = jnp.maximum(jnp.linalg.eigvalsh(G)[-1].real, 1e-30)
+
+    lam0 = jnp.abs(cx).max()
+    floor = jnp.maximum(jnp.asarray(alpha_min, L.dtype), 1e-6 * lam0)
+    r = (floor / jnp.maximum(lam0, 1e-300)) ** (1.0 / max(max_steps, 1))
+    alphas = lam0 * r ** jnp.arange(max_steps + 1, dtype=L.dtype)
+
+    def prox(z, t):
+        a = jnp.abs(z)
+        scale = jnp.maximum(1.0 - t / jnp.where(a > 0, a, 1.0), 0.0)
+        return jnp.where(a > t, scale * z, 0.0).astype(z.dtype)
+
+    def solve_one(beta, alpha):
+        def fista(carry, _):
+            b, y, t = carry
+            g = mm(G, y) - cx
+            b_new = prox(y - g / L, alpha / L)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            y_new = b_new + ((t - 1.0) / t_new) * (b_new - b)
+            return (b_new, y_new, t_new), None
+
+        (b, _, _), _ = lax.scan(
+            fista, (beta, beta, jnp.asarray(1.0, L.dtype)), None,
+            length=iters)
+        return b, b
+
+    beta0 = jnp.zeros((K,), D.dtype)
+    _, path = lax.scan(solve_one, beta0, alphas)
+    return path, alphas
+
+
+def lars_weighted_path_group(
+    D, x, alpha: float = 0.0, weights=None, scale: float = 1e3,
+    ols: bool = True, return_path: bool = True, max_steps=None, **kwargs,
+):
+    """Weighted/rescaled wrapper around the TRUE complex homotopy —
+    :func:`lars_weighted_path` semantics (weights divide the columns,
+    ``scale`` lengthens the path, per-point complex OLS debias) with the
+    rotation-invariant modulus penalty."""
+    D = np.asarray(D, np.complex128)
+    x = np.asarray(x, np.complex128)
+    K = D.shape[1]
+    w = np.ones(K) if weights is None else np.asarray(weights, np.float64)
+    D_ = D / w
+    x_ = x * scale
+    alpha_ = alpha * scale / K
+    path_, alphas_ = lars_lasso_path_complex_np(
+        D_, x_, alpha_min=alpha_, max_steps=max_steps, **kwargs)
+    if ols:
+        path_ = _ols_debias(D_, x_, path_)
+    path = path_ / w.reshape(-1, 1) / scale
+    alphas = alphas_ / scale
+    if return_path:
+        return path[:, 1:], alphas[1:]
+    return path[:, -1:], alphas[-1:]
+
+
+def lars_weighted_path_group_jax(
+    D, x, alpha: float = 0.0, weights=None, scale: float = 1e3,
+    ols: bool = True, max_steps: int = 64, iters: int = 300,
+):
+    """Device version of :func:`lars_weighted_path_group` (fixed-shape
+    FISTA grid path; jittable/vmappable). Returns ``(path (K,
+    max_steps), alphas (max_steps,), n_steps)`` mirroring
+    :func:`lars_weighted_path_jax` (the grid is always fully used, so
+    ``n_steps == max_steps``)."""
+    D = jnp.asarray(D)
+    x = jnp.asarray(x)
+    K = D.shape[1]
+    w = (jnp.ones((K,), jnp.float64) if weights is None
+         else jnp.asarray(weights))
+    D_ = D / w[None, :].astype(D.dtype)
+    x_ = x * scale
+    alpha_ = alpha * scale / K
+    path, alphas = complex_lasso_path_jax(
+        D_, x_, alpha_min=alpha_, max_steps=max_steps, iters=iters)
+    if ols:
+        path = _ols_debias_jax(D_, x_, path)
+    path = (path / w[None, :].astype(D.dtype) / scale).T
+    alphas = alphas / scale
+    return path[:, 1:], alphas[1:], jnp.asarray(max_steps)
+
+
 def _ols_debias(D, x, path, rcond=1e-10):
     """OLS re-fit on each path point's support (reference lars.py:101-108)."""
     out = np.zeros_like(path)

@@ -30,6 +30,8 @@ from rla4mor_tpu.estim.lars import (
     lars_weighted_path,
     lars_weighted_path_complex,
     lars_weighted_path_complex_jax,
+    lars_weighted_path_group,
+    lars_weighted_path_group_jax,
     lars_weighted_path_jax,
 )
 from rla4mor_tpu.estim.manifold_distance import ManifoldDistance
@@ -189,7 +191,7 @@ class DicRecoveryMap(RecoveryMap):
     # -- path machinery ---------------------------------------------------------
     def compute_state_path(self, w, alpha=0.0, weights=None, scale=1e3,
                            ols=True, return_path=True, solver="jax",
-                           max_steps=None, **kwargs):
+                           max_steps=None, complex_mode="group", **kwargs):
         """LARS path of dictionary coefficients (reference :170-206).
 
         ``solver``: 'jax' (default) = fixed-shape on-device path
@@ -198,19 +200,28 @@ class DicRecoveryMap(RecoveryMap):
         reference's sklearn/spams backend switch (reference lars.py:46-56),
         with the device path replacing spams (VERDICT r1 weak #6).
 
-        Complex dictionaries (e.g. Helmholtz snapshots) route through the
-        real-stacking LARS (``lars_weighted_path_complex``; group-sparsity
-        caveat in its docstring)."""
-        is_complex = jnp.iscomplexobj(self.cross_gramian) or             jnp.iscomplexobj(jnp.asarray(w))
+        Complex dictionaries (e.g. Helmholtz snapshots):
+        ``complex_mode='group'`` (default) runs the TRUE rotation-
+        invariant complex homotopy (modulus penalty, one atom = one path
+        variable, ``lars_weighted_path_group``); ``'stacked'`` keeps the
+        R^{2n} real-stacking reduction (half-atom-support caveat in
+        ``lars_weighted_path_complex``'s docstring)."""
+        assert complex_mode in ("group", "stacked"), complex_mode
+        is_complex = jnp.iscomplexobj(self.cross_gramian) or \
+            jnp.iscomplexobj(jnp.asarray(w))
+        group = is_complex and complex_mode == "group"
         if solver == "jax":
-            fn = (lars_weighted_path_complex_jax if is_complex
+            fn = (lars_weighted_path_group_jax if group
+                  else lars_weighted_path_complex_jax if is_complex
                   else lars_weighted_path_jax)
             v, alphas, _ = fn(
                 self.cross_gramian, jnp.asarray(w), alpha, weights, scale,
                 ols, self._resolve_max_steps(max_steps),
             )
             return v, alphas
-        fn = lars_weighted_path_complex if is_complex else lars_weighted_path
+        fn = (lars_weighted_path_group if group
+              else lars_weighted_path_complex if is_complex
+              else lars_weighted_path)
         v, alphas = fn(
             np.asarray(self.cross_gramian), np.asarray(w), alpha, weights,
             scale, ols, return_path, **kwargs
@@ -232,7 +243,7 @@ class DicRecoveryMap(RecoveryMap):
         return v[:, int(np.argmin(distances))]
 
     def _batched_fn(self, ols: bool, max_steps: int, has_weights: bool,
-                    is_complex: bool):
+                    is_complex: bool, complex_mode: str = "group"):
         """Per-instance cache of the jitted batched program: jax.jit caches
         by function identity, so a fresh closure per call would pay a full
         (minutes-long on the remote-compile TPU) recompile every time.
@@ -242,14 +253,17 @@ class DicRecoveryMap(RecoveryMap):
         real-stacking LARS exactly like ``compute_state_path`` (feeding a
         complex carry into the real homotopy is a while_loop type error)."""
         cache = self.__dict__.setdefault("_batched_cache", {})
-        key = (ols, max_steps, has_weights, is_complex)
+        key = (ols, max_steps, has_weights, is_complex, complex_mode)
         fn = cache.get(key)
         if fn is not None:
             return fn
         md = self.manifold_distance
         CG, G = self.cross_gramian, self.gramian
-        lars_fn = (lars_weighted_path_complex_jax if is_complex
-                   else lars_weighted_path_jax)
+        lars_fn = (
+            lars_weighted_path_group_jax
+            if is_complex and complex_mode == "group"
+            else lars_weighted_path_complex_jax if is_complex
+            else lars_weighted_path_jax)
 
         def one(w, alpha, weights, scale):
             v, _, _ = lars_fn(
@@ -275,7 +289,8 @@ class DicRecoveryMap(RecoveryMap):
         return fn
 
     def compute_state_batched(self, w_batch, alpha=0.0, weights=None,
-                              scale=1e3, ols=True, max_steps=None):
+                              scale=1e3, ols=True, max_steps=None,
+                              complex_mode="group"):
         """All snapshots at once: device LARS paths, observation-space
         corrections, manifold distances and path-point selection as ONE
         jitted vmap over observation columns (m, s) -> (nv, s).
@@ -290,15 +305,17 @@ class DicRecoveryMap(RecoveryMap):
             jnp.iscomplexobj(self.cross_gramian)
             or jnp.iscomplexobj(w_batch)
         )
+        assert complex_mode in ("group", "stacked"), complex_mode
         fn = self._batched_fn(bool(ols), self._resolve_max_steps(max_steps),
-                              weights is not None, is_complex)
+                              weights is not None, is_complex, complex_mode)
         if weights is not None:
             return fn(w_batch, alpha, jnp.asarray(weights), scale)
         return fn(w_batch, alpha, scale)
 
     def compute_state(self, w, solver="jax", **kwargs):
         w = jnp.asarray(w)
-        batched_kw = {"alpha", "weights", "scale", "ols", "max_steps"}
+        batched_kw = {"alpha", "weights", "scale", "ols", "max_steps",
+                      "complex_mode"}
         md = self.manifold_distance
         # the batched path needs the jittable md.distances (subclasses that
         # implement only the host evaluate() fall back to per-column)

@@ -410,3 +410,50 @@ def test_complex_parabolic_end_to_end():
     s_c, _ = rom_pd.output_corrected(mu)
     assert abs(s_plain - s) > 1e-8
     assert abs(complex(s_c) - s) < 1e-12
+
+
+def test_helmholtz_group_lars_beats_real_stacking():
+    """VERDICT r3 item 9 'done' criterion: at EQUAL path length the
+    rotation-invariant group (modulus-penalty) complex homotopy recovers
+    Helmholtz states at least as well as the real-stacking reduction —
+    here: machine precision vs 1e-5..1e-3 at 12 path points (the group
+    path activates whole atoms, so the per-point OLS debias lands on the
+    true complex support immediately)."""
+    from rla4mor_tpu.core import ChainOp, compose, materialize, project
+    from rla4mor_tpu.estim import DicRecoveryMap, ResidualDistanceDiscrete
+
+    fom, Ru, W = _helmholtz_setup()
+    mus_train = fom.parameter_space.sample_randomly(24, key=3)
+    u_train = fom.solve_many(mus_train)
+    V_dic = np.asarray(u_train) / np.asarray(Ru.norm(u_train))[None, :]
+    X = jnp.concatenate([jnp.asarray(V_dic), W], axis=1)
+    S = GaussianEmbedding.make(
+        fom.solution_dim, sqrt_product=Ru.sqrt, range_dim=96, seed=11,
+        complex_dtype=True,
+    )
+    chain = ChainOp((S, Ru.inv))
+    lhs = project(compose(chain, fom.operator), None, X)
+    rhs = materialize(compose(chain, fom.rhs))
+    mdist = ResidualDistanceDiscrete(lhs, rhs, mus_train)
+    rm = DicRecoveryMap(jnp.asarray(V_dic), W, product=Ru,
+                        manifold_distance=mdist, log_level=30)
+
+    mus_test = fom.parameter_space.sample_randomly(3, key=9)
+    u_test = fom.solve_many(mus_test)
+    obs = Ru.inner(W, u_test)
+    P = 12
+    best = {}
+    for mode in ("group", "stacked"):
+        errs = []
+        for i in range(obs.shape[1]):
+            u, _ = rm.solve_path(obs[:, i], max_steps=P,
+                                 complex_mode=mode)
+            ut = jnp.asarray(np.asarray(u_test)[:, i])
+            rel = np.asarray(Ru.norm(u - ut[:, None])) \
+                / float(Ru.norm(ut))
+            errs.append(float(rel.min()))
+        best[mode] = np.asarray(errs)
+    assert bool(np.all(best["group"] <= best["stacked"] * 1.01 + 1e-12)), \
+        (best["group"], best["stacked"])
+    # and the group path is not just "not worse" — it closes the problem
+    assert best["group"].max() < 1e-10
