@@ -49,10 +49,13 @@ class MinThetaCoercivity:
         assert bool(jnp.all(self.theta_ref > 0)), (
             "min-theta needs positive reference coefficients"
         )
-        A_ref = fom.assemble_sparse(mu_ref)
         if product is None:
-            self.alpha_ref = 1.0  # coercivity of A(mu_ref) w.r.t. itself
+            # coercivity of A(mu_ref) w.r.t. itself — no assembly needed,
+            # so matrix-free (stencil) FOMs qualify; pass alpha_ref
+            # explicitly scaled coercivity via `product` otherwise
+            self.alpha_ref = 1.0
         else:
+            A_ref = fom.assemble_sparse(mu_ref)
             R = sps.csc_matrix(product.op.S) if hasattr(
                 product.op, "S") else sps.csc_matrix(
                 np.asarray(product.op.matrix()))

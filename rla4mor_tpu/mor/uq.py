@@ -187,8 +187,15 @@ def certified_moments(
     reductor=None,
     sketch_tol: float = 0.2,
     sketch_samples: int = 32,
+    sharding=None,
 ) -> UqResult:
     """Mean/variance of the output over the box with certified ROM bias.
+
+    ``sharding``: optional ``jax.sharding.NamedSharding`` (e.g. over a
+    'mu' mesh axis) applied to every sampled parameter batch — the
+    jitted per-sample program then runs data-parallel across the mesh
+    (sample counts should divide the axis size; the replicated-ROM
+    pattern of ``serve.serve_batch_sharded``).
 
     ``dual_norm`` is the :class:`OutputDualNorm` built on the SAME product
     R the ROM's residual estimator sketches in. Samples stream in jitted
@@ -219,6 +226,8 @@ def certified_moments(
     while tot < n:
         b = min(batch, n - tot)
         mus = sample_mu_batched(space, b, key=key, method=method, offset=tot)
+        if sharding is not None:
+            mus = jax.tree.map(lambda x: jax.device_put(x, sharding), mus)
         s, eta = run(mus)
         s = np.asarray(s, np.float64)
         eta = np.asarray(eta, np.float64)
@@ -536,6 +545,7 @@ def exceedance_probability(
     reductor=None,
     sketch_tol: float = 0.2,
     sketch_samples: int = 32,
+    sharding=None,
 ) -> ExceedanceResult:
     """Certified bracket for ``P[s_fom(mu) > threshold]``.
 
@@ -560,6 +570,8 @@ def exceedance_probability(
     while tot < n:
         b = min(batch, n - tot)
         mus = sample_mu_batched(space, b, key=key, method=method, offset=tot)
+        if sharding is not None:
+            mus = jax.tree.map(lambda x: jax.device_put(x, sharding), mus)
         s, eta = run(mus)
         s = np.asarray(s, np.float64)
         eta = np.asarray(eta, np.float64)
