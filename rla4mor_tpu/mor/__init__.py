@@ -50,6 +50,7 @@ from rla4mor_tpu.mor.eim import (
 from rla4mor_tpu.mor.optimize import (
     CertifiedOptimum,
     MinimizeResult,
+    ConstantDualNorm,
     OutputDualNorm,
     TrustRegionResult,
     certified_minimize,
@@ -102,7 +103,7 @@ __all__ = [
     "ScmHermitian", "ScmCoercivity", "ScmInfSup",
     "MatrixFreeScmHermitian", "MatrixFreeScmCoercivity", "lobpcg_gen",
     "spectral_interval",
-    "CertifiedOptimum", "MinimizeResult", "OutputDualNorm",
+    "CertifiedOptimum", "ConstantDualNorm", "MinimizeResult", "OutputDualNorm",
     "TrustRegionResult", "trust_region_minimize",
     "certified_minimize", "make_objective", "minimize_output",
     "output_error_bound", "output_gradient",

@@ -36,20 +36,38 @@ class MinThetaCoercivity:
     """alpha_LB(mu) for a parametrically coercive affine operator.
 
     ``fom``: StationaryFOM with host-sparse SPD terms and positive
-    coefficients over the parameter domain; ``mu_ref``: the reference
-    parameter; ``product``: the R defining the coercivity norm (defaults
-    to the FOM operator at mu_ref itself, making alpha_ref == 1).
+    coefficients over the parameter domain — or any affine FOM exposing
+    ``affine_operator()`` (the stencil protocol); ``mu_ref``: the
+    reference parameter; ``product``: the R defining the coercivity norm
+    (defaults to the FOM operator at mu_ref itself, making
+    alpha_ref == 1); ``alpha_ref``: explicitly supplied coercivity of
+    A(mu_ref) w.r.t. the norm the residual estimator measures in —
+    bypasses the host eigensolve, e.g. the l2 anchor
+    ``lambda_min(sym A(mu_ref))`` from the matrix-free LOBPCG
+    (``mor.scm_matfree.lobpcg_gen`` with ``apply_R`` = identity) for
+    pod-scale stencil FOMs whose sharded-greedy estimator is an
+    unweighted l2 residual norm.
     """
 
-    def __init__(self, fom, mu_ref: Mu, product=None):
-        self.coefficients = tuple(fom.operator.coefficients)
+    def __init__(self, fom, mu_ref: Mu, product=None,
+                 alpha_ref: float | None = None):
+        op = (fom.operator if hasattr(fom, "operator")
+              else fom.affine_operator())
+        self.coefficients = tuple(op.coefficients)
         self.theta_ref = jnp.asarray(
             eval_coefficients(self.coefficients, mu_ref)
         )
         assert bool(jnp.all(self.theta_ref > 0)), (
             "min-theta needs positive reference coefficients"
         )
-        if product is None:
+        if alpha_ref is not None:
+            assert product is None, (
+                "pass EITHER an explicit alpha_ref (its norm is the "
+                "caller's contract) OR a product to eigensolve against"
+            )
+            self.alpha_ref = float(alpha_ref)
+            assert self.alpha_ref > 0, "alpha_ref must be positive"
+        elif product is None:
             # coercivity of A(mu_ref) w.r.t. itself — no assembly needed,
             # so matrix-free (stencil) FOMs qualify; pass alpha_ref
             # explicitly scaled coercivity via `product` otherwise

@@ -248,6 +248,23 @@ class OutputDualNorm:
         return jnp.sqrt(jnp.maximum(q, 0.0))
 
 
+class ConstantDualNorm:
+    """mu-independent ``||l||_{R^-1}`` as a jittable callable — for FOMs
+    whose output functional is a fixed vector with a known dual norm
+    (e.g. the stencil families' lumped mean-value output ``l = h^d 1``
+    has ``||l||_2 = h^d sqrt(n)`` exactly, and the sharded-greedy ROM's
+    residual estimator is an l2 norm, so R = I is the consistent pick).
+    Drop-in for :class:`OutputDualNorm` wherever only ``__call__`` is
+    used (``output_error_bound``, ``mor.uq``)."""
+
+    def __init__(self, value: float):
+        self.value = float(value)
+        assert self.value >= 0.0
+
+    def __call__(self, mu: Mu) -> jax.Array:
+        return jnp.asarray(self.value)
+
+
 def output_error_bound(rom, mu: Mu, coercivity, dual_norm: OutputDualNorm,
                        u_r=None) -> jax.Array:
     """Certified (up to sketch distortion) output error bound

@@ -12,6 +12,7 @@ from rla4mor_tpu.parallel.driver import (
     GreedyState,
     init_state,
     make_sharded_greedy_step,
+    state_to_rom,
 )
 from rla4mor_tpu.parallel.embeddings import (
     ShardedGaussianEmbedding,
@@ -23,5 +24,6 @@ __all__ = [
     "gaussian_block", "gaussian_sketch_blocked", "gaussian_sketch_sharded",
     "srht_blocked", "srht_sketch_sharded", "srht_sketch_sharded_flat",
     "GreedyState", "init_state", "make_sharded_greedy_step",
+    "state_to_rom",
     "ShardedGaussianEmbedding", "ShardedSrhtEmbedding",
 ]

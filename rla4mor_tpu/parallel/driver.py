@@ -43,10 +43,17 @@ class GreedyState(NamedTuple):
     # are ~1.5 GB — the remote compile transport rejects the program
     # (same failure class as the iota-traced stencil masks, PERF.md)
     aux: dict | None = None
+    # (n_out, r_max) reduced output columns out[:, j] = l(U[:, j]) —
+    # tracked through the same masked Gram-Schmidt combination as srb
+    # (l is linear, so GS on the grids commutes with evaluating l), at
+    # O(n_out) extra state; lets state_to_rom() ship a ROM with an
+    # output functional without ever storing the basis. None when the
+    # FOM declares no `output(u)`.
+    out: jax.Array | None = None
 
 
 def init_state(k: int, r_max: int, n_terms: int, res_rhs,
-               U0=None, aux=None) -> GreedyState:
+               U0=None, aux=None, out0=None) -> GreedyState:
     dt = res_rhs.dtype
     return GreedyState(
         srb=jnp.zeros((k, r_max), dt),
@@ -55,6 +62,7 @@ def init_state(k: int, r_max: int, n_terms: int, res_rhs,
         ncols=jnp.asarray(0, jnp.int32),
         U=U0,
         aux=aux,
+        out=out0,
     )
 
 
@@ -192,7 +200,19 @@ def make_sharded_greedy_step(
     # state pytree, so they enter the jitted step as arguments rather than
     # HLO literals (see GreedyState.aux)
     aux0 = fom.const_arrays() if hasattr(fom, "const_arrays") else None
-    state0 = init_state(k, r_max, fom.n_terms, res_rhs, U0=U0, aux=aux0)
+    if hasattr(fom, "output"):
+        # reduced output columns (see GreedyState.out); n_out from the
+        # functional's abstract shape — no n-sized materialization
+        _f0 = fom if aux0 is None else fom.bind(aux0)
+        out_shape = jax.eval_shape(
+            lambda u: jnp.atleast_1d(_f0.output(u)),
+            jax.ShapeDtypeStruct(fom.solution_shape, fom.dtype),
+        )
+        out0 = jnp.zeros((out_shape.shape[0], r_max), fom.dtype)
+    else:
+        out0 = None
+    state0 = init_state(k, r_max, fom.n_terms, res_rhs, U0=U0, aux=aux0,
+                        out0=out0)
 
     def _fom(state: GreedyState):
         return fom if aux0 is None else fom.bind(state.aux)
@@ -286,12 +306,19 @@ def make_sharded_greedy_step(
         col_mask = (jnp.arange(r_max) < c).astype(su.dtype)
         su0_nrm = jnp.linalg.norm(su)  # raw sketch scale, pre-GS
         ug = u  # GS-combined snapshot grid (kept only for score="exact")
+        ou = (jnp.atleast_1d(fm.output(u)).astype(su.dtype)
+              if state.out is not None else None)
         for _ in range(2):  # one re-orthogonalization pass
             coeffs = (state.srb.conj().T @ su) * col_mask
             su = su - state.srb @ coeffs
             s_terms = s_terms - jnp.einsum(
                 "tkr,r->kt", state.res_lhs, coeffs
             )
+            if ou is not None:
+                # l linear => l(GS-combined grid) == GS-combined l(grid):
+                # the invariant out[:, j] == l(U[:, j]) holds without
+                # ever forming the grid combination in sketched mode
+                ou = ou - state.out @ coeffs
             if score == "exact":
                 # same combination on the stored basis grids, preserving
                 # the invariant srb[:, j] == sketch(U[j])
@@ -326,11 +353,16 @@ def make_sharded_greedy_step(
                 state.U.at[c_write].set(u_col),
                 NamedSharding(mesh, basis_spec),
             )
+        new_out = state.out
+        if ou is not None:
+            out_col = jnp.where(ok, ou / nrm, state.out[:, c_write])
+            new_out = state.out.at[:, c_write].set(out_col)
         state = state._replace(
             srb=state.srb.at[:, c_write].set(su_col),
             res_lhs=state.res_lhs.at[:, :, c_write].set(res_col),
             ncols=c + ok.astype(c.dtype),
             U=new_U,
+            out=new_out,
         )
 
         # 4) error sweep over the mu batch (sharded over 'mu')
@@ -357,3 +389,69 @@ def make_sharded_greedy_step(
         return state, estimates, u
 
     return state0, step
+
+
+def state_to_rom(fom, state: GreedyState, projection: str = "galerkin"):
+    """Ship the trained sharded-greedy state as a :class:`StationaryROM`.
+
+    The online stage (``solve`` / ``output`` / ``estimate_error``) is the
+    same sketch-space system the greedy's own sweep evaluated
+    (``rom_solve_and_estimate`` above) with the padding stripped to the
+    ``ncols`` live columns — packaged as the framework's dense affine ROM
+    so the pod-scale offline stage feeds the online layer directly:
+    ``serve.serve_batch``, ``mor.uq.certified_moments``,
+    ``mor.optimize.minimize_output`` all take the result unchanged.
+
+    Certification note: the sharded sketch is an UNWEIGHTED l2 OSE
+    (parallel/sharded_sketch.py), so ``estimate_error`` approximates the
+    plain l2 residual norm ``||A(mu) U y - b||_2``. Pair it with an l2
+    coercivity bound — ``MinThetaCoercivity(fom, mu_ref,
+    alpha_ref=lambda_min(sym A(mu_ref)))`` with the anchor eigenvalue
+    from the matrix-free LOBPCG (``mor.scm_matfree.lobpcg_gen``) — and
+    the l2 output dual norm ``||l||_2`` (``ConstantDualNorm``) for a
+    rigorous (up to sketch distortion) output certificate.
+
+    ``projection='galerkin'`` exports the square sketched-Galerkin
+    system; ``'minres'`` exports the rectangular sketched least-squares
+    system (``StationaryROM(ls=True)``) — use whichever the greedy was
+    trained with. Output functional requires the FOM to declare
+    ``output(u)`` (all in-repo stencil families do); otherwise the ROM
+    ships without one.
+    """
+    from rla4mor_tpu.core.affine import AffineDense
+    from rla4mor_tpu.core.parameters import ONE
+    from rla4mor_tpu.models.stationary import (
+        ResidualErrorEstimator,
+        StationaryROM,
+    )
+
+    r = int(state.ncols)
+    if r == 0:
+        raise ValueError("empty greedy state (ncols == 0): run step first")
+    if projection not in ("galerkin", "minres"):
+        raise ValueError(f"unknown projection mode {projection!r}")
+    srb = state.srb[:, :r]                 # (k, r)
+    res_lhs = state.res_lhs[:, :, :r]      # (T, k, r)
+    res_rhs = state.res_rhs[:, None]       # (k, 1)
+    coeffs = tuple(fom.affine_operator().coefficients)
+    estimator = ResidualErrorEstimator(
+        AffineDense(res_lhs, coeffs),
+        AffineDense(res_rhs[None], (ONE,)),
+    )
+    if projection == "minres":
+        lhs = AffineDense(res_lhs, coeffs)
+        rhs = AffineDense(res_rhs[None], (ONE,))
+        ls = True
+    else:
+        lhs = AffineDense(
+            jnp.einsum("kr,tks->trs", srb.conj(), res_lhs), coeffs
+        )
+        rhs = AffineDense((srb.conj().T @ res_rhs)[None], (ONE,))
+        ls = False
+    out_fn = None
+    if state.out is not None:
+        out_fn = AffineDense(state.out[None, :, :r], (ONE,))
+    return StationaryROM(
+        lhs, rhs, output_functional=out_fn, error_estimator=estimator,
+        ls=ls,
+    )

@@ -3,6 +3,8 @@ sharded sketches == single-device blocked oracles (SURVEY §4: "sharded
 sketch ≡ single-chip sketch"), stencil FOM == assembled FOM, and the
 fully-sharded greedy training step."""
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -784,3 +786,100 @@ def test_sharded_flat_srht_single_block_derivation(mesh, rng):
         with pytest.raises(AssertionError, match="flat_shard_rows"):
             with mesh:
                 srht_sketch_sharded_flat(key, k, xp, mesh, block=256, n=n)
+
+
+def test_state_to_rom_ships_certified_online_stage():
+    """state_to_rom exports the trained greedy state as a StationaryROM
+    whose solve/output/estimate_error feed the online layer (serve/UQ/
+    optimize) — checks the output-column GS invariant, snapshot
+    reproduction at a training mu, estimator-vs-true-residual agreement,
+    and a fully rigorous l2 output certificate (min-theta with an
+    explicit interior lambda_min anchor) containing the true error."""
+    import scipy.linalg as sla
+
+    from rla4mor_tpu.core import mu_stack
+    from rla4mor_tpu.core.parameters import ParameterSpace
+    from rla4mor_tpu.mor import ConstantDualNorm, MinThetaCoercivity
+    from rla4mor_tpu.parallel import state_to_rom
+
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("dof", "mu"))
+    fom = StencilThermalBlock((2, 2), 15, dtype=jnp.float64)
+    key = jax.random.key(2)
+    state0, step = make_sharded_greedy_step(
+        fom, mesh, key, k=48, r_max=4, cg_tol=1e-12, cg_maxiter=800,
+        score="exact",
+    )
+    space = ParameterSpace.make({"diffusion": 4}, 0.1, 1.0)
+    train = space.sample_randomly(3, key=11)
+    batch = mu_stack(space.sample_randomly(8, key=12))
+    with mesh:
+        jit_step = jax.jit(step)
+        state = state0
+        for mu in train:
+            state, _, _ = jit_step(state, mu, batch)
+    assert int(state.ncols) == 3
+
+    # out-column invariant: out[:, j] == l(U[j]) (score='exact' keeps U)
+    for j in range(3):
+        want = float(fom.output(state.U[j]))
+        assert abs(float(state.out[0, j]) - want) < 1e-10
+
+    rom = state_to_rom(fom, state)
+    n = fom.num_intervals + 1
+    h = fom.h
+
+    # snapshot reproduction: at a training mu the Galerkin ROM output
+    # matches the FOM output to solver/roundoff accuracy
+    u_fom = fom.solve_cg(train[0], tol=1e-12, maxiter=800)
+    s_fom = float(fom.output(u_fom))
+    y0 = rom.solve(train[0])
+    s_rom0 = float(jnp.real(rom.output(y0, train[0])[0]))
+    assert abs(s_rom0 - s_fom) < 1e-8 * abs(s_fom)
+
+    # estimator vs TRUE l2 residual at held-out mus: equal up to the
+    # k=48 Gaussian sketch distortion (seeded -> deterministic)
+    mu_test = space.sample_randomly(2, key=13)
+    for mu in mu_test:
+        y = rom.solve(mu)
+        u_r = jnp.einsum("r,rij->ij", y, state.U[:3])
+        r_true = float(jnp.linalg.norm(
+            fom.apply(mu, u_r) - fom.rhs(dtype=jnp.float64)))
+        eta = float(rom.estimate_error(mu))
+        assert 0.5 * r_true <= eta <= 1.5 * r_true
+
+    # rigorous l2 certificate: lambda_min of sym A(1) on the interior
+    # subspace (the Dirichlet ring is a common kernel), min-theta scaled
+    mu_ref = {"diffusion": jnp.ones((4,), jnp.float64)}
+    eye = jnp.eye(n * n, dtype=jnp.float64)
+    A_ref = np.asarray(jax.vmap(
+        lambda e: fom.apply(mu_ref, e.reshape(n, n)).reshape(-1))(eye)).T
+    inside = np.asarray(interior_mask(n, jnp.float64)).reshape(-1) > 0
+    Ai = 0.5 * (A_ref + A_ref.T)[np.ix_(inside, inside)]
+    lam_min = float(sla.eigh(Ai, eigvals_only=True)[0])
+    assert lam_min > 0
+    alpha = MinThetaCoercivity(fom, mu_ref, alpha_ref=lam_min)
+    dual = ConstantDualNorm(h * h * math.sqrt(n * n))
+    for mu in mu_test:
+        y = rom.solve(mu)
+        s_r = float(jnp.real(rom.output(y, mu)[0]))
+        u = fom.solve_cg(mu, tol=1e-12, maxiter=800)
+        s_f = float(fom.output(u))
+        bound = float(dual(mu)) * float(rom.estimate_error(mu, y)) \
+            / float(alpha(mu))
+        assert abs(s_f - s_r) <= bound
+
+    # the exported ROM drives certified UQ end-to-end (mean bracket
+    # contains the dense-FOM mean over the same sample set)
+    from rla4mor_tpu.mor import certified_moments
+    from rla4mor_tpu.mor.uq import sample_mu_batched
+
+    res = certified_moments(rom, space, alpha, dual, n=32, key=21,
+                            batch=32)
+    mus32 = sample_mu_batched(space, 32, key=21)
+    s_fom_mean = float(np.mean([
+        float(fom.output(fom.solve_cg(
+            jax.tree.map(lambda x: x[i], mus32), tol=1e-12, maxiter=800)))
+        for i in range(32)
+    ]))
+    assert abs(s_fom_mean - res.mean) <= res.bias_bound + 1e-12
