@@ -453,3 +453,32 @@ def test_parabolic_exceedance_bracket_contains_fom(parabolic_setup):
     assert res.p_lo - 1e-12 <= p_emp <= res.p_hi + 1e-12
     # coarse basis: the bracket must be informative but not vacuous
     assert res.p_hi - res.p_lo < 1.0
+
+
+def test_certified_moments_sharded_matches_unsharded(setup):
+    """The mu-sharded data-parallel path (sharding=NamedSharding over a
+    'mu' mesh axis) computes the SAME moments and certificates as the
+    single-device path — sharding is a layout annotation, not a
+    different algorithm."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    fom, rom, alpha, dual = setup
+    space = fom.parameter_space
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("mu",))
+    sh = NamedSharding(mesh, P("mu", None))
+    kw = dict(n=64, key=9, batch=32)
+    plain = certified_moments(rom, space, alpha, dual, **kw)
+    with mesh:
+        sharded = certified_moments(rom, space, alpha, dual,
+                                    sharding=sh, **kw)
+    for f in ("mean", "std", "bias_bound", "var_bias_bound", "mean_eta"):
+        a, b = getattr(plain, f), getattr(sharded, f)
+        assert abs(a - b) <= 1e-12 * max(1.0, abs(a)), (f, a, b)
+    t = plain.mean + plain.std
+    pe = exceedance_probability(rom, space, alpha, dual, threshold=t, **kw)
+    with mesh:
+        se = exceedance_probability(rom, space, alpha, dual, threshold=t,
+                                    sharding=sh, **kw)
+    assert (pe.p_lo, pe.p_hi, pe.p_nominal) == (se.p_lo, se.p_hi,
+                                                se.p_nominal)
