@@ -107,6 +107,19 @@ def lobpcg_gen(
     ring (both T and R zero there); projecting onto the interior keeps
     the iteration — and the whitening — out of the common kernel.
     """
+    if jax.dtypes.canonicalize_dtype(dtype) != jnp.dtype(dtype):
+        # without jax_enable_x64 a requested f64 silently truncates to
+        # f32 — and an f32-EVALUATED Bauer-Fike radius can UNDERESTIMATE
+        # the true residual (measured: 2.5e-5 reported vs 7.9e-5 honest
+        # at 274k DoF), i.e. an invalid enclosure. Refuse loudly.
+        raise ValueError(
+            f"lobpcg_gen: dtype {jnp.dtype(dtype)} is unavailable "
+            "(jax_enable_x64 is off) and would silently truncate — the "
+            "Bauer-Fike radii would be evaluated in float32 and can "
+            "underestimate the enclosure. Scope the call in "
+            "`with jax.enable_x64(True):` or pass dtype=jnp.float32 "
+            "explicitly."
+        )
     b = max(int(block), int(k))
     if x0 is None:
         if isinstance(key, int):

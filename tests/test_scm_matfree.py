@@ -202,3 +202,15 @@ def test_matrixfree_scm_advection_diffusion():
         assert ub >= eps * (1 - 1e-8) - 1e-10
         assert lb > 0
         assert abs(lb - eps) < 1e-6  # sharp here: boxes pin K to [1,1]
+
+
+def test_lobpcg_refuses_silently_truncated_dtype():
+    """Without x64 a requested f64 would silently run in f32 and the
+    f32-evaluated Bauer-Fike radii can UNDERESTIMATE the enclosure
+    (measured on TPU: 2.5e-5 reported vs 7.9e-5 honest) — the guard
+    must refuse before any work."""
+    import jax
+
+    with jax.enable_x64(False):
+        with pytest.raises(ValueError, match="enable_x64"):
+            lobpcg_gen(lambda U: U, lambda U: U, 8, dtype=jnp.float64)
