@@ -130,7 +130,7 @@ def build_thermal3d_rom(num_intervals=64, k=256, steps=8):
     eig = lobpcg_gen(
         apply_A, lambda U: U, n, k=1, block=4, precond=precond,
         project=project, iters=100, tol=3e-6, dtype=jnp.float32,
-        rsolve_maxiter=1,  # R = I: the Bauer-Fike radii need no solve
+        identity_R=True,  # R = I: exact l2 Bauer-Fike radii
     )
     # f64 polishing stage: the f32 Ritz vector stalls at a whitening/
     # roundoff floor — the honestly (f64) evaluated Bauer-Fike radius is
@@ -168,7 +168,7 @@ def build_thermal3d_rom(num_intervals=64, k=256, steps=8):
         eig = lobpcg_gen(
             apply_A64, lambda U: U, n, k=1, block=2, precond=precond64,
             project=project64, iters=40, tol=1e-8, dtype=jnp.float64,
-            x0=project64(x0), rsolve_maxiter=1,
+            x0=project64(x0), identity_R=True,
         )
     t_eig = time.perf_counter() - t0
     lam, rad = float(eig.values[0]), float(eig.radii[0])

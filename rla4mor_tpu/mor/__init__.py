@@ -32,7 +32,9 @@ from rla4mor_tpu.mor.scm import (
 from rla4mor_tpu.mor.scm_matfree import (
     MatrixFreeScmCoercivity,
     MatrixFreeScmHermitian,
+    l2_interior_scm,
     lobpcg_gen,
+    lobpcg_gen_two_stage,
     spectral_interval,
 )
 from rla4mor_tpu.mor.eim import (
@@ -102,6 +104,7 @@ __all__ = [
     "parabolic_output_error_bound",
     "ScmHermitian", "ScmCoercivity", "ScmInfSup",
     "MatrixFreeScmHermitian", "MatrixFreeScmCoercivity", "lobpcg_gen",
+    "lobpcg_gen_two_stage", "l2_interior_scm",
     "spectral_interval",
     "CertifiedOptimum", "ConstantDualNorm", "MinimizeResult", "OutputDualNorm",
     "TrustRegionResult", "trust_region_minimize",

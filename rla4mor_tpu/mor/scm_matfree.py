@@ -88,6 +88,7 @@ def lobpcg_gen(
     rsolve_tol: float = 1e-12,
     rsolve_maxiter: int = 2000,
     project: Optional[Apply] = None,
+    identity_R: bool = False,
 ) -> GenEigResult:
     """Smallest ``k`` eigenpairs of the Hermitian pencil ``(T, R)``.
 
@@ -221,9 +222,28 @@ def lobpcg_gen(
     radii = np.zeros(k)
     for i in range(k):
         r = TXr[:, i] - vals[i] * RXr[:, i]
-        z = cg(lambda v: apply_R(v[:, None])[:, 0], r,
-               precond=(lambda v: M(v[:, None])[:, 0]),
-               tol=rsolve_tol, maxiter=rsolve_maxiter).x
+        if identity_R:
+            # R == I on the iteration subspace: ||r||_{R^-1} = ||r||_2
+            # exactly — no inner solve, no inexactness hazard.
+            z = r
+        else:
+            sol = cg(lambda v: apply_R(v[:, None])[:, 0], r,
+                     precond=(lambda v: M(v[:, None])[:, 0]),
+                     tol=rsolve_tol, maxiter=rsolve_maxiter)
+            z = sol.x
+            rn = float(_host(sol.residual_norm))
+            bn = float(_host(jnp.linalg.norm(r)))
+            if rn > 10 * rsolve_tol * max(bn, 1e-300):
+                # an inexact z ~ R^-1 r makes sqrt(r.z) a LOWER bound of
+                # ||r||_{R^-1} (Cauchy-Schwarz) — the enclosure would be
+                # invalid. Refuse instead of certifying with it.
+                raise ValueError(
+                    "lobpcg_gen: the Bauer-Fike R-solve did not converge "
+                    f"(rel residual {rn / max(bn, 1e-300):.1e} > "
+                    f"{rsolve_tol:.0e}); raise rsolve_maxiter, or pass "
+                    "identity_R=True when R is the identity on the "
+                    "iteration subspace."
+                )
         num = float(np.sqrt(max(float(_host(jnp.vdot(r, z)).real), 0.0)))
         den = float(np.sqrt(max(
             float(_host(jnp.vdot(Xr[:, i], RXr[:, i])).real), 1e-300)))
@@ -237,11 +257,64 @@ def lobpcg_gen(
     )
 
 
+def lobpcg_gen_two_stage(
+    apply_T: Apply,
+    apply_R: Apply,
+    n: int,
+    k: int = 1,
+    block: int = 4,
+    precond: Optional[Apply] = None,
+    iters: int = 200,
+    tol: float = 1e-8,
+    key: jax.Array | int = 0,
+    x0: Optional[jax.Array] = None,
+    f32_tol: float = 3e-6,
+    f32_iters: int = 100,
+    **kw,
+) -> GenEigResult:
+    """The TPU recipe for a tight enclosure without global x64: an f32
+    LOBPCG to a loose proxy tolerance, then a short f64 polish
+    warm-started from its Ritz vectors under a SCOPED
+    ``jax.enable_x64(True)`` (global x64 would promote unrelated jitted
+    paths, e.g. into the unsupported TPU ``LuDecomposition``).
+
+    The f32 stage stalls at a whitening/roundoff floor where the
+    honestly (f64) evaluated Bauer-Fike radius is a large fraction of
+    the eigenvalue; the polish shrinks the enclosure to a certificate
+    (PERF.md round-4: 274k-DoF anchor, radius 3.3e-9 on 1.1e-4).
+    Requires ``apply_T``/``apply_R``/``precond`` to be dtype-polymorphic
+    (follow the operand dtype — all in-repo stencil applies do).
+    """
+    kw.pop("dtype", None)  # staged: f32 warm start, f64 polish
+    if isinstance(key, int):
+        key = jax.random.key(key)
+    k1, k2 = jax.random.split(key)
+    warm = lobpcg_gen(
+        apply_T, apply_R, n, k=k, block=block, precond=precond,
+        iters=f32_iters, tol=f32_tol, key=k1, dtype=jnp.float32,
+        x0=None if x0 is None else jnp.asarray(x0, jnp.float32), **kw,
+    )
+    with jax.enable_x64(True):
+        b2 = max(k + 1, 2)
+        x64 = jnp.concatenate([
+            jnp.asarray(np.asarray(warm.vectors[:, :k]), jnp.float64),
+            jax.random.normal(k2, (n, b2 - k), jnp.float64),
+        ], axis=1)
+        project = kw.get("project")
+        if project is not None:
+            x64 = project(x64)
+        return lobpcg_gen(
+            apply_T, apply_R, n, k=k, block=b2, precond=precond,
+            iters=iters, tol=tol, key=k2, dtype=jnp.float64, x0=x64, **kw,
+        )
+
+
 def spectral_interval(
     apply_T: Apply,
     apply_R: Apply,
     n: int,
     precond: Optional[Apply] = None,
+    solver: Callable = lobpcg_gen,
     **kw,
 ) -> tuple[float, float, GenEigResult, GenEigResult]:
     """Safe outer enclosure ``[lo, hi]`` of the spectrum of ``(T, R)``:
@@ -251,9 +324,9 @@ def spectral_interval(
     if isinstance(key, int):
         key = jax.random.key(key)
     k1, k2 = jax.random.split(key)
-    lo_res = lobpcg_gen(apply_T, apply_R, n, precond=precond, key=k1, **kw)
-    hi_res = lobpcg_gen(lambda U: -apply_T(U), apply_R, n, precond=precond,
-                        key=k2, **kw)
+    lo_res = solver(apply_T, apply_R, n, precond=precond, key=k1, **kw)
+    hi_res = solver(lambda U: -apply_T(U), apply_R, n, precond=precond,
+                    key=k2, **kw)
     lo = float(lo_res.values[0] - lo_res.radii[0])
     hi = float(-hi_res.values[0] + hi_res.radii[0])
     return lo, hi, lo_res, hi_res
@@ -290,6 +363,12 @@ class MatrixFreeScmHermitian(ScmHermitian):
         dtype=jnp.float64,
         log_level: int = 20,
         project: Optional[Apply] = None,
+        two_stage: bool = False,
+        rsolve_tol: float = 1e-12,
+        rsolve_maxiter: int = 2000,
+        identity_R: bool = False,
+        f32_tol: float = 3e-6,
+        f32_iters: int = 100,
     ):
         # deliberately NOT calling ScmHermitian.__init__ (it densifies);
         # replicate its state with LOBPCG-computed boxes.
@@ -298,8 +377,16 @@ class MatrixFreeScmHermitian(ScmHermitian):
         self.apply_R = apply_R
         self.n = int(n)
         self.precond = precond
+        # two_stage = the scoped-x64 TPU recipe (lobpcg_gen_two_stage):
+        # use when the process runs with x64 off (plain f64 would be
+        # refused by lobpcg_gen's truncation guard)
+        self._solver = lobpcg_gen_two_stage if two_stage else lobpcg_gen
         self._eig_kw = dict(block=block, iters=iters, tol=tol, dtype=dtype,
-                            project=project)
+                            project=project, rsolve_tol=rsolve_tol,
+                            rsolve_maxiter=rsolve_maxiter,
+                            identity_R=identity_R)
+        if two_stage:
+            self._eig_kw.update(f32_tol=f32_tol, f32_iters=f32_iters)
         self._logger = get_logger("mor.scm_matfree", log_level)
         if isinstance(key, int):
             key = jax.random.key(key)
@@ -309,7 +396,7 @@ class MatrixFreeScmHermitian(ScmHermitian):
         self.box_radii: list[tuple[float, float]] = []
         for q, Tq in enumerate(self.terms):
             l, h, lo_res, hi_res = spectral_interval(
-                Tq, apply_R, self.n, precond=precond,
+                Tq, apply_R, self.n, precond=precond, solver=self._solver,
                 key=jax.random.fold_in(key, q), **self._eig_kw,
             )
             self._logger.info(
@@ -355,18 +442,23 @@ class MatrixFreeScmHermitian(ScmHermitian):
                 out = jnp.zeros_like(U)
             return out
 
-        res = lobpcg_gen(
+        res = self._solver(
             apply_A, self.apply_R, self.n, precond=self.precond,
             key=jax.random.fold_in(self._key, 1 + len(self.anchor_mus)),
             **self._eig_kw,
         )
         u = res.vectors[:, 0]
-        Ru = self.apply_R(u[:, None])[:, 0]
-        den = max(float(np.real(_host(jnp.vdot(u, Ru)))), 1e-300)
-        ystar = np.array([
-            float(np.real(_host(jnp.vdot(u, Tq(u[:, None])[:, 0])))) / den
-            for Tq in terms
-        ])
+        # the two-stage solver returns f64 vectors even when x64 is
+        # globally off — scope the Rayleigh quotients accordingly or
+        # they would silently truncate to f32
+        with jax.enable_x64(u.dtype == jnp.float64):
+            Ru = self.apply_R(u[:, None])[:, 0]
+            den = max(float(np.real(_host(jnp.vdot(u, Ru)))), 1e-300)
+            ystar = np.array([
+                float(np.real(_host(jnp.vdot(u, Tq(u[:, None])[:, 0]))))
+                / den
+                for Tq in terms
+            ])
         alpha_safe = float(res.values[0] - res.radii[0])
         self._logger.info(
             "anchor: alpha ~ %.6e (radius %.1e, iters %d, converged=%s)",
@@ -402,6 +494,58 @@ def mg_flat_precond(fom) -> Apply:
     shape = fom.solution_shape
     return _flat_cols(lambda g: vc(g.astype(fom.dtype)).astype(g.dtype),
                       shape)
+
+
+def l2_interior_scm(
+    fom,
+    mu_precond: Mu,
+    cg_tol: float = 1e-2,
+    cg_maxiter: int = 600,
+    **kw,
+) -> "MatrixFreeScmCoercivity":
+    """The pod-scale certification recipe for sharded-greedy ROMs
+    (``parallel.state_to_rom``): an **l2-metric** matrix-free SCM over a
+    stencil FOM.
+
+    The sharded sketch is an unweighted l2 OSE, so the shipped
+    ``estimate_error`` approximates ``||A(mu) U y - b||_2`` — the
+    matching stability constant is ``alpha_l2(mu) = lambda_min(sym
+    A(mu), I)`` over the interior subspace (the Dirichlet ring is the
+    pencil's common kernel).  This builds
+    :class:`MatrixFreeScmCoercivity` with ``apply_R = identity`` and an
+    inverse-iteration preconditioner (inner Jacobi-CG on
+    ``A(mu_precond)``) — plain Jacobi cannot converge
+    ``lambda_min(K, I)`` at pod scale (kappa ~ h^-2).
+
+    Pass ``two_stage=True`` when the process runs with x64 off (the
+    TPU recipe; see :func:`lobpcg_gen_two_stage`).  Certified bound per
+    parameter: ``rom.estimate_error(u_r, mu) / scm.lower(mu)`` — used by
+    ``examples/large_scale_demo.py --bounds``.
+    """
+    from rla4mor_tpu.core.solvers import cg as _cg
+
+    apply_A = _flat_cols(lambda g: fom.apply(mu_precond, g),
+                         fom.solution_shape)
+    diag = fom.jacobi_diag(mu_precond).reshape(-1)
+    diag = jnp.where(diag != 0, diag, 1.0)
+
+    def precond(U):
+        one = U.ndim == 1
+        cols = U[:, None] if one else U
+        d = diag.astype(cols.dtype)
+        sol = jax.vmap(
+            lambda b: _cg(
+                apply_A, b, precond=lambda rr: rr / d,
+                tol=cg_tol, maxiter=cg_maxiter,
+            ).x, in_axes=1, out_axes=1,
+        )(cols)
+        return sol[:, 0] if one else sol
+
+    # R = I: the Bauer-Fike radii need no inner solve (exact l2 norm)
+    kw.setdefault("identity_R", True)
+    return MatrixFreeScmCoercivity(
+        fom, apply_R=lambda U: U, precond=precond, **kw
+    )
 
 
 class MatrixFreeScmCoercivity(MatrixFreeScmHermitian):
@@ -443,14 +587,16 @@ class MatrixFreeScmCoercivity(MatrixFreeScmHermitian):
 
         # keep the iteration in the interior subspace (the masked
         # Dirichlet ring is the pencil's common kernel)
+        # 0/1 mask: build at f32 (exact, and avoids a truncation warning
+        # when x64 is off); the projector casts to the operand dtype
         if len(shape) == 2:
             from rla4mor_tpu.models.stencil import interior_mask
 
-            m = interior_mask(shape[0], jnp.float64).reshape(-1)
+            m = interior_mask(shape[0], jnp.float32).reshape(-1)
         elif len(shape) == 3:
             from rla4mor_tpu.models.stencil3d import interior_mask3
 
-            m = interior_mask3(shape[0], jnp.float64).reshape(-1)
+            m = interior_mask3(shape[0], jnp.float32).reshape(-1)
         else:  # pragma: no cover - no such family yet
             m = None
         project = None if m is None else (

@@ -214,3 +214,89 @@ def test_lobpcg_refuses_silently_truncated_dtype():
     with jax.enable_x64(False):
         with pytest.raises(ValueError, match="enable_x64"):
             lobpcg_gen(lambda U: U, lambda U: U, 8, dtype=jnp.float64)
+
+
+def test_two_stage_solver_matches_dense(random_pencil):
+    """lobpcg_gen_two_stage (f32 warm start + scoped-x64 f64 polish, the
+    TPU recipe) reaches the same eigenpair/enclosure quality as the
+    plain f64 solve."""
+    from rla4mor_tpu.mor.scm_matfree import lobpcg_gen_two_stage
+
+    Tj, Rj, truth = random_pencil
+    n = Tj.shape[0]
+    dinv = 1.0 / jnp.diag(Rj)
+    res = lobpcg_gen_two_stage(
+        lambda U: Tj.astype(U.dtype) @ U, lambda U: Rj.astype(U.dtype) @ U,
+        n, k=1, block=4, precond=lambda U: U * dinv.astype(U.dtype)[:, None],
+        iters=400, tol=1e-10, f32_iters=60,
+    )
+    assert res.converged
+    np.testing.assert_allclose(res.values, truth[:1], rtol=1e-9, atol=1e-11)
+    assert res.radii[0] < 1e-7
+    assert res.values[0] - res.radii[0] <= truth[0] + 1e-12
+
+
+def test_radius_rsolve_guard_refuses_unconverged():
+    """An inexact Bauer-Fike R-solve LOWER-bounds ||r||_{R^-1}
+    (Cauchy-Schwarz) — an invalid enclosure. lobpcg_gen must refuse when
+    the radius CG cannot converge, and identity_R must bypass the solve
+    exactly when R = I."""
+    rng = np.random.RandomState(3)
+    n = 60
+    Q = sla.qr(rng.standard_normal((n, n)))[0]
+    # ill-conditioned R so a 1-iteration CG cannot converge
+    R = Q @ np.diag(np.geomspace(1e-6, 1.0, n)) @ Q.T
+    T = rng.standard_normal((n, n))
+    T = jnp.asarray(0.5 * (T + T.T))
+    Rj = jnp.asarray(R)
+    with pytest.raises(ValueError, match="Bauer-Fike R-solve"):
+        lobpcg_gen(lambda U: T @ U, lambda U: Rj @ U, n, iters=3,
+                   tol=1e-10, rsolve_maxiter=1)
+    # identity metric: exact radii with zero inner iterations
+    res = lobpcg_gen(lambda U: T @ U, lambda U: U, n, iters=300,
+                     tol=1e-10, identity_R=True, rsolve_maxiter=0)
+    truth = sla.eigh(np.asarray(T), eigvals_only=True)
+    np.testing.assert_allclose(res.values, truth[:1], rtol=1e-9, atol=1e-10)
+    assert res.radii[0] < 1e-7
+
+
+def test_l2_interior_scm_advection_oracle():
+    """The pod-scale certification recipe (large_scale_demo --bounds):
+    l2-metric two-stage SCM over the advection family. sym A(mu) =
+    eps K with the advection terms exactly anti-symmetric (boxes pin to
+    [0, 0]), so alpha_l2(mu) = eps * lambda_min(K, I | interior); the LP
+    must certify it sharply and on the safe side."""
+    from rla4mor_tpu.models.stencil import interior_mask
+    from rla4mor_tpu.models.stencil_advection import (
+        StencilAdvectionDiffusion,
+    )
+    from rla4mor_tpu.mor.scm_matfree import l2_interior_scm
+
+    fom = StencilAdvectionDiffusion(num_intervals=16, dtype=jnp.float64)
+    mu_ref = {"eps": jnp.asarray([1.0]), "velocity": jnp.asarray([0.0, 0.0])}
+    scm = l2_interior_scm(fom, mu_ref, two_stage=True, tol=1e-9,
+                          iters=400, log_level=30)
+    for lo, hi in scm.box[1:]:
+        assert lo == 0.0 and hi == 0.0  # advection syms vanish exactly
+    scm.add_anchor(mu_ref)
+
+    # dense oracle: lambda_min(K, I) on interior nodes
+    n = fom.n_nodes ** 2
+    eye = np.eye(n)
+    K = np.column_stack([
+        np.asarray(fom.apply_term(
+            0, jnp.asarray(eye[:, j]).reshape(fom.solution_shape)
+        )).reshape(-1) for j in range(n)
+    ])
+    interior = np.flatnonzero(
+        np.asarray(interior_mask(fom.n_nodes, jnp.float64)).reshape(-1)
+    )
+    Ki = K[np.ix_(interior, interior)]
+    lam = sla.eigh(0.5 * (Ki + Ki.T), eigvals_only=True)[0]
+    for eps in (0.05, 0.4, 1.0):
+        mu = {"eps": jnp.asarray([eps]),
+              "velocity": jnp.asarray([0.7, -0.3])}
+        lb = scm.lower(mu)
+        assert lb <= eps * lam + 1e-10          # safe
+        assert abs(lb - eps * lam) < 1e-7 * lam  # sharp (enclosure radius)
+        assert lb > 0
