@@ -95,9 +95,9 @@ def main():
     # (mutually exclusive for now: MG runs single-device, jacobi when
     # sharded)
     use_mg = (n_dof == 1 and args.precond == "mg"
-              and args.family in ("thermal", "nonaffine"))
+              and args.family in ("thermal", "nonaffine", "advection"))
     if args.precond == "mg" and not use_mg:
-        print("NOTE: --precond mg ignored (multigrid needs a 2-D SPD "
+        print("NOTE: --precond mg ignored (multigrid needs a 2-D "
               "kappa-field family on a single device); using jacobi — "
               "at >=1e7 DoF expect slow/poorly-converged CG snapshots")
     N = args.grid

@@ -102,35 +102,47 @@ def bicgstab(
     tiny = float(jnp.finfo(r0.dtype).tiny)
 
     def cond(state):
-        _, r, *_, k = state
+        *_, rnorm, k = state
         return jnp.logical_and(
-            jnp.linalg.norm(r) > tol * jnp.maximum(bnorm, tiny),
+            rnorm > tol * jnp.maximum(bnorm, tiny),
             k < maxiter,
         )
 
     def body(state):
-        x, r, p, v, rho, alpha, omega, k = state
+        x, r, p, v, rho, alpha, omega, rnorm, k = state
         rho_new = jnp.vdot(rhat, r)
-        # breakdown guards: the where's keep the iteration finite; the
-        # residual check in cond() remains the only convergence claim
+        # breakdown guards: the where's keep the scalars defined; on an
+        # ACTUAL breakdown (f32 overflow -> inf/NaN in the scalars or
+        # the residual) the update below freezes the last finite
+        # iterate and forces exit — without this a breakdown exits the
+        # loop "converged" with an all-NaN x (NaN > tol is False),
+        # observed with Jacobi-BiCGStab on the 1M-DoF advection family.
         safe = lambda d: jnp.where(jnp.abs(d) > tiny, d, tiny)  # noqa: E731
         beta = (rho_new / safe(rho)) * (alpha / safe(omega))
-        p = r + beta * (p - omega * v)
-        ph = M(p)
-        v = matvec(ph)
-        alpha = rho_new / safe(jnp.vdot(rhat, v))
-        s = r - alpha * v
+        p_new = r + beta * (p - omega * v)
+        ph = M(p_new)
+        v_new = matvec(ph)
+        alpha_new = rho_new / safe(jnp.vdot(rhat, v_new))
+        s = r - alpha_new * v_new
         sh = M(s)
         t = matvec(sh)
-        omega = jnp.vdot(t, s) / safe(jnp.vdot(t, t))
-        x = x + alpha * ph + omega * sh
-        r = s - omega * t
-        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+        omega_new = jnp.vdot(t, s) / safe(jnp.vdot(t, t))
+        x_new = x + alpha_new * ph + omega_new * sh
+        r_new = s - omega_new * t
+        rnorm_new = jnp.linalg.norm(r_new)
+        ok = (jnp.isfinite(rnorm_new) & jnp.isfinite(rho_new)
+              & jnp.isfinite(beta) & jnp.isfinite(alpha_new)
+              & jnp.isfinite(omega_new))
+        sel = lambda a, b_: jnp.where(ok, a, b_)  # noqa: E731
+        return (sel(x_new, x), sel(r_new, r), sel(p_new, p),
+                sel(v_new, v), sel(rho_new, rho), sel(alpha_new, alpha),
+                sel(omega_new, omega), sel(rnorm_new, rnorm),
+                jnp.where(ok, k + 1, maxiter))
 
     state0 = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
-              one, one, one, jnp.asarray(0))
-    x, r, *_, k = lax.while_loop(cond, body, state0)
-    return CGResult(x, k, jnp.linalg.norm(r))
+              one, one, one, jnp.linalg.norm(r0), jnp.asarray(0))
+    x, r, *_, rnorm, k = lax.while_loop(cond, body, state0)
+    return CGResult(x, k, rnorm)
 
 
 def solve_dense(A: jax.Array, b: jax.Array) -> jax.Array:

@@ -110,7 +110,12 @@ class InstationaryStencilFOM:
         without a kappa protocol (e.g. the non-SPD advection-diffusion
         stencil) apply the affine operator directly."""
         st = self.stencil
-        if hasattr(st, "kappa"):
+        # kappa alone describes A(mu) only when the family says so: the
+        # advection-diffusion stencil exposes kappa (= its SPD diffusion
+        # part, for MG preconditioning) yet its operator has advection
+        # terms on top — gating on hasattr alone would silently drop them
+        if hasattr(st, "kappa") and getattr(st, "kappa_is_full_operator",
+                                            True):
             kappa = st.kappa(mu)
             return lambda v: self._stiff_apply(v, kappa), kappa
         return (lambda v: st.apply(mu, v)), None

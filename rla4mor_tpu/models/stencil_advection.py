@@ -54,6 +54,9 @@ class StencilAdvectionDiffusion:
 
     is_spd = False
     n_terms = 3
+    # kappa() below is the SPD diffusion PART (an MG-preconditioner
+    # hook), not the full operator — see InstationaryStencilFOM._make_stiff
+    kappa_is_full_operator = False
 
     def __init__(
         self,
@@ -103,6 +106,18 @@ class StencilAdvectionDiffusion:
         dt = self.dtype if dtype is None else dtype
         load = jnp.full(self.solution_shape, self.h * self.h, dtype=dt)
         return load * interior_mask(self.n_nodes, dt)
+
+    def kappa(self, mu, dtype=None) -> jax.Array:
+        """Element diffusion field eps * ones — the SPD part of A(mu),
+        consumed by the geometric-multigrid V-cycle as a BiCGStab
+        preconditioner (models/multigrid.py). At pod scale the cell
+        Peclet number |b| h / (2 eps) is tiny, so the diffusion V-cycle
+        approximates A(mu)^-1 well; plain Jacobi-BiCGStab in f32 breaks
+        down there (kappa ~ eps^-1 h^-2)."""
+        dt = self.dtype if dtype is None else dtype
+        eps = jnp.asarray(mu["eps"]).reshape(-1)[0].astype(dt)
+        N = self.num_intervals
+        return jnp.full((N, N), 1.0, dt) * eps
 
     def jacobi_diag(self, mu) -> jax.Array:
         """diag A(mu) = eps * diag K (the central-difference advection has

@@ -221,3 +221,42 @@ def test_advection_term_apply_adjoint():
         A = np.asarray(term.apply(eye))
         got = np.asarray(term.apply_adjoint(eye))
         assert np.allclose(got, A.conj().T, atol=1e-14), t
+
+
+def test_bicgstab_overflow_breakdown_returns_finite():
+    """An f32 rho-breakdown (rhat perpendicular to A rhat: skew operator)
+    overflows the omega quotient to NaN; the solver must freeze the last
+    FINITE iterate and exit instead of returning an all-NaN 'converged'
+    x (observed with Jacobi-BiCGStab on the 1M-DoF advection family)."""
+    from rla4mor_tpu.core.solvers import bicgstab
+
+    A = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]], jnp.float32)  # skew
+    b = jnp.asarray([1.0, 0.0], jnp.float32)  # b perp A b => rho breakdown
+    res = bicgstab(lambda v: A @ v, b, tol=1e-10, maxiter=100)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    assert np.isfinite(float(res.residual_norm))
+    assert int(res.iters) == 100  # breakdown forces the maxiter exit
+
+
+def test_advection_kappa_is_precond_hook_not_operator():
+    """kappa() exposes the SPD diffusion part for MG preconditioning;
+    the parabolic wrapper must NOT mistake it for the full operator
+    (the advection terms would silently vanish)."""
+    from rla4mor_tpu.models.instationary_stencil import (
+        InstationaryStencilFOM,
+    )
+
+    st = StencilAdvectionDiffusion(num_intervals=8, dtype=jnp.float64)
+    assert st.kappa_is_full_operator is False
+    dev = InstationaryStencilFOM(st, T=0.1, nt=4)
+    mu = {"eps": jnp.asarray([0.3]), "velocity": jnp.asarray([0.9, -0.7])}
+    A_mu, kappa = dev._make_stiff(mu)
+    assert kappa is None  # falls back to the full affine apply
+    u = jnp.asarray(
+        np.random.RandomState(0).standard_normal(st.solution_shape)
+    )
+    np.testing.assert_allclose(
+        np.asarray(A_mu(u)), np.asarray(st.apply(mu, u)), rtol=0, atol=0
+    )
+    # the MG hook itself: kappa(mu) == eps on every element
+    np.testing.assert_allclose(np.asarray(st.kappa(mu)), 0.3)
