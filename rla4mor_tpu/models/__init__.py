@@ -8,6 +8,7 @@ from rla4mor_tpu.models.advection_diffusion import AdvectionDiffusionFOM
 from rla4mor_tpu.models.helmholtz import helmholtz_fom
 from rla4mor_tpu.models.instationary_stencil import InstationaryStencilFOM, MassStencilOp
 from rla4mor_tpu.models.stencil_advection import StencilAdvectionDiffusion
+from rla4mor_tpu.models.stencil_helmholtz import StencilHelmholtz
 from rla4mor_tpu.models.stencil3d import StencilThermalBlock3D
 from rla4mor_tpu.models.stencil_nonaffine import (
     EimStencilFOM,
@@ -45,7 +46,7 @@ __all__ = [
     "AdvectionDiffusionFOM",
     "InstationaryFOM", "InstationaryROM", "InstationaryReductor",
     "instationary_thermal_block", "pod_greedy", "InstationaryStencilFOM", "MassStencilOp", "helmholtz_fom",
-    "StencilAdvectionDiffusion", "StencilThermalBlock3D",
+    "StencilAdvectionDiffusion", "StencilHelmholtz", "StencilThermalBlock3D",
     "NonAffineStencilFOM", "NonAffineStencilFOM3D", "EimStencilFOM",
     "gaussian_bump_fom", "gaussian_bump_fom3d",
     "InstationaryCorrectedOutputROM", "InstationaryPrimalDualReductor",

@@ -496,6 +496,155 @@ def mg_flat_precond(fom) -> Apply:
                       shape)
 
 
+def _interior_project(solution_shape) -> Optional[Apply]:
+    """Orthogonal projector onto the interior subspace (the masked
+    Dirichlet ring is the stencil pencils' common kernel)."""
+    if len(solution_shape) == 2:
+        from rla4mor_tpu.models.stencil import interior_mask
+
+        m = interior_mask(solution_shape[0], jnp.float32).reshape(-1)
+    elif len(solution_shape) == 3:
+        from rla4mor_tpu.models.stencil3d import interior_mask3
+
+        m = interior_mask3(solution_shape[0], jnp.float32).reshape(-1)
+    else:  # pragma: no cover - no such family yet
+        return None
+    return lambda U: U * (m[:, None] if U.ndim == 2 else m).astype(U.dtype)
+
+
+class MatrixFreeScmInfSup:
+    """l2-metric matrix-free inf-sup SCM over the stencil protocol:
+    ``beta_l2(mu)^2 = lambda_min(A(mu)^H A(mu), I | interior)`` — the
+    certified stability constant for INDEFINITE / non-coercive families
+    (``models/stencil_helmholtz.py``) at pod scale, where no coercivity
+    constant exists and the dense :class:`~rla4mor_tpu.mor.scm.ScmInfSup`
+    cannot materialize the operator.
+
+    Same squared-operator pair expansion as the dense class
+    (``A^H A = sum_{q<=q'} eta_qq'(mu) G_qq'``, mor/scm.py:240-270), with
+    the Hermitian pair terms as COMPOSED APPLIES
+    ``G_qq' U = A_q^H (A_q' U) + A_q'^H (A_q U)`` — each pair costs two
+    stencil passes per LOBPCG apply.  Real coefficients (the in-repo
+    stencil families); the complex Re/Im expansion stays on the dense
+    tier.
+
+    Certified bound: ``||u - u_r||_2 <= ||A(mu)(u - u_r)||_2 / beta(mu)
+    <= est / lower(mu)`` — the same pairing as ``l2_interior_scm`` but
+    valid with A indefinite.  ``precond='k2'`` (default) preconditions
+    the squared pencils with two nested Jacobi-CG solves on the SPD
+    ``fom.product_apply`` (~ (K^2)^-1, the right scaling for the
+    high-frequency end where lambda_min(A^H A) lives at fine h).
+    """
+
+    def __init__(
+        self,
+        fom,
+        precond: Optional[Apply] | str = "k2",
+        cg_tol: float = 1e-2,
+        cg_maxiter: int = 400,
+        **kw,
+    ):
+        aff = fom.affine_operator()
+        base_coeffs = tuple(aff.coefficients)
+        terms = list(aff.terms)
+        T = len(terms)
+        n = aff.source_dim
+
+        def pair_apply(q: int, qp: int) -> Apply:
+            tq, tqp = terms[q], terms[qp]
+            if q == qp:
+                return lambda U: tq.apply_adjoint(tq.apply(U))
+            return lambda U: (tq.apply_adjoint(tqp.apply(U))
+                              + tqp.apply_adjoint(tq.apply(U)))
+
+        pair_applies: list[Apply] = []
+        pairs: list[tuple[int, int]] = []
+        for q in range(T):
+            for qp in range(q, T):
+                pair_applies.append(pair_apply(q, qp))
+                pairs.append((q, qp))
+        self._pairs = pairs
+
+        def theta_fn(mu):
+            th = np.asarray(eval_coefficients(base_coeffs, mu))
+            if np.iscomplexobj(th):
+                if not np.allclose(th.imag, 0):
+                    raise ValueError(
+                        "MatrixFreeScmInfSup is real-coefficient only "
+                        "(use the dense ScmInfSup Re/Im expansion for "
+                        "complex families)"
+                    )
+                th = th.real
+            return np.array([th[q] * th[qp] for q, qp in pairs],
+                            np.float64)
+
+        shape = fom.solution_shape
+        project = _interior_project(shape)
+        if precond == "k2":
+            apply_R = _flat_cols(fom.product_apply, shape)
+            if len(shape) == 2:
+                from rla4mor_tpu.models.stencil import stiffness_diag_raw
+
+                N = shape[0] - 1
+                d = stiffness_diag_raw(jnp.ones((N, N)))
+                d = jnp.where(d > 0, d, 1.0).reshape(-1)
+            else:
+                raise ValueError(
+                    "precond='k2' needs a 2-D stencil family; pass a "
+                    "callable preconditioner otherwise"
+                )
+            from rla4mor_tpu.core.solvers import cg as _cg
+
+            def solve_R(U):
+                dd = d.astype(U.dtype)
+                return jax.vmap(
+                    lambda b: _cg(apply_R, b, precond=lambda rr: rr / dd,
+                                  tol=cg_tol, maxiter=cg_maxiter).x,
+                    in_axes=1, out_axes=1,
+                )(U if U.ndim == 2 else U[:, None])
+
+            def precond(U):  # noqa: F811 - ~ (K^2)^-1 on column blocks
+                one = U.ndim == 1
+                z = solve_R(solve_R(U))
+                return z[:, 0] if one else z
+        elif precond in (None, "none"):
+            precond = None
+
+        kw.setdefault("project", project)
+        kw.setdefault("identity_R", True)
+        self.scm = MatrixFreeScmHermitian(
+            pair_applies, theta_fn, lambda U: U, n, precond=precond, **kw
+        )
+
+    def fit(self, training_mus, tol: float = 0.1, max_anchors: int = 30):
+        return self.scm.fit(training_mus, tol=tol, max_anchors=max_anchors)
+
+    def add_anchor(self, mu: Mu) -> float:
+        return self.scm.add_anchor(mu)
+
+    def lower(self, mu: Mu) -> float:
+        return float(np.sqrt(max(self.scm.lower(mu), 0.0)))
+
+    def upper(self, mu: Mu) -> float:
+        ub = self.scm.upper(mu)
+        if not np.isfinite(ub):
+            return float("inf")
+        return float(np.sqrt(max(ub, 0.0)))
+
+    __call__ = lower
+
+    def tabulate(self, mus) -> np.ndarray:
+        return np.array([self.lower(mu) for mu in mus])
+
+    @property
+    def box(self):
+        return self.scm.box
+
+    @property
+    def box_radii(self):
+        return self.scm.box_radii
+
+
 def l2_interior_scm(
     fom,
     mu_precond: Mu,
@@ -587,22 +736,7 @@ class MatrixFreeScmCoercivity(MatrixFreeScmHermitian):
 
         # keep the iteration in the interior subspace (the masked
         # Dirichlet ring is the pencil's common kernel)
-        # 0/1 mask: build at f32 (exact, and avoids a truncation warning
-        # when x64 is off); the projector casts to the operand dtype
-        if len(shape) == 2:
-            from rla4mor_tpu.models.stencil import interior_mask
-
-            m = interior_mask(shape[0], jnp.float32).reshape(-1)
-        elif len(shape) == 3:
-            from rla4mor_tpu.models.stencil3d import interior_mask3
-
-            m = interior_mask3(shape[0], jnp.float32).reshape(-1)
-        else:  # pragma: no cover - no such family yet
-            m = None
-        project = None if m is None else (
-            lambda U: U * m[:, None].astype(U.dtype)
-        )
-        kw.setdefault("project", project)
+        kw.setdefault("project", _interior_project(shape))
         if precond == "auto":
             precond = None
             # MG pays off once R's conditioning (~h^-2) dominates; below
