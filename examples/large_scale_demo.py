@@ -42,11 +42,15 @@ def main():
                     "candidate (keeps the basis grids in HBM; breaks the "
                     "~1e-3 f32 sketched-estimator floor at >=1e7 DoF)")
     ap.add_argument("--family", choices=["thermal", "advection",
-                                         "thermal3d", "nonaffine"],
+                                         "helmholtz", "thermal3d",
+                                         "nonaffine"],
                     default="thermal",
                     help="advection = the NON-SPD advection-diffusion "
                     "stencil family (device BiCGStab solves, sketched "
-                    "minres projection); thermal3d = trilinear 3-D "
+                    "minres projection); helmholtz = the INDEFINITE "
+                    "K - ksq M family (ksq between the first two "
+                    "resonances; --bounds certifies via the matrix-free "
+                    "inf-sup SCM); thermal3d = trilinear 3-D "
                     "octant thermal block (--grid 255 -> 256^3 = 16.78M "
                     "DoF); nonaffine = Gaussian-bump conductivity made "
                     "affine by an offline EIM greedy (mor/eim.py)")
@@ -95,7 +99,8 @@ def main():
     # (mutually exclusive for now: MG runs single-device, jacobi when
     # sharded)
     use_mg = (n_dof == 1 and args.precond == "mg"
-              and args.family in ("thermal", "nonaffine", "advection"))
+              and args.family in ("thermal", "nonaffine", "advection",
+                                  "helmholtz"))
     if args.precond == "mg" and not use_mg:
         print("NOTE: --precond mg ignored (multigrid needs a 2-D "
               "kappa-field family on a single device); using jacobi — "
@@ -111,6 +116,10 @@ def main():
         from rla4mor_tpu.models import StencilAdvectionDiffusion
 
         fom = StencilAdvectionDiffusion(N, dtype=jnp.float32)
+    elif args.family == "helmholtz":
+        from rla4mor_tpu.models import StencilHelmholtz
+
+        fom = StencilHelmholtz(N, dtype=jnp.float32)
     elif args.family == "thermal3d":
         from rla4mor_tpu.models import StencilThermalBlock3D
 
@@ -157,7 +166,8 @@ def main():
         cg_precond="mg" if use_mg else "jacobi",
         sketch=args.sketch,
         score=args.score,
-        projection="minres" if args.family == "advection" else "galerkin",
+        projection=("galerkin" if getattr(fom, "is_spd", True)
+                    else "minres"),
         # non-affine + exact score: estimates become TOTAL indicators
         # (RB residual + EIM model-error bound per candidate)
         model_error=(fom.model_error_bound
@@ -202,42 +212,49 @@ def main():
     elif args.bounds:
         # certified stability constants at the SAME scale as the greedy
         # (round-3 verdict missing #1): matrix-free l2-metric SCM, so
-        # bound(mu) = ||A(mu) U y - b||_2 / alpha_LB(mu) with
-        # alpha_LB <= lambda_min(sym A(mu), I | interior) certified by
-        # LOBPCG + Bauer-Fike enclosures + the SCM LP.
-        from rla4mor_tpu.mor.scm_matfree import l2_interior_scm
-
-        if args.family == "advection":
-            mu_ref = {"eps": jnp.asarray([1.0]),
-                      "velocity": jnp.asarray([0.0, 0.0])}
-        else:
-            mu_ref = {"diffusion": jnp.ones((fom.n_terms,))}
-        # two-stage = the TPU recipe (f32 warm start + scoped-x64 f64
-        # polish) — also correct/fast under global x64
+        # bound(mu) = ||A(mu) U y - b||_2 / beta_LB(mu), with beta_LB a
+        # certified coercivity constant (coercive families) or inf-sup
+        # constant (the indefinite helmholtz family) from LOBPCG +
+        # Bauer-Fike safe enclosures + the SCM LP. Everything two-stage
+        # (f32 warm start + scoped-x64 f64 polish — the TPU recipe).
+        mus_b = [jax.tree.map(lambda x: x.astype(jnp.float32), m)
+                 for m in sample(8, 1)]  # the sweep batch's own draw
         t0 = time.perf_counter()
-        scm = l2_interior_scm(
-            fom, mu_ref, two_stage=True, iters=200, tol=1e-8,
-            cg_maxiter=1200,
-        )
-        scm.add_anchor(mu_ref)
+        if args.family == "helmholtz":
+            from rla4mor_tpu.mor.scm_matfree import MatrixFreeScmInfSup
+
+            scm = MatrixFreeScmInfSup(fom, two_stage=True, iters=200,
+                                      tol=1e-8, cg_maxiter=400)
+            hist = scm.fit(mus_b, tol=0.5, max_anchors=6)
+            fit_desc = (f"{len(scm.box)} pair boxes + "
+                        f"{len(hist['max_gap'])} anchors, inf-sup")
+            const = "beta_LB"
+        else:
+            from rla4mor_tpu.mor.scm_matfree import l2_interior_scm
+
+            if args.family == "advection":
+                mu_ref = {"eps": jnp.asarray([1.0]),
+                          "velocity": jnp.asarray([0.0, 0.0])}
+            else:
+                mu_ref = {"diffusion": jnp.ones((fom.n_terms,))}
+            scm = l2_interior_scm(fom, mu_ref, two_stage=True, iters=200,
+                                  tol=1e-8, cg_maxiter=1200)
+            scm.add_anchor(mu_ref)
+            fit_desc = f"{len(scm.box)} term boxes + 1 anchor, coercivity"
+            const = "alpha_LB"
         t_fit = time.perf_counter() - t0
         radii = ", ".join(f"{lo:.0e}/{hi:.0e}" for lo, hi in scm.box_radii)
-        print(f"matrix-free SCM offline fit ({len(scm.terms)} term boxes "
-              f"+ 1 anchor, l2 metric): {t_fit:.1f}s  "
-              f"enclosure radii [{radii}]")
-        mus_b = sample(8, 1)  # the same draw the sweep batch was built from
-        lbs = np.array([
-            float(scm.lower(jax.tree.map(
-                lambda x: x.astype(jnp.float32), m))) for m in mus_b
-        ])
+        print(f"matrix-free SCM offline fit ({fit_desc}, l2 metric): "
+              f"{t_fit:.1f}s  enclosure radii [{radii}]")
+        lbs = np.array([float(scm.lower(m)) for m in mus_b])
         assert np.all(lbs > 0), lbs
         bound = est / lbs
-        qual = ("rigorous: f64 true residual / certified alpha_LB"
-                if args.score == "exact"
+        qual = ("rigorous: f64 true residual / certified stability "
+                "constant" if args.score == "exact"
                 else "rigorous up to sketch distortion")
         print(f"certified l2 state-error bounds over the mu batch ({qual}):"
               f" median {np.median(bound):.3e}  max {bound.max():.3e}  "
-              f"(alpha_LB in [{lbs.min():.3e}, {lbs.max():.3e}])")
+              f"({const} in [{lbs.min():.3e}, {lbs.max():.3e}])")
     print("done")
 
 

@@ -57,6 +57,9 @@ class StencilHelmholtz:
 
     is_spd = False
     n_terms = 2
+    # kappa() is the unit diffusion field (an MG-preconditioner hook for
+    # the V-cycle on K), NOT the operator — cf. stencil_advection.py
+    kappa_is_full_operator = False
 
     def __init__(
         self,
@@ -100,6 +103,14 @@ class StencilHelmholtz:
         dt = self.dtype if dtype is None else dtype
         load = jnp.full(self.solution_shape, self.h * self.h, dtype=dt)
         return load * interior_mask(self.n_nodes, dt)
+
+    def kappa(self, mu, dtype=None) -> jax.Array:
+        """Unit element diffusion field — the V-cycle on K preconditions
+        BiCGStab on K - ksq M (K dominates away from the lowest modes at
+        fine h, where ksq stays O(10) while K's spectrum spans h^-2)."""
+        dt = self.dtype if dtype is None else dtype
+        N = self.num_intervals
+        return jnp.ones((N, N), dt)
 
     def jacobi_diag(self, mu) -> jax.Array:
         """diag A(mu) = diag K - ksq diag M; identity filler on the

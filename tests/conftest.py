@@ -78,6 +78,8 @@ SMOKE = {
     "test_fwht.py": {"test_fwht_matches_hadamard",
                      "test_srht_apply_equals_rows"},
     "test_instationary.py": {"test_implicit_euler_matches_dense_oracle"},
+    "test_stencil_helmholtz.py": {
+        "test_helmholtz_operator_is_indefinite_and_symmetric"},
     "test_instationary_pd.py": {"test_discrete_adjoint_identity"},
     "test_mdeim.py": {"test_mdeim_reconstructs_operator"},
     "test_multigrid.py": {"test_transfer_adjointness",
