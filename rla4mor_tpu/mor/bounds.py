@@ -211,7 +211,9 @@ class InfSupLowerBound:
     """
 
     def __init__(self, fom, mu_refs, product=None, betas=None, gammas=None):
-        self.coefficients = tuple(fom.operator.coefficients)
+        op = (fom.operator if hasattr(fom, "operator")
+              else fom.affine_operator())  # stencil protocol
+        self.coefficients = tuple(op.coefficients)
         self.theta_refs = jnp.stack([
             jnp.asarray(eval_coefficients(self.coefficients, mu))
             for mu in mu_refs

@@ -544,6 +544,7 @@ class MatrixFreeScmInfSup:
         cg_maxiter: int = 400,
         **kw,
     ):
+        self._fom = fom  # for weyl_bound's coefficient tuple
         aff = fom.affine_operator()
         base_coeffs = tuple(aff.coefficients)
         terms = list(aff.terms)
@@ -621,6 +622,46 @@ class MatrixFreeScmInfSup:
 
     def add_anchor(self, mu: Mu) -> float:
         return self.scm.add_anchor(mu)
+
+    def weyl_bound(self):
+        """A JITTABLE certified ``beta_LB(mu)`` assembled from the SCM's
+        own offline quantities — the composition the jitted certified-UQ
+        / optimization entry points need (the online LP is host-only):
+
+        Weyl singular-value perturbation around the fitted anchors
+        (:class:`~rla4mor_tpu.mor.bounds.InfSupLowerBound`) with
+
+        * ``beta_j  = sqrt(max(anchor alpha, 0))`` — the anchor alphas
+          are the SAFE enclosure side ``theta_min - rho`` of
+          ``lambda_min(A^H A)`` at mu_j;
+        * ``gamma_q = sqrt(hi box edge of the diagonal pair (q, q))``
+          — the safe side of ``sigma_max(A_q)^2``.
+
+        The returned callable maps a NONPOSITIVE Weyl bound to 0, so a
+        downstream ``eta / beta`` certificate becomes ``inf`` (never a
+        silently-wrong finite certificate); ``fit`` with enough anchors
+        to keep it positive over the sampling box.  Looser than the LP
+        at any given anchor budget — tabulate both if tightness matters.
+        """
+        from rla4mor_tpu.mor.bounds import InfSupLowerBound
+
+        if not self.scm.anchor_mus:
+            raise ValueError("weyl_bound needs at least one anchor: "
+                             "run fit()/add_anchor() first")
+        betas = np.sqrt(np.maximum(self.scm.anchor_alphas, 0.0))
+        diag = {q: i for i, (q, qp) in enumerate(self._pairs) if q == qp}
+        gammas = np.sqrt([
+            max(self.scm.box[diag[q]][1], 0.0) for q in sorted(diag)
+        ])
+        bound = InfSupLowerBound(self._fom, self.scm.anchor_mus,
+                                 betas=betas, gammas=gammas)
+
+        def beta_safe(mu):
+            b = bound(mu)
+            return jnp.where(b > 0, b, jnp.zeros((), b.dtype))
+
+        beta_safe.infsup = bound  # expose the raw Weyl object
+        return beta_safe
 
     def lower(self, mu: Mu) -> float:
         return float(np.sqrt(max(self.scm.lower(mu), 0.0)))

@@ -171,3 +171,59 @@ def test_helmholtz_sharded_greedy_certified_bounds():
         assert bounds[j] * (1 + 1e-6) + 1e-12 >= err, (j, bounds[j], err)
         # and not absurdly loose on this well-conditioned toy
         assert bounds[j] < 1e4 * max(err, 1e-14)
+
+
+def test_certified_uq_on_indefinite_family():
+    """Certified UQ composed onto the INDEFINITE class end-to-end:
+    greedy-shipped minres ROM + the jittable Weyl beta_LB from the
+    matrix-free inf-sup SCM (weyl_bound) + the exact l2 output dual
+    norm. The certified mean-bias bracket must contain the direct FOM
+    Monte-Carlo mean of the same samples."""
+    import math
+
+    from jax.sharding import Mesh
+
+    from rla4mor_tpu.core import mu_stack
+    from rla4mor_tpu.mor import ConstantDualNorm, certified_moments
+    from rla4mor_tpu.core.parameters import mu_unstack
+    from rla4mor_tpu.mor.uq import sample_mu_batched
+    from rla4mor_tpu.parallel import make_sharded_greedy_step, state_to_rom
+
+    fom = StencilHelmholtz(num_intervals=32, dtype=jnp.float64)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dof", "mu"))
+    state, step = make_sharded_greedy_step(
+        fom, mesh, jax.random.key(0), k=96, r_max=6, cg_tol=1e-10,
+        cg_maxiter=8000, sketch="gaussian", projection="minres",
+    )
+    batch = mu_stack(fom.sample_parameters(6, key=1))
+    with mesh:
+        jit_step = jax.jit(step)
+        for it in range(4):
+            mu = fom.sample_parameters(1, key=20 + it)[0]
+            state, est, _ = jit_step(state, mu, batch)
+    rom = state_to_rom(fom, state, projection="minres")
+
+    scm = MatrixFreeScmInfSup(fom, two_stage=True, tol=1e-9, iters=600,
+                              log_level=30)
+    scm.fit([{"ksq": jnp.asarray([v])}
+             for v in (23.0, 28.0, 33.0, 38.0, 43.0)],
+            tol=0.5, max_anchors=8)
+    beta = scm.weyl_bound()
+    n = math.prod(fom.solution_shape)
+    dual = ConstantDualNorm(fom.h ** 2 * math.sqrt(n))  # ||l||_2 safe
+
+    space = fom.parameter_space
+    n_mc = 24
+    res = certified_moments(rom, space, beta, dual, n=n_mc, key=11,
+                            method="mc", batch=12)
+    assert np.isfinite(res.bias_bound)  # beta stayed positive box-wide
+
+    mus = sample_mu_batched(space, n_mc, key=11, method="mc")
+    s_fom = np.array([
+        float(np.asarray(fom.output(fom.solve_bicgstab(
+            mu, tol=1e-12, maxiter=20000))))
+        for mu in mu_unstack(mus)
+    ])
+    assert abs(s_fom.mean() - res.mean) <= res.bias_bound * (1 + 1e-6)
+    # the bracket is informative, not vacuous, on this easy box
+    assert res.bias_bound < 10 * max(abs(res.mean), 1e-12)
