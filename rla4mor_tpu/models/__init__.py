@@ -37,6 +37,7 @@ from rla4mor_tpu.models.wave import (
     wave_thermal_block,
 )
 from rla4mor_tpu.models.wave_stencil import WaveStencilFOM
+from rla4mor_tpu.models.semilinear import SemilinearStencilFOM
 
 __all__ = [
     "StationaryFOM",
@@ -53,4 +54,5 @@ __all__ = [
     "output_pod_greedy", "solve_dual",
     "WaveFOM", "WaveROM", "WaveReductor", "wave_thermal_block",
     "WaveStencilFOM",
+    "SemilinearStencilFOM",
 ]

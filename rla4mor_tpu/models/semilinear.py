@@ -1,0 +1,252 @@
+"""Monotone semilinear reaction-diffusion: the NONLINEAR-IN-STATE family.
+
+Beyond-reference addition (the reference framework is linear-affine only,
+SURVEY §2.3; its closest machinery is the affine sketched reductor,
+/root/reference/mor/sketched_reductor.py:140-190): this module brings the
+state-nonlinear model class
+
+    A(mu) u  +  c(mu) * M_L g(u)  =  f        on the unit square, u|_dD = 0
+
+into the stencil-FOM protocol.  ``A(mu)`` is the matrix-free affine Q1
+thermal-block stiffness (models/stencil.py), ``M_L`` the LUMPED Q1 mass
+(diag h^2 on interior nodes — lumping makes the reaction act nodewise,
+which is exactly what DEIM hyperreduction needs: one magic point = one
+node), ``g`` a MONOTONE nondecreasing scalar nonlinearity applied
+elementwise, and ``c(mu) >= 0`` the reaction strength.
+
+Why monotone: with g' >= 0 and c >= 0 the operator
+``F(u) = A(mu) u + c M_L g(u) - f`` is STRONGLY monotone with the same
+constant as the linear part,
+
+    <F(u) - F(v), u - v>  >=  <A(mu)(u - v), u - v>  >=  alpha(mu) ||u-v||_R^2,
+
+so (a) the Newton Jacobian ``J(u) = A(mu) + c M_L g'(u)`` is SPD —
+Newton-CG applies verbatim, and (b) the a-posteriori error bound
+
+    ||u - u_r||_R  <=  ||F(u_r)||_{R^-1} / alpha_LB(mu)
+
+holds with the LINEAR family's certified coercivity lower bound
+(min-theta / SCM / matrix-free LOBPCG anchors, mor/bounds.py +
+mor/scm_matfree.py) — the whole certified-bounds tier transfers to the
+nonlinear class unchanged.  The ROM side (POD basis + DEIM-hyperreduced
+reaction + certified residual estimator) lives in
+``mor/semilinear_reductor.py``.
+
+TPU shape: the FOM Newton solve is one jittable ``lax.while_loop`` whose
+body runs a matrix-free preconditioned CG on the SPD Jacobian — identical
+compute pattern to the linear stencil families, so it scales to the same
+pod-scale DoF counts; the ROM online stage is a dense (r, r) Newton that
+jits and vmaps over parameter batches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rla4mor_tpu.core.parameters import ParameterSpace
+from rla4mor_tpu.core.solvers import cg
+from rla4mor_tpu.models.stencil import (
+    StencilThermalBlock,
+    interior_mask,
+)
+
+# -- scalar nonlinearities (static names -> jit-cacheable callables) --------
+# each entry: (g, g') with g monotone nondecreasing and g(0) = 0 (so u = 0
+# stays the Dirichlet-compatible rest state)
+
+
+def _g_cubic(u):
+    return u * u * u
+
+
+def _dg_cubic(u):
+    return 3.0 * u * u
+
+
+def _g_expm1(u):
+    return jnp.expm1(u)
+
+
+def _dg_expm1(u):
+    return jnp.exp(u)
+
+
+def _g_arctan_shifted(u):
+    # u + atan(u): strongly monotone variant (g' >= 1) exercising a
+    # non-polynomial nonlinearity
+    return u + jnp.arctan(u)
+
+
+def _dg_arctan_shifted(u):
+    return 1.0 + 1.0 / (1.0 + u * u)
+
+
+NONLINEARITIES = {
+    "cubic": (_g_cubic, _dg_cubic),
+    "expm1": (_g_expm1, _dg_expm1),
+    "arctan": (_g_arctan_shifted, _dg_arctan_shifted),
+}
+
+
+class SemilinearStencilFOM:
+    """Matrix-free monotone semilinear FOM on the stencil protocol.
+
+    ``A(mu) u + c(mu) M_L g(u) = f`` with ``A`` the (grid_shape) thermal
+    block, ``c(mu) = reaction_scale * mu['reaction'][0]`` and ``g`` one of
+    :data:`NONLINEARITIES`.  Parameters live in the global box
+    ``[mu_lo, mu_hi]`` (diffusion per block + one reaction entry).
+    """
+
+    is_spd = True  # the Newton Jacobian is SPD (monotone g)
+
+    def __init__(
+        self,
+        grid_shape=(2, 2),
+        num_intervals: int = 64,
+        dtype=jnp.float32,
+        nonlinearity: str = "cubic",
+        reaction_scale: float = 100.0,
+        mu_range: tuple[float, float] = (0.1, 1.0),
+    ):
+        self.linear = StencilThermalBlock(grid_shape, num_intervals, dtype)
+        self.grid_shape = grid_shape
+        self.num_intervals = num_intervals
+        self.dtype = dtype
+        self.n_nodes = num_intervals + 1
+        self.h = 1.0 / num_intervals
+        if nonlinearity not in NONLINEARITIES:
+            raise ValueError(
+                f"unknown nonlinearity {nonlinearity!r}; "
+                f"one of {sorted(NONLINEARITIES)}"
+            )
+        self.nonlinearity = nonlinearity
+        self.g, self.dg = NONLINEARITIES[nonlinearity]
+        self.reaction_scale = float(reaction_scale)
+        if mu_range[0] < 0:
+            raise ValueError("monotonicity needs c(mu) >= 0: mu_lo >= 0")
+        self.parameter_space = ParameterSpace.make(
+            {"diffusion": self.linear.n_terms, "reaction": 1}, *mu_range
+        )
+
+    # -- pieces ------------------------------------------------------------
+    @property
+    def solution_shape(self):
+        return self.linear.solution_shape
+
+    @property
+    def n_dof(self) -> int:
+        return self.n_nodes * self.n_nodes
+
+    def reaction(self, mu) -> jax.Array:
+        return self.reaction_scale * jnp.asarray(mu["reaction"]).reshape(-1)[0]
+
+    def mass_lumped_diag(self, dtype=None) -> jax.Array:
+        """Lumped Q1 mass diagonal: h^2 on interior nodes, 0 on the
+        Dirichlet ring (the row-sum of the consistent mass, Dirichlet
+        rows cleared)."""
+        dt = self.dtype if dtype is None else dtype
+        return (self.h * self.h) * interior_mask(self.n_nodes, dt)
+
+    def apply_linear(self, mu, u: jax.Array) -> jax.Array:
+        return self.linear.apply(mu, u)
+
+    def apply_nonlinear(self, mu, u: jax.Array) -> jax.Array:
+        """c(mu) M_L g(u) — nodewise on the interior."""
+        ml = self.mass_lumped_diag(u.dtype)
+        return self.reaction(mu).astype(u.dtype) * ml * self.g(u)
+
+    def residual(self, mu, u: jax.Array) -> jax.Array:
+        """F(u) = A(mu) u + c M_L g(u) - f (zero on the Dirichlet ring)."""
+        return (self.apply_linear(mu, u) + self.apply_nonlinear(mu, u)
+                - self.rhs(u.dtype))
+
+    def jacobian_apply(self, mu, u: jax.Array, v: jax.Array) -> jax.Array:
+        """J(u) v = A(mu) v + c M_L g'(u) v (SPD for monotone g)."""
+        ml = self.mass_lumped_diag(v.dtype)
+        c = self.reaction(mu).astype(v.dtype)
+        return self.apply_linear(mu, v) + c * ml * self.dg(u) * v
+
+    def jacobian_diag(self, mu, u: jax.Array) -> jax.Array:
+        """diag J(u) for Jacobi preconditioning (>= diag A > 0)."""
+        d = self.linear.jacobi_diag(mu)
+        ml = self.mass_lumped_diag(u.dtype)
+        return d + self.reaction(mu).astype(u.dtype) * ml * self.dg(u)
+
+    def rhs(self, dtype=None) -> jax.Array:
+        return self.linear.rhs(dtype)
+
+    def output(self, u) -> jax.Array:
+        """Mean-value functional (lumped integral)."""
+        return jnp.sum(u) * self.h * self.h
+
+    def product_apply(self, u: jax.Array) -> jax.Array:
+        """h1_0 product R = A(kappa=1)."""
+        return self.linear.product_apply(u)
+
+    def affine_operator(self):
+        """AffineOp of the LINEAR part (feeds MinThetaCoercivity /
+        matrix-free SCM: the monotone bound only needs the linear
+        family's coercivity)."""
+        return self.linear.affine_operator()
+
+    # -- solve ---------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self", "newton_tol", "max_newton",
+                                       "cg_tol", "cg_maxiter"))
+    def solve_newton(
+        self,
+        mu,
+        newton_tol: float = 1e-9,
+        max_newton: int = 30,
+        cg_tol: float = 1e-10,
+        cg_maxiter: int = 2000,
+    ) -> jax.Array:
+        """Jittable Newton-CG from u = 0: full steps (the monotone
+        operator has a unique solution; from the rest state with the
+        smooth g's above plain Newton converges in < 10 steps for the
+        default families — ``max_newton`` is the safety bound), inner
+        Jacobi-preconditioned CG on the SPD Jacobian.
+
+        Convergence claim: ||F(u)||_2 <= newton_tol * ||f||_2.
+        """
+        f = self.rhs()
+        fnorm = jnp.linalg.norm(f)
+        tiny = jnp.asarray(jnp.finfo(f.dtype).tiny, f.dtype)
+
+        def cond(state):
+            u, k = state
+            return jnp.logical_and(
+                jnp.linalg.norm(self.residual(mu, u))
+                > newton_tol * jnp.maximum(fnorm, tiny),
+                k < max_newton,
+            )
+
+        def body(state):
+            u, k = state
+            F = self.residual(mu, u)
+            diag = self.jacobian_diag(mu, u)
+            res = cg(
+                lambda v: self.jacobian_apply(mu, u, v),
+                -F,
+                precond=lambda r: r / diag,
+                tol=cg_tol,
+                maxiter=cg_maxiter,
+            )
+            return u + res.x, k + 1
+
+        u0 = jnp.zeros(self.solution_shape, self.dtype)
+        u, _ = lax.while_loop(cond, body, (u0, jnp.asarray(0)))
+        return u
+
+    def solve(self, mu) -> jax.Array:
+        """Reductor-facing flat solve (column vector of length n_dof)."""
+        return self.solve_newton(mu).reshape(-1)
+
+    def solve_many(self, mus) -> jax.Array:
+        return jnp.stack([self.solve(mu) for mu in mus], axis=1)
+
+    def sample_parameters(self, count: int, key=0):
+        return self.parameter_space.sample_randomly(count, key)

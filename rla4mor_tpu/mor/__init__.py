@@ -64,6 +64,11 @@ from rla4mor_tpu.mor.optimize import (
     output_gradient,
     trust_region_minimize,
 )
+from rla4mor_tpu.mor.semilinear_reductor import (
+    SemilinearReductor,
+    SemilinearResidualEstimator,
+    SemilinearROM,
+)
 from rla4mor_tpu.mor.uq import (
     CertifiedSobolResult,
     ExceedanceResult,
@@ -127,4 +132,5 @@ __all__ = [
     "save_primal_dual_reductor", "load_primal_dual_reductor_state",
     "save_wave_reductor", "load_wave_reductor_state",
     "save_padded_reductor", "load_padded_reductor_state",
+    "SemilinearReductor", "SemilinearROM", "SemilinearResidualEstimator",
 ]

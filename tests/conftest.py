@@ -96,6 +96,8 @@ SMOKE = {
     "test_rsvd.py": {"test_rsvd_matches_exact_svd"},
     "test_scm.py": {"test_scm_coercivity_thermal_block"},
     "test_scm_matfree.py": {"test_lobpcg_gen_matches_dense"},
+    "test_semilinear.py": {"test_newton_matches_dense_oracle",
+                           "test_deim_exact_on_training_parameter"},
     "test_serialization.py": {"test_reductor_roundtrip"},
     "test_serve.py": {"test_serve_stationary_matches_direct",
                       "test_serve_hot_swap_no_recompile"},
