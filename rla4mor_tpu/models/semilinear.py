@@ -250,3 +250,94 @@ class SemilinearStencilFOM:
 
     def sample_parameters(self, count: int, key=0):
         return self.parameter_space.sample_randomly(count, key)
+
+
+class SemilinearInstationaryFOM:
+    """IMEX semilinear heat equation over the monotone reaction family:
+
+        M u^{k+1} + dt A(mu) u^{k+1}  =  M u^k + dt (f - c(mu) M_L g(u^k)),
+
+    implicit (backward-Euler) diffusion, EXPLICIT reaction — each time
+    step is one LINEAR SPD solve (M + dt A, warm-started preconditioned
+    CG inside a ``lax.scan``), so the parabolic time loop keeps the
+    exact compute pattern of :class:`InstationaryStencilFOM`
+    (models/instationary_stencil.py) while the nonlinearity costs one
+    nodewise evaluation per step.  First-order accurate in dt (both
+    pieces are); the explicit reaction is the standard IMEX trade —
+    stable for ``dt * c * max g'(u)`` below O(1), which the default
+    families satisfy by orders of magnitude (solutions are O(0.1)).
+
+    M is the CONSISTENT Q1 mass (time derivative), M_L the lumped one
+    (reaction) — the same split DEIM needs on the reduced side.
+    """
+
+    def __init__(self, fom: SemilinearStencilFOM, T: float = 1.0,
+                 nt: int = 50):
+        self.fom = fom
+        self.T = float(T)
+        self.nt = int(nt)
+        self.dt = self.T / self.nt
+        self.parameter_space = fom.parameter_space
+        self.u0 = jnp.zeros(fom.solution_shape, fom.dtype)
+
+    @property
+    def solution_shape(self):
+        return self.fom.solution_shape
+
+    def _mass_apply(self, v: jax.Array) -> jax.Array:
+        from rla4mor_tpu.models.stencil import mass_apply
+
+        return mass_apply(v, self.fom.h)
+
+    @partial(jax.jit, static_argnames=("self", "tol", "maxiter",
+                                       "store_every"))
+    def solve(self, mu, tol: float = 1e-9, maxiter: int = 400,
+              store_every: int = 1) -> jax.Array:
+        """(*solution_shape, n_stored) trajectory including u0 (time
+        axis last), exactly like ``InstationaryStencilFOM.solve``."""
+        from rla4mor_tpu.core.solvers import cg
+        from rla4mor_tpu.models.stencil import mass_diag
+
+        fom = self.fom
+        dt = self.dt
+        b = fom.rhs()
+        ml = fom.mass_lumped_diag()
+        c = fom.reaction(mu).astype(fom.dtype)
+
+        def B(v):
+            return self._mass_apply(v) + dt * fom.apply_linear(mu, v)
+
+        dia = (mass_diag(fom.n_nodes, fom.h, fom.dtype)
+               + dt * fom.linear.jacobi_diag(mu))
+        M_pre = lambda r: r / dia  # noqa: E731
+
+        if self.nt % store_every != 0:
+            raise ValueError(
+                f"store_every={store_every} must divide nt={self.nt}")
+
+        def outer(u, _):
+            def step(u, _):
+                rhs = self._mass_apply(u) + dt * (b - c * ml * fom.g(u))
+                u_new = cg(B, rhs, x0=u, precond=M_pre, tol=tol,
+                           maxiter=maxiter).x
+                return u_new, None
+
+            u, _ = jax.lax.scan(step, u, None, length=store_every)
+            return u, u
+
+        _, stored = jax.lax.scan(
+            outer, self.u0, None, length=self.nt // store_every)
+        return jnp.moveaxis(
+            jnp.concatenate([self.u0[None], stored], axis=0), 0, -1)
+
+    def solve_flat(self, mu, **kw) -> jax.Array:
+        traj = self.solve(mu, **kw)
+        return traj.reshape(-1, traj.shape[-1])
+
+    def output_trajectory(self, traj) -> jax.Array:
+        """Mean-value output at each stored step: (n_stored,)."""
+        h2 = self.fom.h * self.fom.h
+        return jnp.sum(traj, axis=tuple(range(traj.ndim - 1))) * h2
+
+    def sample_parameters(self, count: int, key=0):
+        return self.parameter_space.sample_randomly(count, key)

@@ -96,6 +96,15 @@ class SemilinearResidualEstimator:
         q = jnp.vdot(w, jnp.matmul(self.gram, w, precision=_HI))
         return jnp.sqrt(jnp.maximum(q.real, 0.0))
 
+    def residual_norms_batch(self, Ws: jax.Array) -> jax.Array:
+        """||C w_k|| for a stack of weight vectors Ws (K, ncols) — the
+        parabolic time loop's per-step residual norms in one matmul."""
+        if self.sketched:
+            R = jnp.matmul(self.gram, Ws.T, precision=_HI)
+            return jnp.linalg.norm(R, axis=0)
+        q = jnp.sum(Ws * jnp.matmul(Ws, self.gram, precision=_HI), axis=1)
+        return jnp.sqrt(jnp.maximum(q, 0.0))
+
     def deim_indicator(self, g_pts: jax.Array, g_res: jax.Array) -> jax.Array:
         """sup-norm DEIM error estimate at the reserve points, scaled to
         an l2 surrogate ``h^2 sqrt(n_int) * sup`` (a LOWER-bound-flavored
@@ -259,6 +268,143 @@ jax.tree_util.register_pytree_node(
 )
 
 
+class SemilinearInstationaryROM:
+    """Hyperreduced IMEX semilinear heat ROM — one jittable ``lax.scan``.
+
+    Reduced recursion (cf. :class:`SemilinearInstationaryFOM`):
+
+        (M_hat + dt A_hat(mu)) a^{k+1} = M_hat a^k + dt (b_hat
+                                          - c(mu) W g(Pv a^k)),
+
+    Cholesky-factored ONCE per mu (the implicit matrix is SPD and
+    time-independent), so the online cost is nt dense (r, r) triangular
+    solves + nt DEIM point evaluations.  ``estimate_error`` returns the
+    space-time residual INDICATOR
+    ``sqrt(dt sum_k ||r^k||_2^2) (+ DEIM reserve term)`` — an l2
+    Grepl-Patera-style quantity; the certified parabolic tier
+    (mor/bounds.py) covers the LINEAR families, the semilinear one is
+    indicator-grade (documented honesty boundary).
+    """
+
+    def __init__(self, lhs: AffineDense, M_hat, rhs_hat, W, Pv,
+                 output_row, error_estimator, nonlinearity: str,
+                 reaction_scale: float, nt: int, dt: float):
+        self.lhs = lhs
+        self.M_hat = jnp.asarray(M_hat)
+        self.rhs_hat = jnp.asarray(rhs_hat)
+        self.W = jnp.asarray(W)
+        self.Pv = jnp.asarray(Pv)
+        self.output_row = None if output_row is None else jnp.asarray(
+            output_row)
+        self.error_estimator = error_estimator
+        self.nonlinearity = str(nonlinearity)
+        self.reaction_scale = float(reaction_scale)
+        self.nt = int(nt)
+        self.dt = float(dt)
+
+    def tree_flatten(self):
+        return (self.lhs, self.M_hat, self.rhs_hat, self.W, self.Pv,
+                self.output_row, self.error_estimator), (
+            self.nonlinearity, self.reaction_scale, self.nt, self.dt)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        (obj.lhs, obj.M_hat, obj.rhs_hat, obj.W, obj.Pv, obj.output_row,
+         obj.error_estimator) = children
+        obj.nonlinearity, obj.reaction_scale, obj.nt, obj.dt = aux
+        return obj
+
+    @property
+    def dim(self) -> int:
+        return self.lhs.source_dim
+
+    def reaction(self, mu: Mu) -> jax.Array:
+        return self.reaction_scale * jnp.asarray(mu["reaction"]).reshape(-1)[0]
+
+    def solve(self, mu: Mu) -> jax.Array:
+        """(r, nt + 1) reduced trajectory from a0 = 0 (time axis last)."""
+        g, _ = NONLINEARITIES[self.nonlinearity]
+        A = self.lhs.assemble(mu)
+        dt = jnp.asarray(self.dt, A.dtype)
+        c = self.reaction(mu).astype(A.dtype)
+        B = self.M_hat.astype(A.dtype) + dt * A
+        cho = jax.scipy.linalg.cho_factor(B)
+        b = self.rhs_hat.astype(A.dtype)
+        W, Pv = self.W.astype(A.dtype), self.Pv.astype(A.dtype)
+        Mh = self.M_hat.astype(A.dtype)
+
+        def step(a, _):
+            rhs = (jnp.matmul(Mh, a, precision=_HI)
+                   + dt * (b - c * jnp.matmul(
+                       W, g(jnp.matmul(Pv, a, precision=_HI)),
+                       precision=_HI)))
+            a_new = jax.scipy.linalg.cho_solve(cho, rhs)
+            return a_new, a_new
+
+        a0 = jnp.zeros((self.dim,), A.dtype)
+        _, traj = lax.scan(step, a0, None, length=self.nt)
+        return jnp.concatenate([a0[None], traj], axis=0).T
+
+    def solve_batch(self, mus_batched: Mu) -> jax.Array:
+        return jax.vmap(self.solve)(mus_batched)
+
+    def output_trajectory(self, traj) -> jax.Array:
+        assert self.output_row is not None
+        return jnp.matmul(self.output_row.astype(traj.dtype), traj,
+                          precision=_HI)
+
+    def estimate_error(self, mu: Mu, traj=None,
+                       include_deim: bool = True) -> jax.Array:
+        """Space-time l2 residual indicator of the stored trajectory
+        (module-class docstring). Per step k the PDE-scaled residual
+        ``rho^k = M V (a^{k+1}-a^k)/dt + A V a^{k+1} + c M_L U S g^k - f``
+        is a weight vector over the columns ``[f | A_b V | M_L U S | M V]``:
+        ``[-1 | theta_b (x) a^{k+1} | c g(Pv a^k) | (a^{k+1}-a^k)/dt]``;
+        the indicator is ``sqrt(dt sum_k ||rho^k||^2)``."""
+        est = self.error_estimator
+        assert est is not None
+        if traj is None:
+            traj = self.solve(mu)
+        g, _ = NONLINEARITIES[self.nonlinearity]
+        dtype = traj.dtype
+        a_old = traj[:, :-1].T          # (nt, r)
+        a_new = traj[:, 1:].T           # (nt, r)
+        theta = jnp.asarray(
+            eval_coefficients(self.lhs.coefficients, mu), dtype)
+        c = self.reaction(mu).astype(dtype)
+        dt = jnp.asarray(self.dt, dtype)
+        g_pts = g(jnp.matmul(a_old, self.Pv.T.astype(dtype),
+                             precision=_HI))          # (nt, m)
+        K = a_old.shape[0]
+        Ws = jnp.concatenate([
+            jnp.full((K, 1), -1.0, dtype),
+            (theta[None, :, None] * a_new[:, None, :]).reshape(K, -1),
+            c * g_pts,
+            (a_new - a_old) / dt,
+        ], axis=1)
+        rnorms = est.residual_norms_batch(Ws)
+        eta = jnp.sqrt(dt * jnp.sum(rnorms * rnorms))
+        if include_deim and est.Pv_res is not None:
+            g_res = g(jnp.matmul(a_old, est.Pv_res.T.astype(dtype),
+                                 precision=_HI))      # (nt, m_res)
+            pred = jnp.matmul(g_pts, est.pred_res.T.astype(dtype),
+                              precision=_HI)
+            sup = jnp.max(jnp.abs(g_res - pred), axis=1)  # (nt,)
+            scale = est.mass_scale * jnp.sqrt(
+                jnp.asarray(float(est.n_interior), dtype))
+            eta_deim = jnp.sqrt(dt * jnp.sum((c * scale * sup) ** 2))
+            eta = eta + eta_deim
+        return eta
+
+
+jax.tree_util.register_pytree_node(
+    SemilinearInstationaryROM,
+    lambda x: x.tree_flatten(),
+    SemilinearInstationaryROM.tree_unflatten,
+)
+
+
 # ---------------------------------------------------------------------------
 # offline
 # ---------------------------------------------------------------------------
@@ -319,7 +465,6 @@ class SemilinearReductor:
         fom = self.fom
         B = fom.linear.n_terms
         V = jnp.asarray(V)
-        r = V.shape[1]
 
         # reduced linear stacks
         AV = [fom.linear.term_linop(b).apply(V) for b in range(B)]
@@ -368,6 +513,98 @@ class SemilinearReductor:
             lhs, rhs_hat, W, Pv, out_row, est,
             nonlinearity=fom.nonlinearity,
             reaction_scale=fom.reaction_scale,
+        )
+
+    def fit_instationary(
+        self,
+        ifom,
+        mus_train,
+        modes: Optional[int] = None,
+        pod_rtol: float = 1e-7,
+        deim_modes: Optional[int] = None,
+        deim_rtol: float = 1e-7,
+        n_reserve: int = 2,
+        store_every: int = 1,
+        snapshots: Optional[jax.Array] = None,
+        **solve_kw,
+    ) -> SemilinearInstationaryROM:
+        """POD-DEIM over IMEX trajectories of a
+        :class:`~rla4mor_tpu.models.semilinear.SemilinearInstationaryFOM`:
+        snapshots = all stored states of all training trajectories
+        (u0 = 0 dropped), DEIM over their nonlinearity images."""
+        from rla4mor_tpu.models.stencil import mass_apply
+
+        fom = self.fom
+        assert ifom.fom is fom, "reductor fom must be the ifom's spatial fom"
+        if snapshots is None:
+            trajs = [ifom.solve_flat(m, store_every=store_every,
+                                     **solve_kw)[:, 1:]
+                     for m in mus_train]
+            snapshots = jnp.concatenate(trajs, axis=1)
+        S = jnp.asarray(snapshots)
+
+        V, _ = pod(S, modes=modes, rtol=pod_rtol)
+        G = fom.g(S)
+        interp_full = deim(G, modes=deim_modes, rtol=deim_rtol)
+        m_total = interp_full.basis.shape[1]
+        n_res = min(n_reserve, max(m_total - 1, 0))
+        interp = (interp_full.truncate(m_total - n_res, n_res)
+                  if n_res > 0 else interp_full)
+        self.last_basis = V
+        self.last_interpolant = interp
+
+        B = fom.linear.n_terms
+        AV = [fom.linear.term_linop(b).apply(V) for b in range(B)]
+        lhs = AffineDense(
+            jnp.stack([jnp.matmul(V.T, av, precision=_HI) for av in AV]),
+            tuple(ProjectionCoefficient("diffusion", b) for b in range(B)),
+        )
+        f = fom.rhs().reshape(-1)
+        rhs_hat = jnp.matmul(V.T, f, precision=_HI)
+
+        # consistent-mass columns M V (flat), via the grid mass apply
+        shp = fom.solution_shape
+        MV = jax.vmap(
+            lambda col: mass_apply(col.reshape(shp), fom.h).reshape(-1),
+            in_axes=1, out_axes=1)(V)
+        M_hat = jnp.matmul(V.T, MV, precision=_HI)
+
+        m = interp.n_terms
+        pts = interp.active_points
+        U_act = interp.basis[:, :m]
+        S_inv = jnp.linalg.inv(interp.interp_matrix[:m, :m])
+        ml = fom.mass_lumped_diag().reshape(-1)
+        MUS = ml[:, None] * jnp.matmul(U_act, S_inv, precision=_HI)
+        W = jnp.matmul(V.T, MUS, precision=_HI)
+        Pv = V[pts, :]
+
+        res_pts = interp.reserve_points
+        if res_pts is not None and res_pts.shape[0] > 0:
+            Pv_res = V[res_pts, :]
+            pred_res = jnp.matmul(U_act[res_pts, :], S_inv, precision=_HI)
+        else:
+            Pv_res = pred_res = None
+
+        C = jnp.concatenate([f[:, None]] + AV + [MUS, MV], axis=1)
+        if self.embedding is None:
+            gram = jnp.matmul(C.T, C, precision=_HI)
+            sketched = False
+        else:
+            gram = self.embedding.apply(C)
+            sketched = True
+        n_int = int((fom.n_nodes - 2) ** 2)
+        est = SemilinearResidualEstimator(
+            gram, Pv_res, pred_res, sketched,
+            mass_scale=fom.h * fom.h, n_interior=n_int)
+
+        out_row = jnp.matmul(
+            jnp.full((fom.n_dof,), fom.h * fom.h, V.dtype), V,
+            precision=_HI)
+        return SemilinearInstationaryROM(
+            lhs, M_hat, rhs_hat, W, Pv, out_row, est,
+            nonlinearity=fom.nonlinearity,
+            reaction_scale=fom.reaction_scale,
+            nt=ifom.nt, dt=ifom.dt,
         )
 
     # -- certified strong greedy -------------------------------------------

@@ -236,6 +236,88 @@ def test_online_stage_jits_and_vmaps(fom22, mus22, snaps22):
             float(e_b[i]), float(rom.estimate_error(mu)), rtol=1e-7)
 
 
+def test_imex_matches_dense_oracle(fom22, mus22):
+    """IMEX FOM scan == dense numpy IMEX loop (consistent mass,
+    lumped reaction)."""
+    from rla4mor_tpu.models.semilinear import SemilinearInstationaryFOM
+    from rla4mor_tpu.models.stencil import mass_apply
+
+    fom = fom22
+    ifom = SemilinearInstationaryFOM(fom, T=0.5, nt=16)
+    mu = mus22[1]
+    traj = np.asarray(ifom.solve_flat(mu, tol=1e-12))
+    n = fom.n_dof
+    I = jnp.eye(n, dtype=jnp.float64)
+    A = np.tensordot(
+        np.asarray(mu["diffusion"], np.float64), dense_terms(fom), axes=1)
+    M = np.stack([
+        np.asarray(mass_apply(
+            np.asarray(I[:, j]).reshape(fom.solution_shape),
+            fom.h).reshape(-1))
+        for j in range(n)], axis=1)
+    ml = np.asarray(fom.mass_lumped_diag().reshape(-1))
+    mask = ml > 0
+    c = float(fom.reaction(mu))
+    f = np.asarray(fom.rhs().reshape(-1))
+    dt = ifom.dt
+    g = lambda u: np.asarray(fom.g(jnp.asarray(u)))  # noqa: E731
+    Bm = (M + dt * A)[np.ix_(mask, mask)]
+    u = np.zeros(n)
+    for k in range(ifom.nt):
+        rhs = (M @ u)[mask] + dt * (f[mask] - c * ml[mask] * g(u[mask]))
+        un = np.zeros(n)
+        un[mask] = np.linalg.solve(Bm, rhs)
+        u = un
+        err = np.linalg.norm(u - traj[:, k + 1])
+        assert err <= 1e-8 * max(np.linalg.norm(u), 1e-12), (k, err)
+
+
+def test_instationary_rom_reproduces_training_trajectory(fom22, mus22):
+    from rla4mor_tpu.models.semilinear import SemilinearInstationaryFOM
+
+    fom = fom22
+    ifom = SemilinearInstationaryFOM(fom, T=0.5, nt=12)
+    red = SemilinearReductor(fom)
+    rom = red.fit_instationary(ifom, mus22[:3], pod_rtol=1e-11,
+                               deim_rtol=1e-11, n_reserve=2)
+    V = np.asarray(red.last_basis)
+    mu = mus22[1]
+    rec = V @ np.asarray(rom.solve(mu))
+    truth = np.asarray(ifom.solve_flat(mu))
+    assert (np.linalg.norm(rec - truth)
+            <= 1e-6 * np.linalg.norm(truth))
+    # indicator ~ solver roundoff on a reproduced trajectory
+    assert float(rom.estimate_error(mu)) <= 1e-5
+    # output trajectory consistent with the FOM's
+    s_rom = np.asarray(rom.output_trajectory(rom.solve(mu)))
+    s_fom = np.asarray(ifom.output_trajectory(ifom.solve(mu)))
+    np.testing.assert_allclose(s_rom, s_fom, atol=1e-8)
+
+
+def test_instationary_indicator_tracks_error(fom22, mus22):
+    from rla4mor_tpu.models.semilinear import SemilinearInstationaryFOM
+
+    fom = fom22
+    ifom = SemilinearInstationaryFOM(fom, T=0.5, nt=12)
+    red = SemilinearReductor(fom)
+    # coarse ROM: indicator must be nonzero and shrink as the basis grows
+    rom_c = red.fit_instationary(ifom, mus22[:3], modes=3, deim_modes=4,
+                                 n_reserve=2)
+    rom_f = red.fit_instationary(ifom, mus22[:3], modes=12, deim_modes=8,
+                                 n_reserve=2)
+    mu = mus22[6]
+    e_c = float(rom_c.estimate_error(mu))
+    e_f = float(rom_f.estimate_error(mu))
+    assert e_c > 0 and e_f < e_c
+    # jit + vmap over a batch
+    batched = mu_stack(mus22[5:])
+    trajs = jax.jit(rom_c.solve_batch)(batched)
+    for i, m in enumerate(mus22[5:]):
+        np.testing.assert_allclose(
+            np.asarray(trajs[i]), np.asarray(rom_c.solve(m)),
+            rtol=1e-8, atol=1e-11)
+
+
 def test_greedy_drives_indicator_down(fom11):
     fom = fom11
     mus = fom.sample_parameters(12, key=37)
