@@ -330,6 +330,10 @@ def _rom_fields(rom) -> dict:
     from rla4mor_tpu.models.stationary import StationaryROM
     from rla4mor_tpu.models.wave import WaveROM
     from rla4mor_tpu.mor.primal_dual import CorrectedOutputROM
+    from rla4mor_tpu.mor.semilinear_reductor import (
+        SemilinearInstationaryROM,
+        SemilinearROM,
+    )
 
     d: dict = {}
 
@@ -391,9 +395,59 @@ def _rom_fields(rom) -> dict:
         save_affine(d, "op_zv", rom.op_zv)
         save_affine(d, "est_lhs_z", rom.est_lhs_z)
         save_affine(d, "est_l", rom.est_l)
+    elif isinstance(rom, SemilinearROM):
+        d["kind"] = "semilinear"
+        d["aux"] = np.asarray(
+            [rom.reaction_scale, rom.newton_tol, rom.max_newton],
+            np.float64)
+        d["nonlinearity"] = rom.nonlinearity
+        save_affine(d, "lhs", rom.lhs)
+        arr("rhs_hat", rom.rhs_hat)
+        arr("W", rom.W)
+        arr("Pv", rom.Pv)
+        arr("out_row", rom.output_row)
+        _save_semilinear_est(d, rom.error_estimator)
+    elif isinstance(rom, SemilinearInstationaryROM):
+        d["kind"] = "semilinear_instationary"
+        d["aux"] = np.asarray(
+            [rom.reaction_scale, rom.nt, rom.dt], np.float64)
+        d["nonlinearity"] = rom.nonlinearity
+        save_affine(d, "lhs", rom.lhs)
+        arr("M_hat", rom.M_hat)
+        arr("rhs_hat", rom.rhs_hat)
+        arr("W", rom.W)
+        arr("Pv", rom.Pv)
+        arr("out_row", rom.output_row)
+        _save_semilinear_est(d, rom.error_estimator)
     else:
         raise TypeError(f"save_rom: unsupported ROM type {type(rom)!r}")
     return d
+
+
+def _save_semilinear_est(d: dict, est) -> None:
+    if est is None:
+        return
+    d["est_gram"] = np.asarray(est.gram)
+    d["est_aux"] = np.asarray(
+        [float(est.sketched), est.mass_scale, est.n_interior], np.float64)
+    if est.Pv_res is not None:
+        d["est_pv_res"] = np.asarray(est.Pv_res)
+        d["est_pred_res"] = np.asarray(est.pred_res)
+
+
+def _load_semilinear_est(d):
+    from rla4mor_tpu.mor.semilinear_reductor import (
+        SemilinearResidualEstimator,
+    )
+
+    if "est_gram" not in d:
+        return None
+    sk, ms, ni = d["est_aux"]
+    pv_res = jnp.asarray(d["est_pv_res"]) if "est_pv_res" in d else None
+    pred = jnp.asarray(d["est_pred_res"]) if "est_pred_res" in d else None
+    return SemilinearResidualEstimator(
+        jnp.asarray(d["est_gram"]), pv_res, pred, bool(sk),
+        mass_scale=float(ms), n_interior=int(ni))
 
 
 def _save_rom_into(d: dict, prefix: str, rom) -> None:
@@ -485,6 +539,28 @@ def _rom_from_fields(d):
             est_l=load_affine(d, "est_l"),
             output_kind=(str(d["output_kind"])
                          if "output_kind" in d else "final"),
+        )
+    if kind == "semilinear":
+        from rla4mor_tpu.mor.semilinear_reductor import SemilinearROM
+
+        rs, ntol, mn = d["aux"]
+        return SemilinearROM(
+            load_affine(d, "lhs"), arr("rhs_hat"), arr("W"), arr("Pv"),
+            arr("out_row"), _load_semilinear_est(d),
+            nonlinearity=str(d["nonlinearity"]), reaction_scale=float(rs),
+            newton_tol=float(ntol), max_newton=int(mn),
+        )
+    if kind == "semilinear_instationary":
+        from rla4mor_tpu.mor.semilinear_reductor import (
+            SemilinearInstationaryROM,
+        )
+
+        rs, nt, dt = d["aux"]
+        return SemilinearInstationaryROM(
+            load_affine(d, "lhs"), arr("M_hat"), arr("rhs_hat"),
+            arr("W"), arr("Pv"), arr("out_row"), _load_semilinear_est(d),
+            nonlinearity=str(d["nonlinearity"]), reaction_scale=float(rs),
+            nt=int(nt), dt=float(dt),
         )
     raise ValueError(f"unknown ROM kind {kind!r}")
 

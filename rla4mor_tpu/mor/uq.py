@@ -154,7 +154,13 @@ def _batched_output_and_bound(rom, coercivity, dual_norm, component):
       ``output_corrected``): ``s = Re s_c``, ``eta_s = eta_pr * eta_du
       / alpha`` (:func:`~rla4mor_tpu.mor.bounds.parabolic_output_error_bound`
       — implicit Euler; ``dual_norm``/``component`` are unused, pass
-      ``dual_norm=None``).
+      ``dual_norm=None``);
+    * hyperreduced semilinear ROM (``mor.semilinear_reductor``, detected
+      by ``n_deim``): the same ``||l|| * eta / alpha`` formula — the
+      monotone bound makes it certified with the LINEAR family's
+      alpha_LB (up to the DEIM reserve indicator; R = l2, so pair with
+      an l2 :class:`~rla4mor_tpu.mor.optimize.ConstantDualNorm` output
+      norm and an l2-anchored coercivity).
     """
     if hasattr(rom, "output_corrected"):
         from rla4mor_tpu.mor.bounds import parabolic_output_error_bound
@@ -162,6 +168,14 @@ def _batched_output_and_bound(rom, coercivity, dual_norm, component):
         def one(mu: Mu):
             s_c, eta_s = parabolic_output_error_bound(rom, mu, coercivity)
             return jnp.real(s_c), eta_s
+    elif hasattr(rom, "n_deim"):
+        def one(mu: Mu):
+            a = rom.solve(mu)
+            s = jnp.real(
+                jnp.asarray(rom.output(a, mu)).reshape(-1)[component])
+            eta = rom.estimate_error(mu, a)
+            eta_s = dual_norm(mu) * eta / coercivity(mu)
+            return s, eta_s
     else:
         def one(mu: Mu):
             u = rom.solve(mu)

@@ -318,6 +318,80 @@ def test_instationary_indicator_tracks_error(fom22, mus22):
             rtol=1e-8, atol=1e-11)
 
 
+def test_certified_uq_over_semilinear_rom(fom22, mus22, snaps22):
+    """certified_moments dispatches on the hyperreduced semilinear ROM
+    and its bias bound contains the TRUE sampled output bias (dense
+    lambda_min coercivity, exact l2 output dual norm h^2 sqrt(n))."""
+    from rla4mor_tpu.mor.optimize import ConstantDualNorm
+    from rla4mor_tpu.mor.uq import certified_moments, sample_mu_batched
+    from rla4mor_tpu.core.parameters import mu_unstack
+
+    fom = fom22
+    A_terms = dense_terms(fom)
+    ml = np.asarray(fom.mass_lumped_diag().reshape(-1))
+    mask = ml > 0
+
+    def alpha_dense(mu):
+        theta = np.asarray(mu["diffusion"], np.float64)
+        Amu = np.tensordot(theta, A_terms, axes=1)[np.ix_(mask, mask)]
+        return float(np.linalg.eigvalsh(0.5 * (Amu + Amu.T))[0])
+
+    # jittable conservative coercivity: min-theta against a dense anchor
+    # at mu = 1 (theta in [0.1, 1] => alpha(mu) >= min_b theta_b * alpha(1))
+    ones = {"diffusion": jnp.ones(4, jnp.float64),
+            "reaction": jnp.ones(1, jnp.float64)}
+    alpha1 = alpha_dense(ones)
+
+    def coerc(mu):
+        return jnp.min(jnp.asarray(mu["diffusion"])) * alpha1
+
+    rom = SemilinearReductor(fom).fit(
+        None, snapshots=snaps22[:, :5], modes=3, deim_modes=4, n_reserve=2)
+    dual = ConstantDualNorm(fom.h * fom.h * np.sqrt(fom.n_dof))
+    n_s = 24
+    res = certified_moments(rom, fom.parameter_space, coerc, dual,
+                            n=n_s, method="halton", batch=n_s, key=0)
+    # replicate the sample set and compute the FOM truth
+    mus_b = sample_mu_batched(fom.parameter_space, n_s, key=0,
+                              method="halton", offset=0)
+    s_fom = []
+    for mu in mu_unstack(mus_b):
+        u = fom.solve_newton(mu)
+        s_fom.append(float(fom.output(u)))
+    true_bias = abs(res.mean - float(np.mean(s_fom)))
+    assert true_bias <= res.bias_bound * (1 + 1e-9)
+    assert res.bias_bound <= 1.0  # not vacuous at this scale
+
+
+def test_semilinear_rom_roundtrip(tmp_path, fom22, mus22, snaps22):
+    """save_rom/load_rom ship both semilinear ROM kinds standalone."""
+    from rla4mor_tpu.models.semilinear import SemilinearInstationaryFOM
+    from rla4mor_tpu.mor.serialization import load_rom, save_rom
+
+    fom = fom22
+    mu = mus22[6]
+    rom = SemilinearReductor(fom).fit(
+        None, snapshots=snaps22[:, :5], modes=3, deim_modes=4, n_reserve=2)
+    p = tmp_path / "sl.npz"
+    save_rom(rom, p)
+    rom2 = load_rom(p)
+    np.testing.assert_allclose(np.asarray(rom2.solve(mu)),
+                               np.asarray(rom.solve(mu)), rtol=1e-12)
+    np.testing.assert_allclose(float(rom2.estimate_error(mu)),
+                               float(rom.estimate_error(mu)), rtol=1e-12)
+
+    ifom = SemilinearInstationaryFOM(fom, T=0.5, nt=8)
+    prom = SemilinearReductor(fom).fit_instationary(
+        ifom, mus22[:2], modes=6, deim_modes=5, n_reserve=2)
+    p2 = tmp_path / "sl_inst.npz"
+    save_rom(prom, p2)
+    prom2 = load_rom(p2)
+    np.testing.assert_allclose(np.asarray(prom2.solve(mu)),
+                               np.asarray(prom.solve(mu)), rtol=1e-12)
+    np.testing.assert_allclose(float(prom2.estimate_error(mu)),
+                               float(prom.estimate_error(mu)), rtol=1e-12)
+
+
 def test_greedy_drives_indicator_down(fom11):
     fom = fom11
     mus = fom.sample_parameters(12, key=37)
