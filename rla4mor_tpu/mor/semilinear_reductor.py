@@ -623,30 +623,31 @@ class SemilinearReductor:
         indicator ``estimate_error(mu) / alpha_LB(mu)`` (falls back to
         the raw residual norm when ``coercivity`` is None): each step
         Newton-solves only the argmax parameter, refits POD+DEIM on the
-        snapshots collected so far. Returns ``(rom, history)`` where
+        snapshots collected so far. The estimate sweep over the training
+        set is ONE jitted vmapped dispatch per step (recompiled per step
+        — the reduced shapes grow). Returns ``(rom, history)`` where
         ``history[k]`` is the max indicator before step k's enrichment.
         """
+        from rla4mor_tpu.core.parameters import mu_stack
+
         mus = list(mus_train)
+        batched = mu_stack(mus)
         picked = [seed_index]
         snaps = [self.fom.solve_newton(mus[seed_index], **solve_kw)
                  .reshape(-1)]
         history = []
         rom = None
+        alphas = (np.ones(len(mus)) if coercivity is None
+                  else np.asarray([float(coercivity(mu)) for mu in mus]))
         for step in range(1, n_steps + 1):
             S = jnp.stack(snaps, axis=1)
             rom = self.fit(None, snapshots=S, pod_rtol=1e-10,
                            deim_rtol=deim_rtol, n_reserve=n_reserve)
-            ests = []
-            for i, mu in enumerate(mus):
-                if i in picked:
-                    ests.append(0.0)
-                    continue
-                e = rom.estimate_error(mu)
-                if coercivity is not None:
-                    e = e / coercivity(mu)
-                ests.append(float(e))
+            _, est_b = jax.jit(rom.solve_and_estimate_batch)(batched)
+            ests = np.asarray(est_b, np.float64) / alphas
+            ests[np.asarray(picked, int)] = 0.0
             imax = int(np.argmax(ests))
-            history.append(ests[imax])
+            history.append(float(ests[imax]))
             if verbose:
                 print(f"[semilinear greedy] step {step}: "
                       f"max indicator {history[-1]:.3e} at mu #{imax}")
