@@ -195,7 +195,8 @@ class SemilinearStencilFOM:
 
     # -- solve ---------------------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "newton_tol", "max_newton",
-                                       "cg_tol", "cg_maxiter"))
+                                       "cg_tol", "cg_maxiter", "mesh",
+                                       "axis"))
     def solve_newton(
         self,
         mu,
@@ -203,6 +204,8 @@ class SemilinearStencilFOM:
         max_newton: int = 30,
         cg_tol: float = 1e-10,
         cg_maxiter: int = 2000,
+        mesh=None,
+        axis: str = "dof",
     ) -> jax.Array:
         """Jittable Newton-CG from u = 0: full steps (the monotone
         operator has a unique solution; from the rest state with the
@@ -211,7 +214,13 @@ class SemilinearStencilFOM:
         Jacobi-preconditioned CG on the SPD Jacobian.
 
         Convergence claim: ||F(u)||_2 <= newton_tol * ||f||_2.
+
+        ``mesh``: a ``jax.sharding.Mesh`` with a DoF axis — the node
+        grid's leading axis is shard-constrained over it so GSPMD
+        partitions the stencil applies (halo exchanges) exactly like
+        the linear families (models/instationary_stencil.py:176-185).
         """
+        constrain = self._grid_constraint(mesh, axis)
         f = self.rhs()
         fnorm = jnp.linalg.norm(f)
         tiny = jnp.asarray(jnp.finfo(f.dtype).tiny, f.dtype)
@@ -235,11 +244,23 @@ class SemilinearStencilFOM:
                 tol=cg_tol,
                 maxiter=cg_maxiter,
             )
-            return u + res.x, k + 1
+            return constrain(u + res.x), k + 1
 
-        u0 = jnp.zeros(self.solution_shape, self.dtype)
+        u0 = constrain(jnp.zeros(self.solution_shape, self.dtype))
         u, _ = lax.while_loop(cond, body, (u0, jnp.asarray(0)))
         return u
+
+    def _grid_constraint(self, mesh, axis: str):
+        """Identity when ``mesh`` is None; else a DoF-axis sharding
+        constraint on the node grid (leading axis over ``axis``)."""
+        if mesh is None:
+            return lambda u: u
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(
+            mesh, P(axis, *([None] * (len(self.solution_shape) - 1)))
+        )
+        return lambda u: lax.with_sharding_constraint(u, sharding)
 
     def solve(self, mu) -> jax.Array:
         """Reductor-facing flat solve (column vector of length n_dof)."""
@@ -290,11 +311,13 @@ class SemilinearInstationaryFOM:
         return mass_apply(v, self.fom.h)
 
     @partial(jax.jit, static_argnames=("self", "tol", "maxiter",
-                                       "store_every"))
+                                       "store_every", "mesh", "axis"))
     def solve(self, mu, tol: float = 1e-9, maxiter: int = 400,
-              store_every: int = 1) -> jax.Array:
+              store_every: int = 1, mesh=None,
+              axis: str = "dof") -> jax.Array:
         """(*solution_shape, n_stored) trajectory including u0 (time
-        axis last), exactly like ``InstationaryStencilFOM.solve``."""
+        axis last), exactly like ``InstationaryStencilFOM.solve``
+        (incl. its optional DoF-sharded ``mesh`` mode)."""
         from rla4mor_tpu.core.solvers import cg
         from rla4mor_tpu.models.stencil import mass_diag
 
@@ -315,18 +338,20 @@ class SemilinearInstationaryFOM:
             raise ValueError(
                 f"store_every={store_every} must divide nt={self.nt}")
 
+        constrain = fom._grid_constraint(mesh, axis)
+
         def outer(u, _):
             def step(u, _):
                 rhs = self._mass_apply(u) + dt * (b - c * ml * fom.g(u))
                 u_new = cg(B, rhs, x0=u, precond=M_pre, tol=tol,
                            maxiter=maxiter).x
-                return u_new, None
+                return constrain(u_new), None
 
             u, _ = jax.lax.scan(step, u, None, length=store_every)
             return u, u
 
         _, stored = jax.lax.scan(
-            outer, self.u0, None, length=self.nt // store_every)
+            outer, constrain(self.u0), None, length=self.nt // store_every)
         return jnp.moveaxis(
             jnp.concatenate([self.u0[None], stored], axis=0), 0, -1)
 

@@ -883,3 +883,36 @@ def test_state_to_rom_ships_certified_online_stage():
         for i in range(32)
     ]))
     assert abs(s_fom_mean - res.mean) <= res.bias_bound + 1e-12
+
+
+def test_semilinear_newton_sharded_matches_unsharded(mesh):
+    """The nonlinear tier's Newton-CG FOM solve runs with the node grid
+    DoF-sharded (GSPMD halo exchanges inside the Jacobian CG of the
+    while_loop body): same solution as the unsharded run."""
+    from rla4mor_tpu.models.semilinear import SemilinearStencilFOM
+
+    fom = SemilinearStencilFOM((2, 2), 31, dtype=jnp.float64,
+                               reaction_scale=50.0)
+    mu = fom.sample_parameters(1, key=3)[0]
+    ref = np.asarray(fom.solve_newton(mu, newton_tol=1e-11))
+    with mesh:
+        got = np.asarray(fom.solve_newton(mu, newton_tol=1e-11, mesh=mesh))
+    assert np.abs(got - ref).max() < 1e-9 * max(1.0, np.abs(ref).max())
+
+
+def test_semilinear_imex_sharded_matches_unsharded(mesh):
+    """The IMEX semilinear time loop with DoF-sharded state matches the
+    unsharded trajectory."""
+    from rla4mor_tpu.models.semilinear import (
+        SemilinearInstationaryFOM,
+        SemilinearStencilFOM,
+    )
+
+    fom = SemilinearStencilFOM((2, 2), 31, dtype=jnp.float64,
+                               reaction_scale=50.0)
+    pfom = SemilinearInstationaryFOM(fom, T=0.25, nt=4)
+    mu = fom.sample_parameters(1, key=4)[0]
+    ref = np.asarray(pfom.solve(mu, tol=1e-12, maxiter=400))
+    with mesh:
+        got = np.asarray(pfom.solve(mu, tol=1e-12, maxiter=400, mesh=mesh))
+    assert np.abs(got - ref).max() < 1e-9 * max(1.0, np.abs(ref).max())
