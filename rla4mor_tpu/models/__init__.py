@@ -8,7 +8,10 @@ from rla4mor_tpu.models.advection_diffusion import AdvectionDiffusionFOM
 from rla4mor_tpu.models.helmholtz import helmholtz_fom
 from rla4mor_tpu.models.instationary_stencil import InstationaryStencilFOM, MassStencilOp
 from rla4mor_tpu.models.stencil_advection import StencilAdvectionDiffusion
-from rla4mor_tpu.models.stencil_helmholtz import StencilHelmholtz
+from rla4mor_tpu.models.stencil_helmholtz import (
+    StencilHelmholtz,
+    StencilHelmholtzDamped,
+)
 from rla4mor_tpu.models.stencil3d import StencilThermalBlock3D
 from rla4mor_tpu.models.stencil_nonaffine import (
     EimStencilFOM,
@@ -47,7 +50,8 @@ __all__ = [
     "AdvectionDiffusionFOM",
     "InstationaryFOM", "InstationaryROM", "InstationaryReductor",
     "instationary_thermal_block", "pod_greedy", "InstationaryStencilFOM", "MassStencilOp", "helmholtz_fom",
-    "StencilAdvectionDiffusion", "StencilHelmholtz", "StencilThermalBlock3D",
+    "StencilAdvectionDiffusion", "StencilHelmholtz",
+    "StencilHelmholtzDamped", "StencilThermalBlock3D",
     "NonAffineStencilFOM", "NonAffineStencilFOM3D", "EimStencilFOM",
     "gaussian_bump_fom", "gaussian_bump_fom3d",
     "InstationaryCorrectedOutputROM", "InstationaryPrimalDualReductor",

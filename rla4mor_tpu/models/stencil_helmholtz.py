@@ -183,3 +183,112 @@ class HelmholtzTermOp(FlatGridOp):
     @property
     def H(self):
         return self
+
+
+def _m_coeff_damped(mu):
+    ksq = jnp.asarray(mu["ksq"]).reshape(-1)[0]
+    gam = jnp.asarray(mu["gamma"]).reshape(-1)[0]
+    return -ksq + 1j * gam
+
+
+_M_COEFF_DAMPED = ExpressionCoefficient(_m_coeff_damped, "-ksq+i*gamma")
+
+
+class StencilHelmholtzDamped(StencilHelmholtz):
+    """LOSSY-media Helmholtz at pod scale: ``A(mu) = K + (-ksq + i
+    gamma) M`` — the same REAL symmetric stencil terms (K, M) with a
+    COMPLEX affine coefficient on the mass (damping ``gamma > 0`` models
+    absorption; the continuum operator is ``-Lap - (ksq - i gamma)``).
+
+    The round-5 target family for the COMPLEX matrix-free inf-sup SCM
+    (mor/scm_matfree.py:MatrixFreeScmInfSup with the Re/Im squared-pair
+    expansion, dense-tier semantics mor/scm.py:240-270): the dense
+    complex tier (models/helmholtz.py) stops at host scale, this family
+    runs the same physics through the matrix-free stencil protocol.
+    Solutions/solves are complex; ``dtype`` is the REAL storage dtype of
+    the stencil fields (promoted to the matching complex dtype in
+    ``apply``/``solve_bicgstab``)."""
+
+    is_complex = True
+
+    def __init__(
+        self,
+        num_intervals: int = 64,
+        dtype=jnp.float32,
+        ksq_range: tuple[float, float] = (22.0, 46.0),
+        gamma_range: tuple[float, float] = (0.5, 4.0),
+    ):
+        super().__init__(num_intervals, dtype, ksq_range)
+        # flat box bounds in SORTED name order (gamma, ksq) — the shape
+        # sample_mu_batched's flat path broadcasts against
+        self.parameter_space = ParameterSpace.make(
+            {"ksq": 1, "gamma": 1},
+            jnp.asarray([gamma_range[0], ksq_range[0]]),
+            jnp.asarray([gamma_range[1], ksq_range[1]]),
+        )
+        self._gamma_range = gamma_range
+
+    @property
+    def complex_dtype(self):
+        return jnp.complex64 if self.dtype == jnp.float32 else jnp.complex128
+
+    def theta_vector(self, mu) -> jax.Array:
+        ksq = jnp.asarray(mu["ksq"]).reshape(-1)
+        gam = jnp.asarray(mu["gamma"]).reshape(-1)
+        one = jnp.ones_like(ksq)
+        return jnp.concatenate([one, -ksq + 1j * gam]).astype(
+            self.complex_dtype)
+
+    def apply(self, mu, u: jax.Array) -> jax.Array:
+        u = u.astype(jnp.promote_types(u.dtype, self.complex_dtype))
+        theta = self.theta_vector(mu).astype(u.dtype)
+        N = self.num_intervals
+        ones = jnp.ones((N, N), u.real.dtype)
+        return (theta[0] * stencil_apply(u, ones.astype(u.dtype))
+                + theta[1] * mass_apply(u, self.h))
+
+    def jacobi_diag(self, mu) -> jax.Array:
+        """Complex diag K + (-ksq + i gamma) diag M; the damping keeps
+        |diag| away from zero, identity filler on the ring."""
+        z = _m_coeff_damped(mu)
+        N = self.num_intervals
+        dk = stiffness_diag_raw(jnp.ones((N, N), self.dtype))
+        dm = mass_diag(self.n_nodes, self.h, self.dtype)
+        mask = interior_mask(self.n_nodes, self.dtype)
+        d = (dk + z.astype(self.complex_dtype)
+             * jnp.where(mask > 0, dm, 0.0)) * mask
+        floor = 0.1 * float(8.0 / 3.0)
+        safe = jnp.where(jnp.abs(d) > floor, d, floor)
+        return jnp.where(mask > 0, safe, 1.0)
+
+    def solve_bicgstab(self, mu, tol=1e-8, maxiter=6000):
+        b = self.rhs().astype(self.complex_dtype)
+        diag = self.jacobi_diag(mu)
+        return bicgstab(
+            lambda u: self.apply(mu, u), b,
+            precond=lambda r: r / diag, tol=tol, maxiter=maxiter,
+        ).x
+
+    def affine_operator(self):
+        from rla4mor_tpu.core.affine import AffineOp
+        from rla4mor_tpu.core.parameters import ONE
+
+        return AffineOp(
+            (self.term_linop(0), self.term_linop(1)),
+            (ONE, _M_COEFF_DAMPED),
+        )
+
+    def sample_parameters(self, count: int, key=0):
+        if isinstance(key, int):
+            key = jax.random.key(key)
+        klo, khi = self._ksq_range
+        glo, ghi = self._gamma_range
+        out = []
+        for i in range(count):
+            k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+            out.append({
+                "ksq": jax.random.uniform(k1, (1,), minval=klo, maxval=khi),
+                "gamma": jax.random.uniform(k2, (1,), minval=glo,
+                                            maxval=ghi),
+            })
+        return out

@@ -67,6 +67,20 @@ class GenEigResult:
     radii: np.ndarray       # (k,) Bauer-Fike enclosure radii ||r||_{R^-1}/||x||_R
     iterations: int
     converged: bool
+    # -- runtime defenses (round-5: the Bauer-Fike enclosure certifies
+    # only that SOME eigenvalue lies in [theta - rho, theta + rho]; these
+    # fields defend the claim that theta_1 is the EXTREME one) ---------
+    gap_margin: float = float("nan")
+    # (theta_{k+1} - rho_{k+1}) - (theta_k + rho_k): > 0 means the wanted
+    # enclosures are disjoint from the next Ritz pair's — they certify
+    # distinct eigenvalues. <= 0 flags a cluster (possibly legitimate).
+    restart_disagreement: float = float("nan")
+    # max relative disagreement beyond combined radii across independent
+    # restarts (lobpcg_gen_checked); NaN when no restart was run.
+    certified: bool = True
+    # bare lobpcg_gen: == converged. lobpcg_gen_checked: all runs
+    # converged AND restart agreement within tolerance. Downstream
+    # (MatrixFreeScm* / weyl_bound / UQ results) AND this flag in.
 
 
 def _host(x) -> np.ndarray:
@@ -89,6 +103,8 @@ def lobpcg_gen(
     rsolve_maxiter: int = 2000,
     project: Optional[Apply] = None,
     identity_R: bool = False,
+    mesh=None,
+    mesh_axis: str = "dof",
 ) -> GenEigResult:
     """Smallest ``k`` eigenpairs of the Hermitian pencil ``(T, R)``.
 
@@ -107,6 +123,14 @@ def lobpcg_gen(
     residual.  Stencil pencils are SINGULAR on the masked Dirichlet
     ring (both T and R zero there); projecting onto the interior keeps
     the iteration — and the whitening — out of the common kernel.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the start block (and
+    ``x0``) is placed row-sharded over ``mesh_axis``, and since every
+    device op here (the applies, basis updates, Gram products) preserves
+    row sharding, the WHOLE iteration runs sharded; the small Gram
+    eigenproblems stay on host.  The applies must themselves be
+    GSPMD-shardable (all in-repo stencil applies are — the same
+    contract as ``core/solvers.py::cg`` under ``parallel/``).
     """
     if jax.dtypes.canonicalize_dtype(dtype) != jnp.dtype(dtype):
         # without jax_enable_x64 a requested f64 silently truncates to
@@ -129,6 +153,11 @@ def lobpcg_gen(
     else:
         X = jnp.asarray(x0, dtype)
         assert X.shape == (n, b)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        X = jax.device_put(X, NamedSharding(mesh,
+                                            PartitionSpec(mesh_axis, None)))
     if project is not None:
         X = project(X)
     # jit the hot (n, .) work: the applies hit only a handful of block
@@ -219,8 +248,10 @@ def lobpcg_gen(
     Xr = X @ C_dev
     TXr = TX @ C_dev
     RXr = RX @ C_dev
-    radii = np.zeros(k)
-    for i in range(k):
+    # one extra pair (k+1) purely for the block-gap diagnostic
+    k_ext = min(k + 1, Xr.shape[1])
+    radii = np.zeros(k_ext)
+    for i in range(k_ext):
         r = TXr[:, i] - vals[i] * RXr[:, i]
         if identity_R:
             # R == I on the iteration subspace: ||r||_{R^-1} = ||r||_2
@@ -234,6 +265,11 @@ def lobpcg_gen(
             rn = float(_host(sol.residual_norm))
             bn = float(_host(jnp.linalg.norm(r)))
             if rn > 10 * rsolve_tol * max(bn, 1e-300):
+                if i >= k:
+                    # the extra (k+1)-th pair is diagnostic only: an
+                    # inexact solve just voids the gap evidence
+                    radii[i] = float("inf")
+                    continue
                 # an inexact z ~ R^-1 r makes sqrt(r.z) a LOWER bound of
                 # ||r||_{R^-1} (Cauchy-Schwarz) — the enclosure would be
                 # invalid. Refuse instead of certifying with it.
@@ -248,12 +284,20 @@ def lobpcg_gen(
         den = float(np.sqrt(max(
             float(_host(jnp.vdot(Xr[:, i], RXr[:, i])).real), 1e-300)))
         radii[i] = num / den
+    gap_margin = float("nan")
+    if k_ext > k:
+        gap_margin = float(
+            (np.real(vals[k]) - radii[k])
+            - (np.real(vals[k - 1]) + radii[k - 1])
+        )
     return GenEigResult(
         values=np.real(vals[:k]),
         vectors=Xr[:, :k],
-        radii=radii,
+        radii=radii[:k],
         iterations=it,
         converged=converged,
+        gap_margin=gap_margin,
+        certified=bool(converged),
     )
 
 
@@ -284,29 +328,105 @@ def lobpcg_gen_two_stage(
     (PERF.md round-4: 274k-DoF anchor, radius 3.3e-9 on 1.1e-4).
     Requires ``apply_T``/``apply_R``/``precond`` to be dtype-polymorphic
     (follow the operand dtype — all in-repo stencil applies do).
+    Complex pencils (the damped-Helmholtz inf-sup pairs): pass
+    ``dtype=jnp.complex128`` — the stages run complex64 -> complex128.
     """
-    kw.pop("dtype", None)  # staged: f32 warm start, f64 polish
+    # staged: 32-bit warm start, 64-bit polish; complex-aware
+    req = jnp.dtype(kw.pop("dtype", jnp.float64))
+    cx = jnp.issubdtype(req, jnp.complexfloating)
+    d32 = jnp.complex64 if cx else jnp.float32
+    d64 = jnp.complex128 if cx else jnp.float64
     if isinstance(key, int):
         key = jax.random.key(key)
     k1, k2 = jax.random.split(key)
     warm = lobpcg_gen(
         apply_T, apply_R, n, k=k, block=block, precond=precond,
-        iters=f32_iters, tol=f32_tol, key=k1, dtype=jnp.float32,
-        x0=None if x0 is None else jnp.asarray(x0, jnp.float32), **kw,
+        iters=f32_iters, tol=f32_tol, key=k1, dtype=d32,
+        x0=None if x0 is None else jnp.asarray(x0, d32), **kw,
     )
     with jax.enable_x64(True):
         b2 = max(k + 1, 2)
         x64 = jnp.concatenate([
-            jnp.asarray(np.asarray(warm.vectors[:, :k]), jnp.float64),
-            jax.random.normal(k2, (n, b2 - k), jnp.float64),
+            jnp.asarray(np.asarray(warm.vectors[:, :k]), d64),
+            jax.random.normal(k2, (n, b2 - k), d64),
         ], axis=1)
         project = kw.get("project")
         if project is not None:
             x64 = project(x64)
         return lobpcg_gen(
             apply_T, apply_R, n, k=k, block=b2, precond=precond,
-            iters=iters, tol=tol, key=k2, dtype=jnp.float64, x0=x64, **kw,
+            iters=iters, tol=tol, key=k2, dtype=d64, x0=x64, **kw,
         )
+
+
+def lobpcg_gen_checked(
+    apply_T: Apply,
+    apply_R: Apply,
+    n: int,
+    k: int = 1,
+    restarts: int = 1,
+    agree_rtol: float = 1e-4,
+    base_solver: Callable = lobpcg_gen,
+    restart_precond: Optional[Apply] | str = "same",
+    precond: Optional[Apply] = None,
+    key: jax.Array | int = 0,
+    x0: Optional[jax.Array] = None,
+    **kw,
+) -> GenEigResult:
+    """Defended extreme eigensolve: the Bauer-Fike enclosure certifies
+    that SOME eigenvalue lies in ``[theta - rho, theta + rho]`` — if the
+    iteration converged to an INTERIOR eigenvalue, ``theta_min - rho``
+    can exceed the true extreme and the "certified" bound downstream is
+    silently invalid.  This wrapper runs the primary solve plus
+    ``restarts`` fully independent solves (distinct keys => fresh random
+    start blocks; an adversarial/unlucky start deficient in the extreme
+    eigenvector is re-drawn) and checks that the wanted Ritz values agree
+    beyond their combined enclosure radii:
+
+        dis_i = max_pairs (|theta_i^a - theta_i^b| - rho_i^a - rho_i^b)_+
+                / max(|theta_i^a|, |theta_i^b|, tiny)
+
+    ``certified`` is True iff every run converged AND
+    ``max_i dis_i <= agree_rtol``; the returned result is the run with
+    the smallest ``theta_1`` (the best extremal candidate) carrying the
+    diagnostics.  An unconverged restart voids certification rather than
+    vacuously agreeing through its wide radius.
+
+    ``restart_precond``: ``'same'`` reuses ``precond``; pass a different
+    callable (or ``None`` for unpreconditioned) to also vary the
+    preconditioner — note an unpreconditioned restart will NOT converge
+    on ill-conditioned pod-scale pencils, so key-only variation is the
+    default there.
+    """
+    if isinstance(key, int):
+        key = jax.random.key(key)
+    runs = []
+    for j in range(restarts + 1):
+        pj = precond
+        if j > 0 and restart_precond != "same":
+            pj = restart_precond
+        runs.append(base_solver(
+            apply_T, apply_R, n, k=k, precond=pj,
+            key=jax.random.fold_in(key, j),
+            x0=x0 if j == 0 else None, **kw,
+        ))
+    dis = 0.0
+    for a in range(len(runs)):
+        for bidx in range(a + 1, len(runs)):
+            ra, rb = runs[a], runs[bidx]
+            for i in range(k):
+                ta, tb = float(ra.values[i]), float(rb.values[i])
+                excess = max(
+                    abs(ta - tb) - float(ra.radii[i]) - float(rb.radii[i]),
+                    0.0,
+                )
+                dis = max(dis, excess / max(abs(ta), abs(tb), 1e-300))
+    best = min(runs, key=lambda r: float(r.values[0]))
+    best.restart_disagreement = dis
+    best.certified = bool(
+        all(r.converged for r in runs) and dis <= agree_rtol
+    )
+    return best
 
 
 def spectral_interval(
@@ -315,17 +435,25 @@ def spectral_interval(
     n: int,
     precond: Optional[Apply] = None,
     solver: Callable = lobpcg_gen,
+    precond_hi: Optional[Apply] | str = "same",
     **kw,
 ) -> tuple[float, float, GenEigResult, GenEigResult]:
     """Safe outer enclosure ``[lo, hi]`` of the spectrum of ``(T, R)``:
     ``lo = theta_min - rho_min``, ``hi = theta_max + rho_max`` with the
-    Bauer-Fike radii subtracted/added on the outside."""
+    Bauer-Fike radii subtracted/added on the outside.
+
+    ``precond_hi``: preconditioner for the MAX side (the ``-T`` solve);
+    ``'same'`` reuses ``precond``.  An inverse-iteration preconditioner
+    tuned for lambda_min actively hurts the lambda_max solve (it damps
+    exactly the modes that side needs) — pass ``None`` there when
+    ``precond ~ A^-1`` (``l2_interior_scm`` does)."""
     key = kw.pop("key", 0)
     if isinstance(key, int):
         key = jax.random.key(key)
     k1, k2 = jax.random.split(key)
+    p_hi = precond if precond_hi == "same" else precond_hi
     lo_res = solver(apply_T, apply_R, n, precond=precond, key=k1, **kw)
-    hi_res = solver(lambda U: -apply_T(U), apply_R, n, precond=precond,
+    hi_res = solver(lambda U: -apply_T(U), apply_R, n, precond=p_hi,
                     key=k2, **kw)
     lo = float(lo_res.values[0] - lo_res.radii[0])
     hi = float(-hi_res.values[0] + hi_res.radii[0])
@@ -369,6 +497,11 @@ class MatrixFreeScmHermitian(ScmHermitian):
         identity_R: bool = False,
         f32_tol: float = 3e-6,
         f32_iters: int = 100,
+        restarts: int = 0,
+        agree_rtol: float = 1e-4,
+        mesh=None,
+        mesh_axis: str = "dof",
+        precond_hi: Optional[Apply] | str = "same",
     ):
         # deliberately NOT calling ScmHermitian.__init__ (it densifies);
         # replicate its state with LOBPCG-computed boxes.
@@ -380,13 +513,34 @@ class MatrixFreeScmHermitian(ScmHermitian):
         # two_stage = the scoped-x64 TPU recipe (lobpcg_gen_two_stage):
         # use when the process runs with x64 off (plain f64 would be
         # refused by lobpcg_gen's truncation guard)
-        self._solver = lobpcg_gen_two_stage if two_stage else lobpcg_gen
+        base_solver = lobpcg_gen_two_stage if two_stage else lobpcg_gen
+        if restarts > 0:
+            # runtime interior-convergence defense: every eigensolve site
+            # runs `restarts` extra independent solves and checks restart
+            # agreement (lobpcg_gen_checked); self.certified ANDs in every
+            # site's verdict and propagates to weyl_bound / UQ results.
+            import functools
+
+            self._solver = functools.partial(
+                lobpcg_gen_checked, restarts=restarts,
+                agree_rtol=agree_rtol, base_solver=base_solver,
+            )
+        else:
+            self._solver = base_solver
         self._eig_kw = dict(block=block, iters=iters, tol=tol, dtype=dtype,
                             project=project, rsolve_tol=rsolve_tol,
                             rsolve_maxiter=rsolve_maxiter,
                             identity_R=identity_R)
         if two_stage:
             self._eig_kw.update(f32_tol=f32_tol, f32_iters=f32_iters)
+        if mesh is not None:
+            # certified-bounds offline stage under a device mesh: the
+            # LOBPCG iterates (and thereby every apply + the inner
+            # Bauer-Fike CG) run dof-sharded — the one tier that didn't
+            # shard in round 4 (VERDICT r4 missing #5)
+            self._eig_kw.update(mesh=mesh, mesh_axis=mesh_axis)
+        self.certified: bool = True
+        self.anchor_diagnostics: list[dict] = []
         self._logger = get_logger("mor.scm_matfree", log_level)
         if isinstance(key, int):
             key = jax.random.key(key)
@@ -397,18 +551,23 @@ class MatrixFreeScmHermitian(ScmHermitian):
         for q, Tq in enumerate(self.terms):
             l, h, lo_res, hi_res = spectral_interval(
                 Tq, apply_R, self.n, precond=precond, solver=self._solver,
-                key=jax.random.fold_in(key, q), **self._eig_kw,
+                key=jax.random.fold_in(key, q), precond_hi=precond_hi,
+                **self._eig_kw,
             )
             self._logger.info(
-                "term %d box: [%.6e, %.6e] (radii %.1e/%.1e, iters %d/%d)",
+                "term %d box: [%.6e, %.6e] (radii %.1e/%.1e, iters %d/%d, "
+                "gap %.1e/%.1e, certified=%s/%s)",
                 q, l, h, lo_res.radii[0], hi_res.radii[0],
                 lo_res.iterations, hi_res.iterations,
+                lo_res.gap_margin, hi_res.gap_margin,
+                lo_res.certified, hi_res.certified,
             )
             lo.append(l)
             hi.append(h)
             self.box_radii.append(
                 (float(lo_res.radii[0]), float(hi_res.radii[0]))
             )
+            self.certified &= bool(lo_res.certified and hi_res.certified)
         self.box = list(zip(lo, hi))
         self.anchor_mus: list[Mu] = []
         self.anchor_thetas = np.zeros((0, len(self.terms)))
@@ -448,10 +607,10 @@ class MatrixFreeScmHermitian(ScmHermitian):
             **self._eig_kw,
         )
         u = res.vectors[:, 0]
-        # the two-stage solver returns f64 vectors even when x64 is
+        # the two-stage solver returns 64-bit vectors even when x64 is
         # globally off — scope the Rayleigh quotients accordingly or
-        # they would silently truncate to f32
-        with jax.enable_x64(u.dtype == jnp.float64):
+        # they would silently truncate to 32-bit (complex128 counts!)
+        with jax.enable_x64(u.dtype in (jnp.float64, jnp.complex128)):
             Ru = self.apply_R(u[:, None])[:, 0]
             den = max(float(np.real(_host(jnp.vdot(u, Ru)))), 1e-300)
             ystar = np.array([
@@ -461,10 +620,21 @@ class MatrixFreeScmHermitian(ScmHermitian):
             ])
         alpha_safe = float(res.values[0] - res.radii[0])
         self._logger.info(
-            "anchor: alpha ~ %.6e (radius %.1e, iters %d, converged=%s)",
+            "anchor: alpha ~ %.6e (radius %.1e, iters %d, converged=%s, "
+            "gap %.1e, restart_dis %.1e, certified=%s)",
             float(res.values[0]), float(res.radii[0]), res.iterations,
-            res.converged,
+            res.converged, res.gap_margin, res.restart_disagreement,
+            res.certified,
         )
+        self.certified &= bool(res.certified)
+        self.anchor_diagnostics.append(dict(
+            theta=float(res.values[0]),
+            radius=float(res.radii[0]),
+            gap_margin=float(res.gap_margin),
+            restart_disagreement=float(res.restart_disagreement),
+            certified=bool(res.certified),
+            iterations=int(res.iterations),
+        ))
         return alpha_safe, ystar
 
 
@@ -524,9 +694,14 @@ class MatrixFreeScmInfSup:
     (``A^H A = sum_{q<=q'} eta_qq'(mu) G_qq'``, mor/scm.py:240-270), with
     the Hermitian pair terms as COMPOSED APPLIES
     ``G_qq' U = A_q^H (A_q' U) + A_q'^H (A_q U)`` — each pair costs two
-    stencil passes per LOBPCG apply.  Real coefficients (the in-repo
-    stencil families); the complex Re/Im expansion stays on the dense
-    tier.
+    stencil passes per LOBPCG apply.  COMPLEX coefficients (round-5: the
+    damped/lossy families, ``models/stencil_helmholtz.py::
+    StencilHelmholtzDamped``) expand exactly like the dense tier's Re/Im
+    pair split: ``conj(t_q) t_q' M + conj(t_q') t_q M^H = Re(conj(t_q)
+    t_q') (M + M^H) + Im(conj(t_q) t_q') i(M - M^H)`` — the extra
+    ``i (A_q^H A_q' - A_q'^H A_q)`` Hermitian applies are added and the
+    LOBPCG runs in complex arithmetic (detected via ``fom.is_complex``
+    or forced with ``complex_coeffs=``).
 
     Certified bound: ``||u - u_r||_2 <= ||A(mu)(u - u_r)||_2 / beta(mu)
     <= est / lower(mu)`` — the same pairing as ``l2_interior_scm`` but
@@ -542,42 +717,56 @@ class MatrixFreeScmInfSup:
         precond: Optional[Apply] | str = "k2",
         cg_tol: float = 1e-2,
         cg_maxiter: int = 400,
+        complex_coeffs: Optional[bool] = None,
         **kw,
     ):
         self._fom = fom  # for weyl_bound's coefficient tuple
         aff = fom.affine_operator()
         base_coeffs = tuple(aff.coefficients)
+        self._base_coeffs = base_coeffs  # host Weyl eval (fit_weyl_positive)
         terms = list(aff.terms)
         T = len(terms)
         n = aff.source_dim
+        is_cx = bool(getattr(fom, "is_complex", False)
+                     if complex_coeffs is None else complex_coeffs)
+        self._is_complex = is_cx
 
-        def pair_apply(q: int, qp: int) -> Apply:
+        def pair_apply(q: int, qp: int, part: str) -> Apply:
             tq, tqp = terms[q], terms[qp]
             if q == qp:
                 return lambda U: tq.apply_adjoint(tq.apply(U))
-            return lambda U: (tq.apply_adjoint(tqp.apply(U))
-                              + tqp.apply_adjoint(tq.apply(U)))
+            if part == "re":
+                return lambda U: (tq.apply_adjoint(tqp.apply(U))
+                                  + tqp.apply_adjoint(tq.apply(U)))
+            # i (A_q^H A_q' - A_q'^H A_q): Hermitian, complex entries
+            return lambda U: 1j * (tq.apply_adjoint(tqp.apply(U))
+                                   - tqp.apply_adjoint(tq.apply(U)))
 
         pair_applies: list[Apply] = []
-        pairs: list[tuple[int, int]] = []
+        pairs: list[tuple[int, int, str]] = []
         for q in range(T):
             for qp in range(q, T):
-                pair_applies.append(pair_apply(q, qp))
-                pairs.append((q, qp))
+                pair_applies.append(pair_apply(q, qp, "re"))
+                pairs.append((q, qp, "re"))
+                if is_cx and qp > q:
+                    pair_applies.append(pair_apply(q, qp, "im"))
+                    pairs.append((q, qp, "im"))
         self._pairs = pairs
 
         def theta_fn(mu):
             th = np.asarray(eval_coefficients(base_coeffs, mu))
-            if np.iscomplexobj(th):
+            if np.iscomplexobj(th) and not is_cx:
                 if not np.allclose(th.imag, 0):
                     raise ValueError(
-                        "MatrixFreeScmInfSup is real-coefficient only "
-                        "(use the dense ScmInfSup Re/Im expansion for "
-                        "complex families)"
+                        "complex coefficients need complex_coeffs=True "
+                        "(or fom.is_complex) for the Re/Im pair expansion"
                     )
                 th = th.real
-            return np.array([th[q] * th[qp] for q, qp in pairs],
-                            np.float64)
+            out = np.empty(len(pairs))
+            for i, (q, qp, part) in enumerate(pairs):
+                z = np.conj(th[q]) * th[qp]
+                out[i] = float(np.real(z) if part == "re" else np.imag(z))
+            return out
 
         shape = fom.solution_shape
         project = _interior_project(shape)
@@ -613,6 +802,14 @@ class MatrixFreeScmInfSup:
 
         kw.setdefault("project", project)
         kw.setdefault("identity_R", True)
+        # the (K^2)^-1-type preconditioner targets the smallest pair
+        # eigenvalues; run the sigma_max box sides plain (power-like)
+        kw.setdefault("precond_hi", None)
+        if is_cx:
+            # complex Hermitian pair pencils: the LOBPCG iterates must be
+            # complex from the start (a real block cannot represent the
+            # eigenvectors of i(M - M^H) terms)
+            kw.setdefault("dtype", jnp.complex128)
         self.scm = MatrixFreeScmHermitian(
             pair_applies, theta_fn, lambda U: U, n, precond=precond, **kw
         )
@@ -622,6 +819,93 @@ class MatrixFreeScmInfSup:
 
     def add_anchor(self, mu: Mu) -> float:
         return self.scm.add_anchor(mu)
+
+    # -- Weyl-bound budgeting (round-5: VERDICT r4 weak #2/#3) --------------
+    def _weyl_host(self, mus) -> np.ndarray:
+        """Host evaluation of the Weyl bound at each mu (RAW value — can
+        be negative; ``weyl_bound()`` clamps at 0): for every anchor j,
+        ``beta_j - sum_q |theta_q(mu) - theta_q(mu_j)| gamma_q``, maxed
+        over anchors."""
+        if not self.scm.anchor_mus:
+            return np.full(len(list(mus)), -np.inf)
+        betas = np.sqrt(np.maximum(self.scm.anchor_alphas, 0.0))
+        diag = {q: i for i, (q, qp, part) in enumerate(self._pairs)
+                if q == qp and part == "re"}
+        gammas = np.sqrt([
+            max(self.scm.box[diag[q]][1], 0.0) for q in sorted(diag)
+        ])
+        th_ref = np.stack([
+            np.asarray(eval_coefficients(self._base_coeffs, m))
+            for m in self.scm.anchor_mus
+        ])  # (J, T)
+        out = np.empty(len(list(mus)))
+        for i, mu in enumerate(mus):
+            th = np.asarray(eval_coefficients(self._base_coeffs, mu))
+            drops = np.abs(th[None, :] - th_ref) @ gammas  # (J,)
+            out[i] = float(np.max(betas - drops))
+        return out
+
+    def fit_weyl_positive(
+        self,
+        sample_mus: Sequence[Mu],
+        max_anchors: int = 30,
+        margin: float = 0.0,
+    ) -> dict:
+        """Auto-fit the anchor set until the JITTABLE Weyl bound is
+        positive over ``sample_mus`` (the round-4 manual instruction
+        "fit with enough anchors to keep it positive over the sampling
+        box" made code): greedily anchor the sample where the Weyl bound
+        is most negative until ``min > margin`` or the budget is hit.
+
+        Returns ``{'positive': bool, 'n_anchors': int, 'min_weyl':
+        [per-iteration minimum], 'flagged': bool}`` — ``flagged`` is True
+        when the budget ran out with the bound still nonpositive
+        somewhere (certificates would be ``inf`` there; enlarge the
+        budget or shrink the box)."""
+        mus = list(sample_mus)
+        history = {"min_weyl": [], "n_anchors": 0, "positive": False,
+                   "flagged": False}
+        if not self.scm.anchor_mus:
+            self.add_anchor(mus[0])
+        while True:
+            wb = self._weyl_host(mus)
+            worst = int(np.argmin(wb))
+            history["min_weyl"].append(float(wb[worst]))
+            if wb[worst] > margin:
+                history["positive"] = True
+                break
+            if len(self.scm.anchor_mus) >= max_anchors:
+                history["flagged"] = True
+                self.scm._logger.warning(
+                    "fit_weyl_positive: budget %d exhausted with "
+                    "min Weyl bound %.3e <= %.3e — certificates are inf "
+                    "at such mu", max_anchors, wb[worst], margin,
+                )
+                break
+            self.add_anchor(mus[worst])
+        history["n_anchors"] = int(len(self.scm.anchor_mus))
+        return history
+
+    def weyl_gap_report(self, mus: Sequence[Mu]) -> dict:
+        """Weyl-vs-LP tightness over ``mus``: the jittable Weyl bound is
+        looser than the online LP at any anchor budget — this quantifies
+        by how much.  Returns per-mu arrays ``weyl`` (raw, can be
+        negative), ``lp`` (the LP lower bound, beta units) and
+        ``rel_gap = 1 - weyl/lp`` where ``lp > 0`` (NaN otherwise), plus
+        summary ``max_rel_gap``/``n_nonpositive``."""
+        mus = list(mus)
+        wb = self._weyl_host(mus)
+        lp = self.tabulate(mus)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rel = np.where(lp > 0, 1.0 - np.maximum(wb, 0.0) / lp, np.nan)
+        return {
+            "weyl": wb,
+            "lp": lp,
+            "rel_gap": rel,
+            "max_rel_gap": float(np.nanmax(rel)) if np.isfinite(
+                rel).any() else float("nan"),
+            "n_nonpositive": int((wb <= 0).sum()),
+        }
 
     def weyl_bound(self):
         """A JITTABLE certified ``beta_LB(mu)`` assembled from the SCM's
@@ -649,7 +933,8 @@ class MatrixFreeScmInfSup:
             raise ValueError("weyl_bound needs at least one anchor: "
                              "run fit()/add_anchor() first")
         betas = np.sqrt(np.maximum(self.scm.anchor_alphas, 0.0))
-        diag = {q: i for i, (q, qp) in enumerate(self._pairs) if q == qp}
+        diag = {q: i for i, (q, qp, part) in enumerate(self._pairs)
+                if q == qp and part == "re"}
         gammas = np.sqrt([
             max(self.scm.box[diag[q]][1], 0.0) for q in sorted(diag)
         ])
@@ -661,6 +946,10 @@ class MatrixFreeScmInfSup:
             return jnp.where(b > 0, b, jnp.zeros((), b.dtype))
 
         beta_safe.infsup = bound  # expose the raw Weyl object
+        # propagate the offline eigensolve defenses' verdict: False when
+        # any LOBPCG site failed restart agreement / convergence — UQ and
+        # optimization entry points surface it (stability_certified)
+        beta_safe.certified = bool(self.scm.certified)
         return beta_safe
 
     def lower(self, mu: Mu) -> float:
@@ -684,6 +973,17 @@ class MatrixFreeScmInfSup:
     @property
     def box_radii(self):
         return self.scm.box_radii
+
+    @property
+    def certified(self) -> bool:
+        """All offline eigensolve defenses passed (see
+        :func:`lobpcg_gen_checked`; always True when ``restarts=0``
+        left the defenses off)."""
+        return bool(self.scm.certified)
+
+    @property
+    def anchor_diagnostics(self):
+        return self.scm.anchor_diagnostics
 
 
 def l2_interior_scm(
@@ -733,6 +1033,9 @@ def l2_interior_scm(
 
     # R = I: the Bauer-Fike radii need no inner solve (exact l2 norm)
     kw.setdefault("identity_R", True)
+    # the inverse-iteration preconditioner targets lambda_min; it damps
+    # exactly what the lambda_max side needs — run that side plain
+    kw.setdefault("precond_hi", None)
     return MatrixFreeScmCoercivity(
         fom, apply_R=lambda U: U, precond=precond, **kw
     )
