@@ -91,6 +91,23 @@ NONLINEARITIES = {
     "arctan": (_g_arctan_shifted, _dg_arctan_shifted),
 }
 
+# sup of g' over the symmetric interval [-U, U] — the rigorous local
+# Lipschitz constant the certified IMEX parabolic bound needs
+# (mor/semilinear_reductor.py::certified_error_bound): each g' here is
+# even or monotone, so the sup is attained at +-U (or globally).
+NONLINEARITY_DG_SUP = {
+    "cubic": lambda U: 3.0 * U * U,          # g' = 3 s^2, even increasing
+    "expm1": lambda U: jnp.exp(U),           # g' = e^s, increasing
+    "arctan": lambda U: jnp.asarray(2.0),    # g' = 1 + 1/(1+s^2) <= 2
+}
+
+# spectral bounds of the CONSISTENT Q1 mass matrix relative to h^2 on
+# the uniform square grid: M = M1 (x) M1 with the 1-D P1 mass
+# eigenvalues h (2 + cos theta) / 3 in [h/3, h], so M's eigenvalues lie
+# in [h^2/9, h^2]; the Dirichlet-interior principal submatrix inherits
+# the bounds by Cauchy interlacing.
+MASS_REL_SPECTRUM = (1.0 / 9.0, 1.0)
+
 
 class SemilinearStencilFOM:
     """Matrix-free monotone semilinear FOM on the stencil protocol.

@@ -279,16 +279,57 @@ class SemilinearInstationaryROM:
     Cholesky-factored ONCE per mu (the implicit matrix is SPD and
     time-independent), so the online cost is nt dense (r, r) triangular
     solves + nt DEIM point evaluations.  ``estimate_error`` returns the
-    space-time residual INDICATOR
-    ``sqrt(dt sum_k ||r^k||_2^2) (+ DEIM reserve term)`` — an l2
-    Grepl-Patera-style quantity; the certified parabolic tier
-    (mor/bounds.py) covers the LINEAR families, the semilinear one is
-    indicator-grade (documented honesty boundary).
+    space-time residual quantity ``sqrt(dt sum_k ||r^k||_2^2)
+    (+ DEIM reserve term)``; :meth:`certified_error_bound` composes the
+    per-step residuals with the linear family's certified ``alpha_LB``
+    into a RIGOROUS state-error bound (round-5 theorem below — the
+    round-4 "indicator-grade" honesty boundary is closed).
+
+    **Theorem (monotone IMEX composition).**  Let ``u^k`` solve the FOM
+    IMEX recursion (models/semilinear.py:SemilinearInstationaryFOM) and
+    ``u_r^k = V a^k`` the lifted ROM trajectory with per-step defects
+    ``rho^k = M V (a^{k+1}-a^k)/dt + A V a^{k+1} + c M_L USg^k - f`` and
+    DEIM gaps ``d^k = c M_L (g(u_r^k) - US g^k)``.  Subtracting the two
+    recursions and testing with ``e^{k+1} = u^{k+1} - u_r^{k+1}`` gives,
+    with ``(A v, v) >= alpha ||v||_2^2`` and the pointwise Lipschitz
+    bound ``|g(u^k) - g(u_r^k)| <= L |e^k|`` (L = sup g' over [-U, U],
+    U a verified a-priori solution window) and ``M_L = h^2 I``::
+
+        (E_{k+1} - E_k)/(2 dt) + alpha x_k^2
+            <= r_k x_k + c h^2 L x_k y_k,
+
+    ``E_k = ||e^k||_M^2``, ``x_k = ||e^{k+1}||_2``, ``y_k = ||e^k||_2``,
+    ``r_k = ||rho^k||_2 + ||d^k||_2``.  SUMMING over k (instead of a
+    per-step Groenwall — the reaction cross terms ``sum x_k y_k <= sum
+    x_k^2`` absorb into the accumulated dissipation, so no exponential
+    in ``1/m_lo`` appears) and one Young inequality with weight
+    ``alpha - c h^2 L`` yield, whenever ``c h^2 L < alpha``::
+
+        ||e^K||_2^2  <=  E_K / (m_lo h^2)
+                     <=  dt sum_{k<K} r_k^2 / ((alpha - c h^2 L)
+                                               m_lo h^2),
+
+    ``m_lo h^2 I <= M`` the consistent-mass spectral floor
+    (models/semilinear.py:MASS_REL_SPECTRUM) — i.e. exactly the
+    space-time residual quantity ``estimate_error`` accumulates, divided
+    by a reaction-corrected certified coercivity.  The window U is
+    closed by a discrete bootstrap: with ``U = U_r + margin``
+    (``U_r >= max_k ||u_r^k||_inf`` via the stored row-sup factor
+    ``v_row_sup``), induction over k keeps ``|u^k|_inf <= U`` valid as
+    long as every intermediate bound stays ``<= margin`` — checked (and
+    auto-fitted over a margin ladder), flagged ``certified=False`` with
+    an ``inf`` bound otherwise; ``c h^2 L >= alpha`` (reaction beats
+    dissipation — explicit treatment genuinely unstable there) is
+    likewise flagged, never silently wrong.  Honesty contract unchanged
+    from the stationary tier: ``||d^k||`` is estimated from the DEIM
+    reserve points, and the residual norms are exact up to sketch
+    distortion on the sketched path.
     """
 
     def __init__(self, lhs: AffineDense, M_hat, rhs_hat, W, Pv,
                  output_row, error_estimator, nonlinearity: str,
-                 reaction_scale: float, nt: int, dt: float):
+                 reaction_scale: float, nt: int, dt: float,
+                 v_row_sup: float = float("nan")):
         self.lhs = lhs
         self.M_hat = jnp.asarray(M_hat)
         self.rhs_hat = jnp.asarray(rhs_hat)
@@ -301,18 +342,24 @@ class SemilinearInstationaryROM:
         self.reaction_scale = float(reaction_scale)
         self.nt = int(nt)
         self.dt = float(dt)
+        # max row 2-norm of the POD basis V: ||V a||_inf <= v_row_sup
+        # ||a||_2 — the computable a-priori sup bound the certified
+        # bootstrap needs (NaN when fit by an old offline stage)
+        self.v_row_sup = float(v_row_sup)
 
     def tree_flatten(self):
         return (self.lhs, self.M_hat, self.rhs_hat, self.W, self.Pv,
                 self.output_row, self.error_estimator), (
-            self.nonlinearity, self.reaction_scale, self.nt, self.dt)
+            self.nonlinearity, self.reaction_scale, self.nt, self.dt,
+            self.v_row_sup)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         (obj.lhs, obj.M_hat, obj.rhs_hat, obj.W, obj.Pv, obj.output_row,
          obj.error_estimator) = children
-        obj.nonlinearity, obj.reaction_scale, obj.nt, obj.dt = aux
+        (obj.nonlinearity, obj.reaction_scale, obj.nt, obj.dt,
+         obj.v_row_sup) = aux
         return obj
 
     @property
@@ -354,18 +401,15 @@ class SemilinearInstationaryROM:
         return jnp.matmul(self.output_row.astype(traj.dtype), traj,
                           precision=_HI)
 
-    def estimate_error(self, mu: Mu, traj=None,
-                       include_deim: bool = True) -> jax.Array:
-        """Space-time l2 residual indicator of the stored trajectory
-        (module-class docstring). Per step k the PDE-scaled residual
-        ``rho^k = M V (a^{k+1}-a^k)/dt + A V a^{k+1} + c M_L U S g^k - f``
-        is a weight vector over the columns ``[f | A_b V | M_L U S | M V]``:
-        ``[-1 | theta_b (x) a^{k+1} | c g(Pv a^k) | (a^{k+1}-a^k)/dt]``;
-        the indicator is ``sqrt(dt sum_k ||rho^k||^2)``."""
+    def _step_residuals(self, mu: Mu, traj, include_deim: bool):
+        """Per-step defect norms of the stored trajectory: ``(rnorms,
+        deim)`` with ``rnorms[k] = ||rho^k||_2`` (weight vector
+        ``[-1 | theta_b (x) a^{k+1} | c g(Pv a^k) | (a^{k+1}-a^k)/dt]``
+        over the columns ``[f | A_b V | M_L U S | M V]``) and ``deim[k]``
+        the reserve-point estimate of ``||d^k||_2 = c ||M_L (g(u_r^k) -
+        US g^k)||_2`` (zeros when no reserve points / disabled)."""
         est = self.error_estimator
         assert est is not None
-        if traj is None:
-            traj = self.solve(mu)
         g, _ = NONLINEARITIES[self.nonlinearity]
         dtype = traj.dtype
         a_old = traj[:, :-1].T          # (nt, r)
@@ -384,7 +428,6 @@ class SemilinearInstationaryROM:
             (a_new - a_old) / dt,
         ], axis=1)
         rnorms = est.residual_norms_batch(Ws)
-        eta = jnp.sqrt(dt * jnp.sum(rnorms * rnorms))
         if include_deim and est.Pv_res is not None:
             g_res = g(jnp.matmul(a_old, est.Pv_res.T.astype(dtype),
                                  precision=_HI))      # (nt, m_res)
@@ -393,9 +436,121 @@ class SemilinearInstationaryROM:
             sup = jnp.max(jnp.abs(g_res - pred), axis=1)  # (nt,)
             scale = est.mass_scale * jnp.sqrt(
                 jnp.asarray(float(est.n_interior), dtype))
-            eta_deim = jnp.sqrt(dt * jnp.sum((c * scale * sup) ** 2))
-            eta = eta + eta_deim
+            deim = c * scale * sup
+        else:
+            deim = jnp.zeros_like(rnorms)
+        return rnorms, deim
+
+    def estimate_error(self, mu: Mu, traj=None,
+                       include_deim: bool = True) -> jax.Array:
+        """Space-time l2 residual quantity ``sqrt(dt sum_k ||rho^k||^2)
+        (+ DEIM reserve term)`` of the stored trajectory — the greedy
+        scoring quantity; :meth:`certified_error_bound` upgrades the
+        per-step pieces to a rigorous bound."""
+        if traj is None:
+            traj = self.solve(mu)
+        rnorms, deim = self._step_residuals(mu, traj, include_deim)
+        dt = jnp.asarray(self.dt, rnorms.dtype)
+        eta = jnp.sqrt(dt * jnp.sum(rnorms * rnorms))
+        if include_deim:
+            eta = eta + jnp.sqrt(dt * jnp.sum(deim * deim))
         return eta
+
+    def certified_error_bound(
+        self,
+        mu: Mu,
+        coercivity,
+        traj=None,
+        margin: float | jax.Array | None = None,
+        v_row_sup: float | None = None,
+        include_deim: bool = True,
+    ):
+        """RIGOROUS final-time state-error bound ``||u^nt - V a^nt||_2``
+        by the monotone IMEX composition (class docstring theorem).
+
+        ``coercivity``: certified l2 ``alpha_LB`` callable of the LINEAR
+        family (min-theta / matrix-free SCM — the same object the
+        stationary tier uses).  ``margin``: the bootstrap window
+        ``U = U_r + margin`` for the local Lipschitz constant of ``g``;
+        every intermediate bound must stay ``<= margin`` for the window
+        to be self-consistent (default ``0.05 (1 + U_r)``).
+
+        Returns ``(bound, info)`` — jittable / vmappable; ``bound`` is
+        ``inf`` when the explicit-reaction CFL factor turns nonpositive
+        OR the bootstrap fails (``info['certified']`` False), never a
+        silently invalid finite number.  ``info`` carries jnp scalars:
+        ``bound_max`` (max over steps), ``margin``, ``L``, ``alpha``,
+        ``U_r``, ``certified``."""
+        from rla4mor_tpu.models.semilinear import (
+            MASS_REL_SPECTRUM,
+            NONLINEARITY_DG_SUP,
+        )
+
+        est = self.error_estimator
+        assert est is not None
+        if traj is None:
+            traj = self.solve(mu)
+        s_V = self.v_row_sup if v_row_sup is None else float(v_row_sup)
+        if not np.isfinite(s_V):
+            raise ValueError(
+                "certified_error_bound needs v_row_sup (the POD basis "
+                "row-sup factor); refit with the round-5 offline stage "
+                "or pass v_row_sup= explicitly"
+            )
+        rnorms, deim = self._step_residuals(mu, traj, include_deim)
+        r = rnorms + deim                      # (nt,)
+        dtype = r.dtype
+        dt = jnp.asarray(self.dt, dtype)
+        h2 = jnp.asarray(est.mass_scale, dtype)      # h^2 (M_L scale)
+        m_lo, m_hi = MASS_REL_SPECTRUM
+        alpha = jnp.asarray(coercivity(mu), dtype).reshape(())
+        c = self.reaction(mu).astype(dtype)
+
+        U_r = s_V * jnp.max(jnp.linalg.norm(traj, axis=0))
+
+        S_T = dt * jnp.sum(r * r)  # the full space-time residual sum
+
+        def bound_for(m):
+            """(final bound, certified, L) for the window U = U_r + m —
+            closed form (class docstring theorem)."""
+            L = jnp.asarray(
+                NONLINEARITY_DG_SUP[self.nonlinearity](U_r + m), dtype)
+            gap = alpha - c * h2 * L      # reaction-corrected coercivity
+            ok = gap > 0
+            gap_s = jnp.where(ok, gap, 1.0)
+            b_T = jnp.sqrt(S_T / (gap_s * m_lo * h2))
+            # cumulative sums are monotone: the bound at every k <= nt
+            # is <= b_T, so the bootstrap only needs the final value
+            cert = jnp.logical_and(ok, b_T <= m)
+            return b_T, cert, L
+
+        if margin is None:
+            # automatic bootstrap fixed point: the window must satisfy
+            # bound(L(U_r + m)) <= m; too-small m fails the check,
+            # too-large m inflates L (and can close the coercivity gap)
+            # — geometric ladder, take the SMALLEST certified window
+            base = 0.01 * (1.0 + U_r)
+            margins = base * (1.5 ** jnp.arange(24, dtype=dtype))
+            b_T, cert, Ls = jax.vmap(bound_for)(margins)
+            big = jnp.asarray(jnp.inf, dtype)
+            pick = jnp.argmin(jnp.where(cert, margins, big))
+            certified = jnp.any(cert)
+            margin = margins[pick]
+            bound_last = b_T[pick]
+            L = Ls[pick]
+        else:
+            margin = jnp.asarray(margin, dtype)
+            bound_last, certified, L = bound_for(margin)
+        bound_max = bound_last  # monotone cumulative bound
+
+        inf = jnp.asarray(jnp.inf, dtype)
+        bound = jnp.where(certified, bound_last, inf)
+        info = dict(
+            bound_max=jnp.where(certified, bound_max, inf),
+            margin=margin, L=L, alpha=alpha, U_r=U_r,
+            certified=certified,
+        )
+        return bound, info
 
 
 jax.tree_util.register_pytree_node(
@@ -605,6 +760,9 @@ class SemilinearReductor:
             nonlinearity=fom.nonlinearity,
             reaction_scale=fom.reaction_scale,
             nt=ifom.nt, dt=ifom.dt,
+            # ||V a||_inf <= v_row_sup ||a||_2: the a-priori window factor
+            # certified_error_bound's bootstrap needs
+            v_row_sup=float(jnp.max(jnp.linalg.norm(V, axis=1))),
         )
 
     # -- certified strong greedy -------------------------------------------

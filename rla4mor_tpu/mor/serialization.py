@@ -410,7 +410,8 @@ def _rom_fields(rom) -> dict:
     elif isinstance(rom, SemilinearInstationaryROM):
         d["kind"] = "semilinear_instationary"
         d["aux"] = np.asarray(
-            [rom.reaction_scale, rom.nt, rom.dt], np.float64)
+            [rom.reaction_scale, rom.nt, rom.dt, rom.v_row_sup],
+            np.float64)
         d["nonlinearity"] = rom.nonlinearity
         save_affine(d, "lhs", rom.lhs)
         arr("M_hat", rom.M_hat)
@@ -555,12 +556,16 @@ def _rom_from_fields(d):
             SemilinearInstationaryROM,
         )
 
-        rs, nt, dt = d["aux"]
+        aux = np.asarray(d["aux"], np.float64)
+        rs, nt, dt = aux[:3]
+        # round-4 files have no v_row_sup slot: load as NaN (the
+        # certified bound then demands an explicit v_row_sup=)
+        v_sup = float(aux[3]) if aux.shape[0] > 3 else float("nan")
         return SemilinearInstationaryROM(
             load_affine(d, "lhs"), arr("M_hat"), arr("rhs_hat"),
             arr("W"), arr("Pv"), arr("out_row"), _load_semilinear_est(d),
             nonlinearity=str(d["nonlinearity"]), reaction_scale=float(rs),
-            nt=int(nt), dt=float(dt),
+            nt=int(nt), dt=float(dt), v_row_sup=v_sup,
         )
     raise ValueError(f"unknown ROM kind {kind!r}")
 

@@ -405,3 +405,112 @@ def test_greedy_drives_indicator_down(fom11):
     coerc = MinThetaCoercivity(fom, mus[0], alpha_ref=1e-3)
     rom2, hist2 = red.greedy(mus[:6], n_steps=2, coercivity=coerc)
     assert rom2 is not None and len(hist2) >= 1
+
+
+def test_certified_parabolic_bound_contains_error():
+    """Round-5 theorem (VERDICT r4 missing #3): the monotone IMEX
+    composition upgrades the space-time residual indicator to a RIGOROUS
+    final-time state-error bound. Oracle: exact dense IMEX recursion
+    (dense consistent mass + dense solve per step), dense lambda_min
+    coercivity.
+
+    Moderate reaction here: the bound's Groenwall factor
+    ``exp(c L T / m_lo)`` is intrinsic to EXPLICIT reaction treatment —
+    at fom22's reaction_scale=50 the window check honestly refuses
+    (covered by the flag test below); at c ~ 2 the dissipation wins and
+    the bound is tight."""
+    from rla4mor_tpu.models.semilinear import SemilinearInstationaryFOM
+
+    fom = make_fom(num_intervals=12, reaction_scale=2.0)
+    mus22 = fom.sample_parameters(8, key=3)
+    ifom = SemilinearInstationaryFOM(fom, T=0.5, nt=12)
+    red = SemilinearReductor(fom)
+    # rich enough that the residual fits through the bootstrap window
+    # at c ~ 1-2 (the window closes when c h^2 L(U_r+m) reaches alpha)
+    rom = red.fit_instationary(ifom, mus22, modes=14, deim_modes=10,
+                               n_reserve=2)
+    assert np.isfinite(rom.v_row_sup) and rom.v_row_sup > 0
+    V = np.asarray(red.last_basis)
+    A_terms = dense_terms(fom)
+    ml = np.asarray(fom.mass_lumped_diag().reshape(-1))
+    mask = ml > 0
+    n = fom.n_dof
+    # dense consistent mass from the apply
+    I = jnp.eye(n, dtype=jnp.float64)
+    M = np.asarray(jax.vmap(
+        lambda col: ifom._mass_apply(
+            col.reshape(fom.solution_shape)).reshape(-1),
+        in_axes=1, out_axes=1)(I))
+    f = np.asarray(fom.rhs().reshape(-1))
+    dt = ifom.dt
+    g = lambda u: np.asarray(fom.g(jnp.asarray(u)))  # noqa: E731
+
+    for j, mu in enumerate(fom.sample_parameters(2, key=11)):
+        theta = np.asarray(mu["diffusion"], np.float64)
+        Amu = np.tensordot(theta, A_terms, axes=1)
+        Ai = Amu[np.ix_(mask, mask)]
+        alpha = float(np.linalg.eigvalsh(0.5 * (Ai + Ai.T))[0])
+        c = float(fom.reaction(mu))
+
+        # exact dense IMEX oracle on the interior
+        Mi = M[np.ix_(mask, mask)]
+        B = Mi + dt * Ai
+        u = np.zeros(n)
+        traj_fom = [u.copy()]
+        for _ in range(ifom.nt):
+            rhs = Mi @ u[mask] + dt * (f[mask]
+                                       - c * ml[mask] * g(u[mask]))
+            u = np.zeros(n)
+            u[mask] = np.linalg.solve(B, rhs)
+            traj_fom.append(u.copy())
+        traj_fom = np.stack(traj_fom, axis=1)      # (n, nt + 1)
+
+        traj = rom.solve(mu)
+        bound, info = rom.certified_error_bound(
+            mu, lambda m, _a=alpha: jnp.asarray(_a), traj=traj)
+        assert bool(info["certified"]), info
+        err_T = np.linalg.norm(traj_fom[:, -1] - V @ np.asarray(traj)[:, -1])
+        assert err_T <= float(bound) * (1 + 1e-8), (err_T, float(bound))
+        # effectivity sanity: rigorous, not vacuous
+        assert float(bound) <= 1e4 * max(err_T, 1e-12), (err_T, float(bound))
+
+
+def test_certified_parabolic_bound_flags_failed_bootstrap(fom22, mus22):
+    """A margin too small for the actual error makes the bootstrap
+    window inconsistent: the bound must go INF with certified=False —
+    never a silently invalid finite number."""
+    from rla4mor_tpu.models.semilinear import SemilinearInstationaryFOM
+
+    fom = fom22
+    ifom = SemilinearInstationaryFOM(fom, T=0.5, nt=12)
+    red = SemilinearReductor(fom)
+    rom = red.fit_instationary(ifom, mus22[:3], modes=2, deim_modes=3,
+                               n_reserve=1)
+    mu = mus22[6]
+    bound, info = rom.certified_error_bound(
+        mu, lambda m: jnp.asarray(1e-3), margin=1e-14)
+    assert not bool(info["certified"])
+    assert np.isinf(float(bound))
+
+
+def test_certified_parabolic_bound_requires_v_row_sup(fom22, mus22):
+    from rla4mor_tpu.models.semilinear import SemilinearInstationaryFOM
+    from rla4mor_tpu.mor.semilinear_reductor import (
+        SemilinearInstationaryROM,
+    )
+
+    fom = fom22
+    ifom = SemilinearInstationaryFOM(fom, T=0.5, nt=8)
+    red = SemilinearReductor(fom)
+    rom = red.fit_instationary(ifom, mus22[:2], modes=2, deim_modes=3,
+                               n_reserve=1)
+    legacy = SemilinearInstationaryROM(
+        rom.lhs, rom.M_hat, rom.rhs_hat, rom.W, rom.Pv, rom.output_row,
+        rom.error_estimator, rom.nonlinearity, rom.reaction_scale,
+        rom.nt, rom.dt)  # v_row_sup defaults NaN (round-4 files)
+    with pytest.raises(ValueError, match="v_row_sup"):
+        legacy.certified_error_bound(mus22[5], lambda m: jnp.asarray(1.0))
+    # explicit override works
+    b, info = legacy.certified_error_bound(
+        mus22[5], lambda m: jnp.asarray(1e-2), v_row_sup=rom.v_row_sup)
+    assert np.isfinite(float(b)) or not bool(info["certified"])

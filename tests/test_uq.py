@@ -482,3 +482,107 @@ def test_certified_moments_sharded_matches_unsharded(setup):
                                     sharding=sh, **kw)
     assert (pe.p_lo, pe.p_hi, pe.p_nominal) == (se.p_lo, se.p_hi,
                                                 se.p_nominal)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: TOTAL intervals — bias + distribution-free sampling confidence
+# (VERDICT r4 weak #4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fom_truth(setup):
+    """Independent large-MC reference of E s_fom / the s_fom sample set
+    (key disjoint from every small-run key below)."""
+    fom, _, _, _ = setup
+    space = fom.parameter_space
+    n_ref = 512
+    mus = sample_mu_batched(space, n_ref, key=101, method="mc")
+    s_fom = np.array([
+        float(fom.output(fom.solve(mu), mu).reshape(-1)[0])
+        for mu in mu_unstack(mus)
+    ])
+    return s_fom
+
+
+def test_total_interval_contains_fom_truth_small_n(setup, fom_truth):
+    """At deliberately small n the sampling noise dominates the certified
+    bias bound; the empirical-Bernstein total interval must still contain
+    the (independently estimated) FOM truth — every term quantified."""
+    fom, rom, alpha, dual = setup
+    space = fom.parameter_space
+    truth = float(fom_truth.mean())
+
+    # generous a-priori ROM output range (10 sigma around a probe mean)
+    probe = certified_moments(rom, space, alpha, dual, n=256, key=9)
+    half = 10.0 * max(probe.std, 1e-6)
+    rng = (probe.mean - half, probe.mean + half)
+
+    res = certified_moments(rom, space, alpha, dual, n=32, key=5,
+                            method="mc", batch=32, output_range=rng,
+                            delta=0.05)
+    assert np.isfinite(res.conf_term)
+    assert res.conf_term > res.bias_bound  # small n: sampling dominates
+    assert res.delta == 0.05
+    assert res.total_lo <= truth <= res.total_hi
+    # informative: much narrower than the declared range
+    assert (res.total_hi - res.total_lo) < (rng[1] - rng[0])
+
+    # without output_range the total interval is explicitly unquantified
+    res2 = certified_moments(rom, space, alpha, dual, n=32, key=5,
+                             method="mc", batch=32)
+    assert np.isnan(res2.conf_term) and np.isnan(res2.total_lo)
+
+
+def test_total_interval_rqmc_replicates(setup, fom_truth):
+    """Randomized-QMC replicates: M independently scrambled Halton
+    sequences give iid replicate means — finite conf_term +
+    replicate_stderr; unreplicated QMC stays explicitly NaN."""
+    fom, rom, alpha, dual = setup
+    space = fom.parameter_space
+    truth = float(fom_truth.mean())
+    probe = certified_moments(rom, space, alpha, dual, n=256, key=9)
+    half = 10.0 * max(probe.std, 1e-6)
+    rng = (probe.mean - half, probe.mean + half)
+
+    res = certified_moments(rom, space, alpha, dual, n=128, key=21,
+                            method="halton", replicates=4,
+                            output_range=rng, delta=0.05)
+    assert res.n == 128
+    assert np.isfinite(res.conf_term)
+    assert np.isfinite(res.replicate_stderr)
+    assert res.total_lo <= truth <= res.total_hi
+    assert np.isnan(res.mc_stderr)  # still not an iid estimate
+
+    un = certified_moments(rom, space, alpha, dual, n=128, key=21,
+                           method="halton", output_range=rng)
+    assert np.isnan(un.conf_term) and np.isnan(un.total_lo)
+
+
+def test_output_range_violation_raises(setup):
+    """A declared range the samples escape must fail LOUDLY (the
+    distribution-free bound would be silently invalid)."""
+    fom, rom, alpha, dual = setup
+    with pytest.raises(ValueError, match="output_range"):
+        certified_moments(rom, fom.parameter_space, alpha, dual, n=16,
+                          key=5, output_range=(0.0, 1e-300))
+
+
+def test_exceedance_total_interval(setup, fom_truth):
+    """The [0,1]-Hoeffding total bracket contains the true exceedance
+    probability (reference: the independent FOM sweep) — for free, no
+    user input."""
+    fom, rom, alpha, dual = setup
+    space = fom.parameter_space
+    c = float(np.median(fom_truth))
+    res = exceedance_probability(rom, space, alpha, dual, threshold=c,
+                                 n=64, key=13, batch=32, delta=0.05)
+    assert np.isfinite(res.conf_term) and res.conf_term > 0
+    assert 0.0 <= res.p_lo_total <= res.p_hi_total <= 1.0
+    p_true = float((fom_truth > c).mean())  # 512-sample reference
+    # reference p has its own stderr ~ 0.022 << the Hoeffding width 0.17
+    assert res.p_lo_total - 0.07 <= p_true <= res.p_hi_total + 0.07
+
+    qmc = exceedance_probability(rom, space, alpha, dual, threshold=c,
+                                 n=64, key=13, method="halton", batch=32)
+    assert np.isnan(qmc.conf_term) and np.isnan(qmc.p_lo_total)
