@@ -6,9 +6,9 @@ families' compute pattern (the module's design claim,
 models/semilinear.py docstring). One JSON line per row:
 
 * ``semilinear_newton_4p2m``: one jitted Newton-CG FOM solve at
-  2048^2 = 4.19M nodes (matrix-free SPD Jacobian, Jacobi-CG inner
-  solves) — steady-state wall-clock, second call of the program with a
-  fresh parameter;
+  2049^2 = 4.2M nodes (matrix-free SPD Jacobian, V-cycle-preconditioned
+  inner CG — f32 Jacobi stagnates at ~2e-2 relative here) —
+  steady-state wall-clock, second call with a fresh parameter;
 * ``semilinear_offline_4p2m``: POD-DEIM fit from 4 snapshots with the
   SRHT-sketched residual compression (the pod-scale offline path:
   every n-sized residual column is compressed to k rows once);
@@ -49,11 +49,16 @@ def main():
 
     print(f"# backend: {jax.default_backend()}", file=sys.stderr)
 
-    num_intervals = 2047  # 2048^2 nodes = 4.19M DoF
+    num_intervals = 2048  # power of two for MG; 2049^2 nodes = 4.2M DoF
     fom = SemilinearStencilFOM((2, 2), num_intervals, dtype=jnp.float32,
                                reaction_scale=100.0)
     mus = fom.sample_parameters(6, key=0)
-    kw = dict(newton_tol=1e-6, cg_tol=1e-6, cg_maxiter=800)
+    # f32 Jacobi-CG STAGNATES at ~eps_f32 * kappa ~ 2e-2 relative at this
+    # size (measured; raising cg_maxiter 800 -> 6000 did not move it) —
+    # the V-cycle preconditioner is what makes a CONVERGED f32 Newton
+    # possible at pod scale
+    kw = dict(newton_tol=1e-6, cg_tol=1e-6, cg_maxiter=200,
+              cg_precond="mg")
 
     # --- FOM Newton solve ---------------------------------------------------
     u = fom.solve_newton(mus[0], **kw)          # compile + first solve
@@ -78,7 +83,14 @@ def main():
     t0 = time.perf_counter()
     rom = red.fit(None, snapshots=S, pod_rtol=1e-8, deim_rtol=1e-8,
                   n_reserve=1)
-    np.asarray(rom.rhs_hat[0])
+    # sync on EVERY device leaf of the ROM (advisor r4: rhs_hat alone is
+    # enqueued before the DEIM pieces and the dominant SRHT residual
+    # sketch). On the axon tunnel jax.block_until_ready does NOT
+    # synchronize — a device->host transfer is the only reliable sync —
+    # and every ROM leaf is reduced-size, so full transfers are cheap.
+    for x in jax.tree.leaves(rom):
+        if isinstance(x, jax.Array):
+            np.asarray(x)
     dt_fit = time.perf_counter() - t0
     row("semilinear_offline_4p2m", dt_fit, "s",
         r=int(rom.dim), m_deim=int(rom.Pv.shape[0]), k_sketch=256)

@@ -213,7 +213,7 @@ class SemilinearStencilFOM:
     # -- solve ---------------------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "newton_tol", "max_newton",
                                        "cg_tol", "cg_maxiter", "mesh",
-                                       "axis"))
+                                       "axis", "cg_precond"))
     def solve_newton(
         self,
         mu,
@@ -223,14 +223,23 @@ class SemilinearStencilFOM:
         cg_maxiter: int = 2000,
         mesh=None,
         axis: str = "dof",
+        cg_precond: str = "jacobi",
     ) -> jax.Array:
         """Jittable Newton-CG from u = 0: full steps (the monotone
         operator has a unique solution; from the rest state with the
         smooth g's above plain Newton converges in < 10 steps for the
         default families — ``max_newton`` is the safety bound), inner
-        Jacobi-preconditioned CG on the SPD Jacobian.
+        preconditioned CG on the SPD Jacobian.
 
         Convergence claim: ||F(u)||_2 <= newton_tol * ||f||_2.
+
+        ``cg_precond``: ``'jacobi'`` (default) or ``'mg'`` — a geometric
+        V-cycle on the LINEAR stiffness ``A(mu)`` (the reaction diagonal
+        is O(c h^2 g'), negligible for conditioning). MANDATORY at pod
+        scale in f32: Jacobi-CG stagnates at ~eps_f32 * kappa relative
+        residual (measured 2.1e-2 at 4.2M DoF, PERF.md round-5) while
+        the V-cycle keeps the preconditioned kappa O(1). Needs
+        power-of-two ``num_intervals`` (models/multigrid.py).
 
         ``mesh``: a ``jax.sharding.Mesh`` with a DoF axis — the node
         grid's leading axis is shard-constrained over it so GSPMD
@@ -241,6 +250,21 @@ class SemilinearStencilFOM:
         f = self.rhs()
         fnorm = jnp.linalg.norm(f)
         tiny = jnp.asarray(jnp.finfo(f.dtype).tiny, f.dtype)
+
+        if cg_precond == "mg":
+            from rla4mor_tpu.models.multigrid import make_vcycle
+
+            vc = make_vcycle(self.linear.kappa(mu))
+
+            def precond_for(u):
+                return vc
+        elif cg_precond == "jacobi":
+            def precond_for(u):
+                diag = self.jacobian_diag(mu, u)
+                return lambda r: r / diag
+        else:
+            raise ValueError(f"cg_precond must be 'jacobi' or 'mg': "
+                             f"{cg_precond!r}")
 
         def cond(state):
             u, k = state
@@ -253,11 +277,10 @@ class SemilinearStencilFOM:
         def body(state):
             u, k = state
             F = self.residual(mu, u)
-            diag = self.jacobian_diag(mu, u)
             res = cg(
                 lambda v: self.jacobian_apply(mu, u, v),
                 -F,
-                precond=lambda r: r / diag,
+                precond=precond_for(u),
                 tol=cg_tol,
                 maxiter=cg_maxiter,
             )

@@ -345,7 +345,11 @@ def lobpcg_gen_two_stage(
         x0=None if x0 is None else jnp.asarray(x0, d32), **kw,
     )
     with jax.enable_x64(True):
-        b2 = max(k + 1, 2)
+        # polish block: k warm vectors + random fill up to the full
+        # block — a 2-column polish stalls on CLUSTERED extremes (the
+        # Laplacian's top eigenvalues), which the restart-agreement
+        # defense then flags as unconverged
+        b2 = max(k + 1, int(block))
         x64 = jnp.concatenate([
             jnp.asarray(np.asarray(warm.vectors[:, :k]), d64),
             jax.random.normal(k2, (n, b2 - k), d64),
@@ -502,6 +506,7 @@ class MatrixFreeScmHermitian(ScmHermitian):
         mesh=None,
         mesh_axis: str = "dof",
         precond_hi: Optional[Apply] | str = "same",
+        box_tol: Optional[float] = None,
     ):
         # deliberately NOT calling ScmHermitian.__init__ (it densifies);
         # replicate its state with LOBPCG-computed boxes.
@@ -548,11 +553,19 @@ class MatrixFreeScmHermitian(ScmHermitian):
 
         lo, hi = [], []
         self.box_radii: list[tuple[float, float]] = []
+        # per-term boxes may use a LOOSER tolerance than the anchors:
+        # box edges feed the LP/Weyl at ~1e-4 relative usefully, while
+        # the extreme eigenvalues of stencil terms CLUSTER (Laplacian
+        # lambda_max spacing ~ O(h^2)) and chasing tol=1e-8 there just
+        # burns iterations until the restart defense flags a timeout
+        box_kw = dict(self._eig_kw)
+        if box_tol is not None:
+            box_kw["tol"] = float(box_tol)
         for q, Tq in enumerate(self.terms):
             l, h, lo_res, hi_res = spectral_interval(
                 Tq, apply_R, self.n, precond=precond, solver=self._solver,
                 key=jax.random.fold_in(key, q), precond_hi=precond_hi,
-                **self._eig_kw,
+                **box_kw,
             )
             self._logger.info(
                 "term %d box: [%.6e, %.6e] (radii %.1e/%.1e, iters %d/%d, "

@@ -514,3 +514,21 @@ def test_certified_parabolic_bound_requires_v_row_sup(fom22, mus22):
     b, info = legacy.certified_error_bound(
         mus22[5], lambda m: jnp.asarray(1e-2), v_row_sup=rom.v_row_sup)
     assert np.isfinite(float(b)) or not bool(info["certified"])
+
+
+def test_newton_mg_preconditioner_matches_jacobi(fom22, mus22):
+    """cg_precond='mg' (V-cycle on the linear stiffness — the pod-scale
+    f32 recipe, benchmarks/semilinear_tpu.py) reproduces the Jacobi-CG
+    Newton solution with a fraction of the inner iterations."""
+    fom = make_fom(num_intervals=32)  # power of two for the V-cycle
+    mu = fom.sample_parameters(2, key=3)[1]
+    uj = fom.solve_newton(mu, newton_tol=1e-10, cg_tol=1e-12,
+                          cg_maxiter=4000)
+    um = fom.solve_newton(mu, newton_tol=1e-10, cg_tol=1e-12,
+                          cg_maxiter=200, cg_precond="mg")
+    np.testing.assert_allclose(np.asarray(um), np.asarray(uj), atol=1e-11)
+    res = float(jnp.linalg.norm(fom.residual(mu, um))
+                / jnp.linalg.norm(fom.rhs()))
+    assert res < 1e-10
+    with pytest.raises(ValueError, match="cg_precond"):
+        fom.solve_newton(mu, cg_precond="bogus")
