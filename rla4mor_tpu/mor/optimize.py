@@ -286,6 +286,9 @@ class CertifiedOptimum:
     converged: bool
     n_enrichments: int
     history: List[dict] = field(default_factory=list)
+    stability_certified: bool = True  # the coercivity's own offline
+                                      # defense verdict (matrix-free SCM
+                                      # restart agreement; see mor/uq.py)
 
 
 def certified_minimize(
@@ -356,6 +359,8 @@ def certified_minimize(
             return CertifiedOptimum(
                 mu=mu, x=res.x, value=res.value, bound=bound,
                 converged=True, n_enrichments=n_enrich, history=history,
+                stability_certified=bool(
+                    getattr(coercivity, "certified", True)),
             )
         if round_idx == max_enrichments:
             break
@@ -365,6 +370,7 @@ def certified_minimize(
     return CertifiedOptimum(
         mu=mu, x=res.x, value=res.value, bound=bound,
         converged=False, n_enrichments=n_enrich, history=history,
+        stability_certified=bool(getattr(coercivity, "certified", True)),
     )
 
 
@@ -383,6 +389,7 @@ class TrustRegionResult:
     n_fom_solves: int            # FOM solves spent (== basis enrichments)
     n_steps: int                 # accepted TR steps
     history: List[dict] = field(default_factory=list)
+    stability_certified: bool = True  # see CertifiedOptimum
 
 
 def _tr_subproblem(rom, space, dual, coercivity, objective, component,
@@ -561,7 +568,8 @@ def trust_region_minimize(
                 return TrustRegionResult(
                     mu=space.parse(x_k), x=x_k, value=f_k, bound=e_k,
                     converged=True, n_fom_solves=n_fom, n_steps=n_steps,
-                    history=history)
+                    history=history, stability_certified=bool(
+                        getattr(coercivity, "certified", True)))
             # gate-choked (certificate loose at the iterate) or ROM-
             # stationary with a loose certificate: enrich AT x_k, which
             # collapses eta there, and retry — NOT convergence.
@@ -619,4 +627,5 @@ def trust_region_minimize(
     converged = e_k <= tol
     return TrustRegionResult(
         mu=mu, x=x_k, value=f_k, bound=e_k, converged=converged,
-        n_fom_solves=n_fom, n_steps=n_steps, history=history)
+        n_fom_solves=n_fom, n_steps=n_steps, history=history,
+        stability_certified=bool(getattr(coercivity, "certified", True)))
