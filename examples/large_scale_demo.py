@@ -266,8 +266,15 @@ def main():
         if args.family == "helmholtz":
             from rla4mor_tpu.mor.scm_matfree import MatrixFreeScmInfSup
 
+            # tol is |theta|-RELATIVE here (MatrixFreeScmInfSup default:
+            # the squared pencil's lambda_min sits orders below its
+            # norm at fine h; an absolute tol would certify nothing)
+            # anchors: |theta|-relative tol (1e-3 of sigma_min^2 —
+            # plenty for certified bounds); boxes: ABSOLUTE 1e-10
+            # edges (the LP's ingredients must resolve the lambda_min
+            # scale, ~1e-8 at this h)
             scm = MatrixFreeScmInfSup(fom, two_stage=True, iters=400,
-                                      tol=1e-8, box_tol=1e-5,
+                                      tol=1e-3, box_tol=1e-10,
                                       cg_maxiter=400, restarts=1)
             hist = scm.fit(mus_b, tol=0.5, max_anchors=6)
             # auto-fit the jittable Weyl bound to positivity over the

@@ -105,6 +105,7 @@ def lobpcg_gen(
     identity_R: bool = False,
     mesh=None,
     mesh_axis: str = "dof",
+    eig_relative_tol: bool = False,
 ) -> GenEigResult:
     """Smallest ``k`` eigenpairs of the Hermitian pencil ``(T, R)``.
 
@@ -131,6 +132,15 @@ def lobpcg_gen(
     eigenproblems stay on host.  The applies must themselves be
     GSPMD-shardable (all in-repo stencil applies are — the same
     contract as ``core/solvers.py::cg`` under ``parallel/``).
+
+    ``eig_relative_tol``: scale the convergence threshold by ``|theta_i|``
+    (``||T x - theta R x||_2 / ||R x||_2 <= tol |theta_i|``).  MANDATORY
+    when the wanted eigenvalue is far below ``||T||`` — e.g. the squared
+    inf-sup pencils at fine h, where ``lambda_min(A^H A) ~ 1e-9`` while
+    an absolute ``tol = 1e-8`` "converges" with an enclosure radius
+    LARGER than the eigenvalue (``alpha_safe < 0``: certificates all
+    become vacuous).  The Bauer-Fike radius then lands at
+    ``~ tol |theta|``, so ``theta - rho`` stays positive.
     """
     if jax.dtypes.canonicalize_dtype(dtype) != jnp.dtype(dtype):
         # without jax_enable_x64 a requested f64 silently truncates to
@@ -193,7 +203,12 @@ def lobpcg_gen(
         res_num = _host(jnp.linalg.norm(Res, axis=0))
         res_den = np.maximum(_host(jnp.linalg.norm(RX, axis=0)), 1e-300)
         rel = res_num / res_den
-        if np.all(rel[:k] <= tol) and it > 1:
+        if eig_relative_tol:
+            th_abs = np.abs(np.sort(theta)[:bx])
+            thresh = tol * np.maximum(th_abs, 1e-300)
+        else:
+            thresh = np.full(bx, tol)
+        if np.all(rel[:k] <= thresh[:k]) and it > 1:
             converged = True
             break
 
@@ -211,7 +226,7 @@ def lobpcg_gen(
             W = W @ jnp.asarray(Vw[:, keep_w] / np.sqrt(ww[keep_w]),
                                 W.dtype)
         else:  # residual numerically in span(X): done improving
-            converged = np.all(rel[:k] <= 10 * tol)
+            converged = np.all(rel[:k] <= 10 * thresh[:k])
             break
         S_full = jnp.concatenate([X, W] if P is None else [X, W, P], axis=1)
         RS = apply_R(S_full)
@@ -507,6 +522,7 @@ class MatrixFreeScmHermitian(ScmHermitian):
         mesh_axis: str = "dof",
         precond_hi: Optional[Apply] | str = "same",
         box_tol: Optional[float] = None,
+        eig_relative_tol: bool = False,
     ):
         # deliberately NOT calling ScmHermitian.__init__ (it densifies);
         # replicate its state with LOBPCG-computed boxes.
@@ -535,7 +551,8 @@ class MatrixFreeScmHermitian(ScmHermitian):
         self._eig_kw = dict(block=block, iters=iters, tol=tol, dtype=dtype,
                             project=project, rsolve_tol=rsolve_tol,
                             rsolve_maxiter=rsolve_maxiter,
-                            identity_R=identity_R)
+                            identity_R=identity_R,
+                            eig_relative_tol=eig_relative_tol)
         if two_stage:
             self._eig_kw.update(f32_tol=f32_tol, f32_iters=f32_iters)
         if mesh is not None:
@@ -560,7 +577,11 @@ class MatrixFreeScmHermitian(ScmHermitian):
         # burns iterations until the restart defense flags a timeout
         box_kw = dict(self._eig_kw)
         if box_tol is not None:
+            # box_tol is an explicit ABSOLUTE edge tolerance: box edges
+            # near zero (indefinite cross pairs) would never meet a
+            # |theta|-relative threshold
             box_kw["tol"] = float(box_tol)
+            box_kw["eig_relative_tol"] = False
         for q, Tq in enumerate(self.terms):
             l, h, lo_res, hi_res = spectral_interval(
                 Tq, apply_R, self.n, precond=precond, solver=self._solver,
@@ -818,6 +839,11 @@ class MatrixFreeScmInfSup:
         # the (K^2)^-1-type preconditioner targets the smallest pair
         # eigenvalues; run the sigma_max box sides plain (power-like)
         kw.setdefault("precond_hi", None)
+        # squared pencils at fine h have lambda_min(A^H A) orders below
+        # ||A^H A||: an absolute tol would "converge" with an enclosure
+        # radius larger than the eigenvalue (alpha_safe < 0 => every
+        # certificate vacuous). Scale convergence by |theta|.
+        kw.setdefault("eig_relative_tol", True)
         if is_cx:
             # complex Hermitian pair pencils: the LOBPCG iterates must be
             # complex from the start (a real block cannot represent the

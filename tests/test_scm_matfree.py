@@ -495,3 +495,29 @@ def test_matrixfree_scm_sharded_anchor_equals_unsharded():
     a_s, _ = mf_s.alpha_exact(mu)
     assert abs(a_u - a_s) < 1e-8
     assert mf_s.certified
+
+
+def test_eig_relative_tol_rescues_tiny_eigenvalues():
+    """Round-5 field finding (511-grid Helmholtz inf-sup run): with an
+    ABSOLUTE tolerance, a pencil whose lambda_min sits orders below
+    ||T|| "converges" with a Bauer-Fike radius LARGER than the
+    eigenvalue — alpha_safe = theta - rho < 0 and every downstream
+    certificate is vacuous.  eig_relative_tol scales convergence by
+    |theta| and restores a positive safe enclosure."""
+    rng = np.random.RandomState(2)
+    n = 100
+    Q = sla.qr(rng.standard_normal((n, n)))[0]
+    lam = np.concatenate([[1e-9], rng.uniform(0.5, 2.0, n - 1)])
+    T = jnp.asarray(Q @ np.diag(lam) @ Q.T)
+    kw = dict(k=1, block=4, iters=300, identity_R=True, key=3)
+
+    loose = lobpcg_gen(lambda U: T @ U, lambda U: U, n, tol=1e-5, **kw)
+    assert loose.converged
+    assert loose.values[0] - loose.radii[0] < 0  # vacuous "certificate"
+
+    tight = lobpcg_gen(lambda U: T @ U, lambda U: U, n, tol=1e-5,
+                       eig_relative_tol=True, **kw)
+    assert tight.converged
+    a_safe = tight.values[0] - tight.radii[0]
+    assert 0 < a_safe <= 1e-9 * (1 + 1e-4)
+    np.testing.assert_allclose(tight.values[0], 1e-9, rtol=1e-5)
