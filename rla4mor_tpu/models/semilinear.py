@@ -213,7 +213,8 @@ class SemilinearStencilFOM:
     # -- solve ---------------------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "newton_tol", "max_newton",
                                        "cg_tol", "cg_maxiter", "mesh",
-                                       "axis", "cg_precond"))
+                                       "axis", "cg_precond",
+                                       "return_iters"))
     def solve_newton(
         self,
         mu,
@@ -224,14 +225,25 @@ class SemilinearStencilFOM:
         mesh=None,
         axis: str = "dof",
         cg_precond: str = "jacobi",
-    ) -> jax.Array:
+        return_iters: bool = False,
+    ):
         """Jittable Newton-CG from u = 0: full steps (the monotone
         operator has a unique solution; from the rest state with the
         smooth g's above plain Newton converges in < 10 steps for the
         default families — ``max_newton`` is the safety bound), inner
         preconditioned CG on the SPD Jacobian.
 
-        Convergence claim: ||F(u)||_2 <= newton_tol * ||f||_2.
+        Convergence claim: ||F(u)||_2 <= newton_tol * ||f||_2 — OR the
+        dtype's representation floor was reached.  Any u STORED in f32
+        has true residual >~ eps_f32 * lam_max * ||u||_2 (~1.8e-2
+        relative at 4.2M DoF, measured in f64: PERF.md round-5), so an
+        f32 pod-scale solve can never signal a 1e-6 tolerance; the loop
+        therefore also stops on STAGNATION (per-step residual decrease
+        worse than 10% — genuine Newton steps on these smooth monotone
+        families contract far faster, and at the floor the ratio is ~1),
+        instead of silently burning ``max_newton`` full iterations.
+        ``return_iters=True`` additionally returns the iteration count
+        (host diagnostics / tests).
 
         ``cg_precond``: ``'jacobi'`` (default) or ``'mg'`` — a geometric
         V-cycle on the LINEAR stiffness ``A(mu)`` (the reaction diagonal
@@ -267,15 +279,19 @@ class SemilinearStencilFOM:
                              f"{cg_precond!r}")
 
         def cond(state):
-            u, k = state
+            u, k, rnorm, prev = state
             return jnp.logical_and(
-                jnp.linalg.norm(self.residual(mu, u))
-                > newton_tol * jnp.maximum(fnorm, tiny),
-                k < max_newton,
+                jnp.logical_and(
+                    rnorm > newton_tol * jnp.maximum(fnorm, tiny),
+                    k < max_newton,
+                ),
+                # stagnation stop: still contracting by >= 10% per step
+                # (prev = inf on entry; at the dtype floor the ratio ~ 1)
+                rnorm <= 0.9 * prev,
             )
 
         def body(state):
-            u, k = state
+            u, k, rnorm, prev = state
             F = self.residual(mu, u)
             res = cg(
                 lambda v: self.jacobian_apply(mu, u, v),
@@ -284,10 +300,19 @@ class SemilinearStencilFOM:
                 tol=cg_tol,
                 maxiter=cg_maxiter,
             )
-            return constrain(u + res.x), k + 1
+            u_new = constrain(u + res.x)
+            return (u_new, k + 1,
+                    jnp.linalg.norm(self.residual(mu, u_new)), rnorm)
 
         u0 = constrain(jnp.zeros(self.solution_shape, self.dtype))
-        u, _ = lax.while_loop(cond, body, (u0, jnp.asarray(0)))
+        inf0 = jnp.asarray(jnp.inf, fnorm.dtype)
+        u, iters, _, _ = lax.while_loop(
+            cond, body,
+            (u0, jnp.asarray(0), jnp.linalg.norm(self.residual(mu, u0)),
+             inf0),
+        )
+        if return_iters:
+            return u, iters
         return u
 
     def _grid_constraint(self, mesh, axis: str):

@@ -532,3 +532,37 @@ def test_newton_mg_preconditioner_matches_jacobi(fom22, mus22):
     assert res < 1e-10
     with pytest.raises(ValueError, match="cg_precond"):
         fom.solve_newton(mu, cg_precond="bogus")
+
+
+def test_newton_stagnation_stop(fom22, mus22):
+    """Round-5: an f32 pod-scale iterate can never signal newton_tol ~
+    1e-6 (its TRUE residual is floored at ~eps_f32 * lam_max * ||u|| /
+    ||f||, PERF.md round-5) — solve_newton stops on stagnation instead
+    of burning max_newton full Newton-CG iterations.
+
+    f64 at this size: tol reached first, iters small, stagnation guard
+    does not trigger early (solution unchanged vs a huge budget).
+    f32: iteration count must stop well short of an absurd budget, and
+    the returned iterate still matches the f64 solution to ~the f32
+    floor."""
+    mu = mus22[2]
+    u64, it64 = fom22.solve_newton(mu, newton_tol=1e-10,
+                                   return_iters=True)
+    assert int(it64) <= 12
+    res64 = float(jnp.linalg.norm(fom22.residual(mu, u64))
+                  / jnp.linalg.norm(fom22.rhs()))
+    assert res64 < 1e-10
+
+    f32 = SemilinearStencilFOM(
+        grid_shape=(2, 2), num_intervals=12, dtype=jnp.float32,
+        nonlinearity="cubic", reaction_scale=50.0)
+    mu32 = jax.tree.map(lambda x: x.astype(jnp.float32), mu)
+    # unreachable tol + absurd budget: without the stagnation stop this
+    # would burn all 500 iterations
+    u32, it32 = f32.solve_newton(mu32, newton_tol=1e-14, max_newton=500,
+                                 cg_tol=1e-7, cg_maxiter=2000,
+                                 return_iters=True)
+    assert int(it32) <= 20, int(it32)
+    err = float(jnp.linalg.norm(u32.astype(jnp.float64) - u64)
+                / jnp.linalg.norm(u64))
+    assert err < 1e-5, err
