@@ -176,7 +176,16 @@ def lobpcg_gen(
     apply_T = jax.jit(apply_T)
     apply_R = jax.jit(apply_R)
     M0 = precond if precond is not None else (lambda U: U)
-    M = jax.jit(M0 if project is None else (lambda U: project(M0(U))))
+    if getattr(M0, "nojit", False):
+        # the preconditioner manages its own dispatch granularity (e.g.
+        # l2_interior_scm's CHUNKED inverse-iteration CG: one monolithic
+        # >600-iteration inner solve at pod scale is a single multi-
+        # minute XLA dispatch, which the axon tunnel's worker watchdog
+        # kills — observed as "TPU worker crashed" at 4.2M DoF,
+        # PERF.md round-5). Do NOT fuse it into one program here.
+        M = M0 if project is None else (lambda U: project(M0(U)))
+    else:
+        M = jax.jit(M0 if project is None else (lambda U: project(M0(U))))
 
     P = None
     theta = np.zeros(b)
@@ -1030,6 +1039,7 @@ def l2_interior_scm(
     mu_precond: Mu,
     cg_tol: float = 1e-2,
     cg_maxiter: int = 600,
+    precond_chunk: int = 150,
     **kw,
 ) -> "MatrixFreeScmCoercivity":
     """The pod-scale certification recipe for sharded-greedy ROMs
@@ -1058,17 +1068,34 @@ def l2_interior_scm(
     diag = fom.jacobi_diag(mu_precond).reshape(-1)
     diag = jnp.where(diag != 0, diag, 1.0)
 
+    # CHUNKED inner solve: at pod scale a single 600-iteration vmapped
+    # CG is a multi-minute XLA dispatch — the axon tunnel's worker
+    # watchdog kills it ("TPU worker crashed", observed twice at 4.2M
+    # DoF, PERF.md round-5). Issue ceil(maxiter/chunk) warm-restarted
+    # bounded dispatches instead (each chunk's while_loop exits early
+    # once converged, so converged chunks cost one residual pass).
+    chunk = max(1, min(int(precond_chunk), int(cg_maxiter)))
+    n_chunks = -(-int(cg_maxiter) // chunk)
+
+    @jax.jit
+    def _chunk_solve(cols, x0):
+        d = diag.astype(cols.dtype)
+        return jax.vmap(
+            lambda b, x: _cg(
+                apply_A, b, x0=x, precond=lambda rr: rr / d,
+                tol=cg_tol, maxiter=chunk,
+            ).x, in_axes=1, out_axes=1,
+        )(cols, x0)
+
     def precond(U):
         one = U.ndim == 1
         cols = U[:, None] if one else U
-        d = diag.astype(cols.dtype)
-        sol = jax.vmap(
-            lambda b: _cg(
-                apply_A, b, precond=lambda rr: rr / d,
-                tol=cg_tol, maxiter=cg_maxiter,
-            ).x, in_axes=1, out_axes=1,
-        )(cols)
+        sol = jnp.zeros_like(cols)
+        for _ in range(n_chunks):
+            sol = _chunk_solve(cols, sol)
         return sol[:, 0] if one else sol
+
+    precond.nojit = True  # keep the chunks as separate dispatches
 
     # R = I: the Bauer-Fike radii need no inner solve (exact l2 norm)
     kw.setdefault("identity_R", True)
