@@ -279,7 +279,9 @@ def main():
         mu1 = {"diffusion": jnp.ones((1,), jnp.float32)}
         uscm = l2_interior_scm(unit, mu1, two_stage=True, iters=400,
                                tol=1e-8, box_tol=1e-5,
-                               cg_maxiter=1200, restarts=1)
+                               cg_maxiter=1200, restarts=1,
+                               precond_type=("mg" if (N & (N - 1)) == 0
+                                             else "cg"))
         uscm.add_anchor(mu1)
         lam_lo = uscm.lower(mu1)
         lam_hi = uscm.box[0][1]
@@ -352,9 +354,14 @@ def main():
                           "velocity": jnp.asarray([0.0, 0.0])}
             else:
                 mu_ref = {"diffusion": jnp.ones((fom.n_terms,))}
+            # MG inverse-iteration preconditioner when the family
+            # supports it: one V-cycle ~ A(mu_ref)^-1 at 1/1000 of the
+            # inner-CG cost — the 4.2M-DoF offline fit needs it
+            # (round-5; plain 'cg' there is hours of chunked dispatches)
             scm = l2_interior_scm(fom, mu_ref, two_stage=True, iters=400,
                                   tol=1e-8, box_tol=1e-5,
-                                  cg_maxiter=1200, restarts=1)
+                                  cg_maxiter=1200, restarts=1,
+                                  precond_type="mg" if use_mg else "cg")
             scm.add_anchor(mu_ref)
             fit_desc = f"{len(scm.box)} term boxes + 1 anchor, coercivity"
             const = "alpha_LB"

@@ -853,6 +853,15 @@ class MatrixFreeScmInfSup:
         # radius larger than the eigenvalue (alpha_safe < 0 => every
         # certificate vacuous). Scale convergence by |theta|.
         kw.setdefault("eig_relative_tol", True)
+        if kw["eig_relative_tol"]:
+            # ... but the TERM-BOX solves must stay ABSOLUTE: indefinite
+            # cross pairs have near-zero box edges a |theta|-relative
+            # threshold can never meet — the box solve would time out
+            # and (with restarts on) flag the whole fit uncertified.
+            # The caller's explicit box_tol wins; otherwise reuse the
+            # anchor tol as the absolute edge tolerance (the pre-
+            # relative-mode behavior of the box stage).
+            kw.setdefault("box_tol", float(kw.get("tol", 1e-8)))
         if is_cx:
             # complex Hermitian pair pencils: the LOBPCG iterates must be
             # complex from the start (a real block cannot represent the
@@ -1040,6 +1049,7 @@ def l2_interior_scm(
     cg_tol: float = 1e-2,
     cg_maxiter: int = 600,
     precond_chunk: int = 150,
+    precond_type: str = "cg",
     **kw,
 ) -> "MatrixFreeScmCoercivity":
     """The pod-scale certification recipe for sharded-greedy ROMs
@@ -1060,6 +1070,17 @@ def l2_interior_scm(
     TPU recipe; see :func:`lobpcg_gen_two_stage`).  Certified bound per
     parameter: ``rom.estimate_error(u_r, mu) / scm.lower(mu)`` — used by
     ``examples/large_scale_demo.py --bounds``.
+
+    ``precond_type``: ``'cg'`` (default — the chunked inverse-iteration
+    Jacobi-CG above, works for every stencil family) or ``'mg'`` — ONE
+    geometric V-cycle on ``A(mu_precond)`` per application
+    (``models/multigrid.py``; needs the family's 2-D ``kappa()`` hook
+    and power-of-two elements).  The V-cycle is spectrally equivalent
+    to ``A(mu_precond)^-1`` at ~1/1000 of the cost of the 600+-
+    iteration inner CG (4.6 ms vs multi-second dispatches at 4.2M DoF,
+    PERF.md round-2/round-5), which turns the pod-scale offline fit
+    from hours into minutes — ALWAYS prefer it when the family
+    supports it (the coercive 2-D stencil families do).
     """
     from rla4mor_tpu.core.solvers import cg as _cg
 
@@ -1067,6 +1088,44 @@ def l2_interior_scm(
                          fom.solution_shape)
     diag = fom.jacobi_diag(mu_precond).reshape(-1)
     diag = jnp.where(diag != 0, diag, 1.0)
+
+    if precond_type == "mg":
+        from rla4mor_tpu.models.multigrid import make_vcycle
+
+        kappa_host = np.asarray(fom.kappa(mu_precond))
+        _appliers: dict = {}  # jitted per-OPERAND-dtype V-cycle (the
+        #                       f64 polish stage preconditions in f64;
+        #                       built lazily at first EAGER call so the
+        #                       caller's jax.enable_x64 scope applies)
+
+        def _applier_for(dtype):
+            dt = jnp.dtype(dtype)
+            if dt not in _appliers:
+                vc = make_vcycle(jnp.asarray(kappa_host, dt))
+                _appliers[dt] = jax.jit(jax.vmap(
+                    lambda b: vc(
+                        b.reshape(fom.solution_shape)).reshape(-1),
+                    in_axes=1, out_axes=1,
+                ))
+            return _appliers[dt]
+
+        def precond(U):
+            one = U.ndim == 1
+            cols = U[:, None] if one else U
+            sol = _applier_for(cols.dtype)(cols)
+            return sol[:, 0] if one else sol
+
+        # closure construction must happen OUTSIDE any trace (building
+        # a vcycle under jit leaks tracers through the cache)
+        precond.nojit = True
+        kw.setdefault("identity_R", True)
+        kw.setdefault("precond_hi", None)
+        return MatrixFreeScmCoercivity(
+            fom, apply_R=lambda U: U, precond=precond, **kw
+        )
+    if precond_type != "cg":
+        raise ValueError(f"precond_type must be 'cg' or 'mg': "
+                         f"{precond_type!r}")
 
     # CHUNKED inner solve: at pod scale a single 600-iteration vmapped
     # CG is a multi-minute XLA dispatch — the axon tunnel's worker

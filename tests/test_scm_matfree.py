@@ -521,3 +521,32 @@ def test_eig_relative_tol_rescues_tiny_eigenvalues():
     a_safe = tight.values[0] - tight.radii[0]
     assert 0 < a_safe <= 1e-9 * (1 + 1e-4)
     np.testing.assert_allclose(tight.values[0], 1e-9, rtol=1e-5)
+
+
+def test_l2_interior_scm_mg_precond_matches_cg():
+    """Round-5: precond_type='mg' (one V-cycle ~ A(mu_ref)^-1 — the
+    pod-scale recipe, ~1/1000 of the inner-CG preconditioner cost) must
+    reproduce the 'cg' fit: same safe term boxes and the same sharp
+    certified lower bound at held-out parameters."""
+    from rla4mor_tpu.models.stencil import StencilThermalBlock
+    from rla4mor_tpu.mor.scm_matfree import l2_interior_scm
+
+    fom = StencilThermalBlock((2, 2), 16, dtype=jnp.float64)  # pow-2 MG
+    mu_ref = {"diffusion": jnp.ones((4,), jnp.float64)}
+    kw = dict(two_stage=True, tol=1e-9, iters=400, log_level=30)
+    scm_cg = l2_interior_scm(fom, mu_ref, **kw)
+    scm_mg = l2_interior_scm(fom, mu_ref, precond_type="mg", **kw)
+    scm_cg.add_anchor(mu_ref)
+    scm_mg.add_anchor(mu_ref)
+    for (lo_c, hi_c), (lo_m, hi_m) in zip(scm_cg.box, scm_mg.box):
+        assert abs(lo_c - lo_m) < 1e-7 * max(abs(hi_c), 1e-12)
+        assert abs(hi_c - hi_m) < 1e-7 * max(abs(hi_c), 1e-12)
+    for seed in (0, 1):
+        mu = {"diffusion": jax.random.uniform(
+            jax.random.key(seed), (4,), jnp.float64, 0.1, 1.0)}
+        lb_c, lb_m = scm_cg.lower(mu), scm_mg.lower(mu)
+        assert lb_m > 0
+        assert abs(lb_c - lb_m) < 1e-6 * lb_c, (lb_c, lb_m)
+
+    with pytest.raises(ValueError, match="precond_type"):
+        l2_interior_scm(fom, mu_ref, precond_type="bogus")
