@@ -229,6 +229,24 @@ class StencilThermalBlock:
         N = self.num_intervals
         return stencil_apply(u, jnp.ones((N, N), self.dtype))
 
+    def term_box_bounds(self) -> list:
+        """Rigorous ANALYTIC l2 spectral boxes of the affine terms
+        (round-5, for `mor.scm_matfree.l2_interior_scm`): each term is a
+        PSD masked Q1 stiffness with kappa in {0, 1}, so
+
+            0 <= lambda <= 16/3:
+
+        lower edge — PSD (sum of PSD element matrices); upper edge —
+        element-level Rayleigh bound ``x^T A x = sum_e x_e^T K_e x_e <=
+        lam_max(K_e) * 4 ||x||^2`` (each node lies in <= 4 elements;
+        Q1 unit element stiffness eigenvalues {0, 2/3, 2/3, 4/3}), which
+        coincides with the interior Gershgorin row bound 8/3 + 8/3.
+        A looser box only enlarges the SCM LP's feasible set (the bound
+        stays safe), and the LOWER edges are exact (masked terms are
+        singular), so nothing is lost vs the eigensolved boxes — while
+        skipping 2 * n_terms pod-scale eigensolves."""
+        return [(0.0, 16.0 / 3.0)] * self.n_terms
+
     def rhs(self, dtype=None) -> jax.Array:
         """Load vector for f = 1 (interior nodes get h^2: four adjacent
         elements x h^2/4)."""

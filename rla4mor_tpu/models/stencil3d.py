@@ -165,6 +165,18 @@ class StencilThermalBlock3D:
     def theta_vector(self, mu) -> jax.Array:
         return jnp.asarray(mu["diffusion"])
 
+    def term_box_bounds(self) -> list:
+        """Rigorous analytic l2 boxes of the octant terms (for
+        `l2_interior_scm`; 2-D derivation:
+        StencilThermalBlock.term_box_bounds): PSD masked stiffness, and
+        ``x^T A x = h sum_e x_e^T K_hat x_e <= 8 h lam_max(K_hat)
+        ||x||^2`` — each node lies in <= 8 elements; ``lam_max(K_hat)``
+        from the exact 8x8 trilinear element stiffness (k_el_3d, exact
+        quadrature) with a 1e-12 float safety pad."""
+        lam = float(np.linalg.eigvalsh(np.asarray(k_el_3d()))[-1])
+        hi = 8.0 * self.h * lam * (1.0 + 1e-12)
+        return [(0.0, hi)] * self.n_terms
+
     def _block_index(self) -> jax.Array:
         return block_index_map3(self.num_intervals, self.grid_shape)
 

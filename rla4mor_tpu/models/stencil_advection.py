@@ -102,6 +102,16 @@ class StencilAdvectionDiffusion:
         N = self.num_intervals
         return stencil_apply(u, jnp.ones((N, N), u.dtype))
 
+    def term_box_bounds(self) -> list:
+        """Rigorous analytic l2 boxes of the SYMMETRIZED terms (for
+        `l2_interior_scm`; see StencilThermalBlock.term_box_bounds):
+        the diffusion stiffness is PSD with lambda <= 16/3 (unit kappa),
+        the convection terms have EXACT anti-symmetric adjoints
+        (core/linops AdvectionTermOp) so their symmetric parts vanish —
+        boxes pin to [0, 0] (the eigensolved boxes land there too,
+        tests/test_scm_matfree.py::test_l2_interior_scm_advection_oracle)."""
+        return [(0.0, 16.0 / 3.0), (0.0, 0.0), (0.0, 0.0)]
+
     def rhs(self, dtype=None) -> jax.Array:
         dt = self.dtype if dtype is None else dtype
         load = jnp.full(self.solution_shape, self.h * self.h, dtype=dt)

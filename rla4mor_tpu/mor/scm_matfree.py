@@ -532,6 +532,7 @@ class MatrixFreeScmHermitian(ScmHermitian):
         precond_hi: Optional[Apply] | str = "same",
         box_tol: Optional[float] = None,
         eig_relative_tol: bool = False,
+        boxes: Optional[Sequence[tuple]] = None,
     ):
         # deliberately NOT calling ScmHermitian.__init__ (it densifies);
         # replicate its state with LOBPCG-computed boxes.
@@ -576,6 +577,31 @@ class MatrixFreeScmHermitian(ScmHermitian):
         if isinstance(key, int):
             key = jax.random.key(key)
         self._key = key
+
+        if boxes is not None:
+            # ANALYTIC term boxes (round-5): rigorous a-priori spectral
+            # enclosures supplied by the family (PSD stencil terms:
+            # [0, C_d * sup kappa] with C_d the element-level Rayleigh
+            # bound — see StencilThermalBlock.term_box_bounds). A looser
+            # box only ENLARGES the LP's feasible set, so the lower
+            # bound stays safe; the anchors do the tightening. Skips
+            # 2 * n_terms pod-scale eigensolves (the dominant offline
+            # cost: the clustered lambda_max edges converge slowest).
+            self.box = [(float(l), float(h)) for l, h in boxes]
+            if len(self.box) != len(self.terms):
+                raise ValueError(
+                    f"boxes: got {len(self.box)} for {len(self.terms)} "
+                    "terms"
+                )
+            self.box_radii = [(0.0, 0.0)] * len(self.box)
+            for q, (l, h) in enumerate(self.box):
+                self._logger.info("term %d box: [%.6e, %.6e] (analytic)",
+                                  q, l, h)
+            self.anchor_mus = []
+            self.anchor_thetas = np.zeros((0, len(self.terms)))
+            self.anchor_alphas = np.zeros((0,))
+            self.anchor_ystars = np.zeros((0, len(self.terms)))
+            return
 
         lo, hi = [], []
         self.box_radii: list[tuple[float, float]] = []
@@ -1050,6 +1076,7 @@ def l2_interior_scm(
     cg_maxiter: int = 600,
     precond_chunk: int = 150,
     precond_type: str = "cg",
+    analytic_boxes: bool = True,
     **kw,
 ) -> "MatrixFreeScmCoercivity":
     """The pod-scale certification recipe for sharded-greedy ROMs
@@ -1071,6 +1098,15 @@ def l2_interior_scm(
     parameter: ``rom.estimate_error(u_r, mu) / scm.lower(mu)`` — used by
     ``examples/large_scale_demo.py --bounds``.
 
+    ``analytic_boxes`` (default True): when the family declares
+    ``term_box_bounds()`` (rigorous a-priori l2 spectral enclosures —
+    every in-repo stencil family does), use them instead of eigensolving
+    2 * n_terms pod-scale term boxes.  The lower edges are exact (masked
+    PSD terms are singular) and a looser upper edge only enlarges the
+    LP's feasible set, so the certified bound is unchanged for the
+    coercive families while the offline fit reduces to the anchor
+    solves.  Pass ``False`` to force eigensolved boxes.
+
     ``precond_type``: ``'cg'`` (default — the chunked inverse-iteration
     Jacobi-CG above, works for every stencil family) or ``'mg'`` — ONE
     geometric V-cycle on ``A(mu_precond)`` per application
@@ -1083,6 +1119,9 @@ def l2_interior_scm(
     supports it (the coercive 2-D stencil families do).
     """
     from rla4mor_tpu.core.solvers import cg as _cg
+
+    if analytic_boxes and hasattr(fom, "term_box_bounds"):
+        kw.setdefault("boxes", fom.term_box_bounds())
 
     apply_A = _flat_cols(lambda g: fom.apply(mu_precond, g),
                          fom.solution_shape)

@@ -550,3 +550,70 @@ def test_l2_interior_scm_mg_precond_matches_cg():
 
     with pytest.raises(ValueError, match="precond_type"):
         l2_interior_scm(fom, mu_ref, precond_type="bogus")
+
+
+def test_l2_interior_scm_analytic_boxes_match_eigensolved():
+    """Round-5: the analytic term boxes (PSD => lo = 0 exactly; element
+    Rayleigh bound => hi = 16/3) must CONTAIN the eigensolved boxes and
+    give the SAME certified lower bound for the coercive families (the
+    lo edges are exact and the hi edges never bind in the coercive LP),
+    while skipping all 2 * n_terms box eigensolves."""
+    from rla4mor_tpu.models.stencil import StencilThermalBlock
+    from rla4mor_tpu.mor.scm_matfree import l2_interior_scm
+
+    fom = StencilThermalBlock((2, 2), 12, dtype=jnp.float64)
+    mu_ref = {"diffusion": jnp.ones((4,), jnp.float64)}
+    kw = dict(two_stage=True, tol=1e-9, iters=400, log_level=30)
+    scm_a = l2_interior_scm(fom, mu_ref, **kw)                # analytic
+    scm_e = l2_interior_scm(fom, mu_ref, analytic_boxes=False, **kw)
+    assert scm_a.box_radii == [(0.0, 0.0)] * 4
+    for (lo_a, hi_a), (lo_e, hi_e) in zip(scm_a.box, scm_e.box):
+        # the eigensolved edges carry outward Bauer-Fike padding (lo_e
+        # lands ~1e-9 BELOW the exact 0); the analytic lo = 0 is the
+        # TIGHTER rigorous edge — compare up to the padding scale
+        assert lo_a <= lo_e + 1e-8 and hi_a >= hi_e - 1e-8
+        assert lo_a == 0.0 and abs(hi_a - 16.0 / 3.0) < 1e-12
+    scm_a.add_anchor(mu_ref)
+    scm_e.add_anchor(mu_ref)
+    for seed in (0, 1, 2):
+        mu = {"diffusion": jax.random.uniform(
+            jax.random.key(seed), (4,), jnp.float64, 0.1, 1.0)}
+        lb_a, lb_e = scm_a.lower(mu), scm_e.lower(mu)
+        assert lb_a > 0
+        # analytic lo = 0 is tighter than the padded lo ~ -1e-9, so the
+        # analytic LP bound is >= the eigensolved one (by ~the padding)
+        assert lb_a >= lb_e - 1e-12
+        assert abs(lb_a - lb_e) < 1e-7 * lb_e, (lb_a, lb_e)
+
+
+def test_term_box_bounds_contain_dense_spectra():
+    """The analytic boxes are THEOREMS — check them against dense
+    spectra of every term for the 2-D families and the 3-D octant
+    block at oracle n."""
+    from rla4mor_tpu.models.stencil import StencilThermalBlock
+    from rla4mor_tpu.models.stencil3d import StencilThermalBlock3D
+    from rla4mor_tpu.models.stencil_advection import (
+        StencilAdvectionDiffusion,
+    )
+
+    for fom, shape in (
+        (StencilThermalBlock((2, 2), 8, dtype=jnp.float64), (9, 9)),
+        (StencilAdvectionDiffusion(num_intervals=8, dtype=jnp.float64),
+         (9, 9)),
+        (StencilThermalBlock3D((2, 2, 2), 4, dtype=jnp.float64),
+         (5, 5, 5)),
+    ):
+        n = int(np.prod(shape))
+        eye = np.eye(n)
+        boxes = fom.term_box_bounds()
+        n_terms = len(boxes)
+        for t in range(n_terms):
+            A = np.column_stack([
+                np.asarray(fom.apply_term(
+                    t, jnp.asarray(eye[:, j]).reshape(shape)
+                )).reshape(-1) for j in range(n)
+            ])
+            lam = np.linalg.eigvalsh(0.5 * (A + A.T))
+            lo, hi = boxes[t]
+            assert lo <= lam[0] + 1e-12, (type(fom).__name__, t, lam[0])
+            assert hi >= lam[-1] - 1e-12, (type(fom).__name__, t, lam[-1])
