@@ -278,7 +278,8 @@ def main():
         unit = StencilThermalBlock((1, 1), N, dtype=jnp.float32)
         mu1 = {"diffusion": jnp.ones((1,), jnp.float32)}
         uscm = l2_interior_scm(unit, mu1, two_stage=True, iters=400,
-                               tol=1e-8, box_tol=1e-5,
+                               tol=1e-2, eig_relative_tol=True,
+                               block=2, f32_iters=50, box_tol=1e-5,
                                cg_maxiter=1200, restarts=1,
                                precond_type=("mg" if (N & (N - 1)) == 0
                                              else "cg"))
@@ -358,8 +359,14 @@ def main():
             # supports it: one V-cycle ~ A(mu_ref)^-1 at 1/1000 of the
             # inner-CG cost — the 4.2M-DoF offline fit needs it
             # (round-5; plain 'cg' there is hours of chunked dispatches)
+            # anchor tolerance is |theta|-RELATIVE (round-5): a 1% Bauer-
+            # Fike radius loosens the printed bounds by 1% — irrelevant —
+            # while an absolute 1e-8 at theta ~ 5e-6 chases rel residual
+            # 1e-8 at ~2 s/LOBPCG-iteration (measured, PERF.md round-5).
+            # block=2 halves the f64 iteration cost (k=1 + the gap pair).
             scm = l2_interior_scm(fom, mu_ref, two_stage=True, iters=400,
-                                  tol=1e-8, box_tol=1e-5,
+                                  tol=1e-2, eig_relative_tol=True,
+                                  block=2, f32_iters=50, box_tol=1e-5,
                                   cg_maxiter=1200, restarts=1,
                                   precond_type="mg" if use_mg else "cg")
             scm.add_anchor(mu_ref)

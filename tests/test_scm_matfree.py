@@ -617,3 +617,23 @@ def test_term_box_bounds_contain_dense_spectra():
             lo, hi = boxes[t]
             assert lo <= lam[0] + 1e-12, (type(fom).__name__, t, lam[0])
             assert hi >= lam[-1] - 1e-12, (type(fom).__name__, t, lam[-1])
+
+
+def test_lobpcg_plateau_stop():
+    """Round-5: an unreachable tolerance must not burn the whole iters
+    budget — the plateau detector stops once the residual stalls, with
+    converged=True only inside the 10x grace band."""
+    rng = np.random.RandomState(5)
+    n = 120
+    Q = sla.qr(rng.standard_normal((n, n)))[0]
+    lam = np.sort(rng.uniform(0.1, 4.0, n))
+    T = jnp.asarray(Q @ np.diag(lam) @ Q.T, jnp.float32)
+
+    res = lobpcg_gen(lambda U: T @ U, lambda U: U, n, k=1, block=4,
+                     iters=4000, tol=1e-14, dtype=jnp.float32,
+                     identity_R=True, key=1)
+    # f32 floors orders above 1e-14: the plateau stop fires early...
+    assert res.iterations < 1000
+    assert not res.converged  # ...and 1e-13 is outside the grace band
+    # the eigenvalue itself is still right to f32 accuracy
+    np.testing.assert_allclose(res.values[0], lam[0], rtol=1e-4)
