@@ -364,10 +364,10 @@ def main():
             # while an absolute 1e-8 at theta ~ 5e-6 chases rel residual
             # 1e-8 at ~2 s/LOBPCG-iteration (measured, PERF.md round-5).
             # block=2 halves the f64 iteration cost (k=1 + the gap pair).
-            scm = l2_interior_scm(fom, mu_ref, two_stage=True, iters=400,
+            scm = l2_interior_scm(fom, mu_ref, two_stage=True, iters=250,
                                   tol=1e-2, eig_relative_tol=True,
                                   block=2, f32_iters=50, box_tol=1e-5,
-                                  cg_maxiter=1200, restarts=1,
+                                  plateau=60, cg_maxiter=1200, restarts=1,
                                   precond_type="mg" if use_mg else "cg")
             scm.add_anchor(mu_ref)
             fit_desc = f"{len(scm.box)} term boxes + 1 anchor, coercivity"

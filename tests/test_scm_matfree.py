@@ -631,7 +631,7 @@ def test_lobpcg_plateau_stop():
 
     res = lobpcg_gen(lambda U: T @ U, lambda U: U, n, k=1, block=4,
                      iters=4000, tol=1e-14, dtype=jnp.float32,
-                     identity_R=True, key=1)
+                     identity_R=True, key=1, plateau=40)
     # f32 floors orders above 1e-14: the plateau stop fires early...
     assert res.iterations < 1000
     assert not res.converged  # ...and 1e-13 is outside the grace band
