@@ -177,7 +177,8 @@ def main():
         mus_b = fom.sample_parameters(8, key=1)
         t0 = time.perf_counter()
         scm = MatrixFreeScmInfSup(fom, two_stage=True, iters=400,
-                                  tol=1e-3, box_tol=1e-10,
+                                  tol=1e-3, analytic_boxes=True,
+                                  block=2, f32_iters=50, plateau=60,
                                   cg_maxiter=400, restarts=1)
         hist = scm.fit(mus_b, tol=0.5, max_anchors=6)
         t_fit = time.perf_counter() - t0
@@ -333,8 +334,13 @@ def main():
             # plenty for certified bounds); boxes: ABSOLUTE 1e-10
             # edges (the LP's ingredients must resolve the lambda_min
             # scale, ~1e-8 at this h)
+            # analytic pair boxes (round-5): the absolute box_tol floors
+            # are unreachable at pod scale — term_norm_bounds gives
+            # rigorous boxes for free, anchors + the weyl auto-fit do
+            # the tightening. plateau=60: the anchor pencils floor too.
             scm = MatrixFreeScmInfSup(fom, two_stage=True, iters=400,
-                                      tol=1e-3, box_tol=1e-10,
+                                      tol=1e-3, analytic_boxes=True,
+                                      block=2, f32_iters=50, plateau=60,
                                       cg_maxiter=400, restarts=1)
             hist = scm.fit(mus_b, tol=0.5, max_anchors=6)
             # auto-fit the jittable Weyl bound to positivity over the
@@ -364,7 +370,7 @@ def main():
             # while an absolute 1e-8 at theta ~ 5e-6 chases rel residual
             # 1e-8 at ~2 s/LOBPCG-iteration (measured, PERF.md round-5).
             # block=2 halves the f64 iteration cost (k=1 + the gap pair).
-            scm = l2_interior_scm(fom, mu_ref, two_stage=True, iters=250,
+            scm = l2_interior_scm(fom, mu_ref, two_stage=True, iters=400,
                                   tol=1e-2, eig_relative_tol=True,
                                   block=2, f32_iters=50, box_tol=1e-5,
                                   plateau=60, cg_maxiter=1200, restarts=1,

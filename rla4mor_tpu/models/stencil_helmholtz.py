@@ -99,6 +99,15 @@ class StencilHelmholtz:
         N = self.num_intervals
         return stencil_apply(u, jnp.ones((N, N), u.dtype))
 
+    def term_norm_bounds(self) -> list:
+        """Rigorous l2 spectral-norm bounds of the affine terms [K, M]
+        (feeds the analytic pair boxes of the matrix-free inf-sup SCM,
+        round-5): lam_max(K) <= 16/3 (element Rayleigh / Gershgorin,
+        StencilThermalBlock.term_box_bounds), lam_max(M) <= h^2 (each
+        node in <= 4 elements; Q1 element mass eigenvalues
+        h^2/36 * {9, 3, 3, 1}, so 4 * 9 h^2/36 = h^2)."""
+        return [16.0 / 3.0, self.h * self.h]
+
     def rhs(self, dtype=None) -> jax.Array:
         dt = self.dtype if dtype is None else dtype
         load = jnp.full(self.solution_shape, self.h * self.h, dtype=dt)

@@ -434,6 +434,7 @@ def lobpcg_gen_checked(
     k: int = 1,
     restarts: int = 1,
     agree_rtol: float = 1e-4,
+    restart_radius_rtol: float = 0.1,
     base_solver: Callable = lobpcg_gen,
     restart_precond: Optional[Apply] | str = "same",
     precond: Optional[Apply] = None,
@@ -454,11 +455,13 @@ def lobpcg_gen_checked(
         dis_i = max_pairs (|theta_i^a - theta_i^b| - rho_i^a - rho_i^b)_+
                 / max(|theta_i^a|, |theta_i^b|, tiny)
 
-    ``certified`` is True iff every run converged AND
-    ``max_i dis_i <= agree_rtol``; the returned result is the run with
+    ``certified`` is True iff the returned run converged, every run is
+    informative (``radii[i] <= restart_radius_rtol * |theta_i|`` — the
+    anti-vacuous condition: a wide-radius restart would agree with
+    anything), AND ``max_i dis_i <= agree_rtol``; the returned result is the run with
     the smallest ``theta_1`` (the best extremal candidate) carrying the
-    diagnostics.  An unconverged restart voids certification rather than
-    vacuously agreeing through its wide radius.
+    diagnostics.  A WIDE-RADIUS restart voids certification rather than
+    vacuously agreeing through its enclosure.
 
     ``restart_precond``: ``'same'`` reuses ``precond``; pass a different
     callable (or ``None`` for unpreconditioned) to also vary the
@@ -491,8 +494,18 @@ def lobpcg_gen_checked(
                 dis = max(dis, excess / max(abs(ta), abs(tb), 1e-300))
     best = min(runs, key=lambda r: float(r.values[0]))
     best.restart_disagreement = dis
+    # a restart run need not formally hit its tolerance to defend the
+    # claim — it must be INFORMATIVE: enclosure radius <= 10% of |theta|
+    # for every wanted pair (that is exactly the anti-vacuous condition;
+    # a wide-radius run would "agree" with anything). The RETURNED
+    # run's own converged flag is still required.
+    informative = all(
+        float(r.radii[i]) <= restart_radius_rtol
+        * max(abs(float(r.values[i])), 1e-300)
+        for r in runs for i in range(k)
+    )
     best.certified = bool(
-        all(r.converged for r in runs) and dis <= agree_rtol
+        best.converged and informative and dis <= agree_rtol
     )
     return best
 
@@ -829,6 +842,7 @@ class MatrixFreeScmInfSup:
         cg_tol: float = 1e-2,
         cg_maxiter: int = 400,
         complex_coeffs: Optional[bool] = None,
+        analytic_boxes: bool = False,
         **kw,
     ):
         self._fom = fom  # for weyl_bound's coefficient tuple
@@ -863,6 +877,30 @@ class MatrixFreeScmInfSup:
                     pair_applies.append(pair_apply(q, qp, "im"))
                     pairs.append((q, qp, "im"))
         self._pairs = pairs
+
+        if analytic_boxes and kw.get("boxes") is None:
+            # Rigorous a-priori pair boxes from the family's term
+            # spectral-norm bounds (OPT-IN: unlike the coercive tier,
+            # the signed pair coefficients make box edges bind in the
+            # inf-sup LP, so looser boxes cost tightness between
+            # anchors — but they skip 2 * n_pairs pod-scale eigensolves
+            # whose absolute box_tol floors are unreachable at >=1e6
+            # DoF; the anchors/weyl auto-fit recover the tightness):
+            # diag:      0 <= lambda(A_q^H A_q) <= N_q^2,
+            # cross re/im: |lambda(A_q^H A_q' +- h.c.)| <= 2 N_q N_q'.
+            if not hasattr(fom, "term_norm_bounds"):
+                raise ValueError(
+                    "analytic_boxes=True needs fom.term_norm_bounds()"
+                )
+            Nn = [float(v) for v in fom.term_norm_bounds()]
+            bxs = []
+            for (q, qp, part) in pairs:
+                if q == qp:
+                    bxs.append((0.0, Nn[q] * Nn[q]))
+                else:
+                    m = 2.0 * Nn[q] * Nn[qp]
+                    bxs.append((-m, m))
+            kw["boxes"] = bxs
 
         def theta_fn(mu):
             th = np.asarray(eval_coefficients(base_coeffs, mu))

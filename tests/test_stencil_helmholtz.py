@@ -382,3 +382,31 @@ def test_complex_weyl_bound_jittable(damped):
     val = float(jax.jit(beta)(mus[0]))
     truth = np.sqrt(_dense_smin2(K, M, mus[0]))
     assert 0 < val <= truth * (1 + 1e-8)
+
+
+def test_infsup_analytic_pair_boxes_bracket_dense(helm):
+    """Round-5: analytic_boxes=True (pair boxes from term_norm_bounds —
+    diag [0, N_q^2], cross +-2 N_q N_q') must still BRACKET the dense
+    sigma_min after the greedy fit; the boxes must contain the dense
+    pair spectra."""
+    fom, K, M, _ = helm
+    scm = MatrixFreeScmInfSup(fom, two_stage=True, tol=1e-9, iters=500,
+                              log_level=30, analytic_boxes=True)
+    # boxes contain the dense pair-term spectra
+    pair_mats = {
+        (0, 0, "re"): K.T @ K,
+        (0, 1, "re"): K.T @ M + M.T @ K,
+        (1, 1, "re"): M.T @ M,
+    }
+    for (q, qp, part), box in zip(scm._pairs, scm.box):
+        lam = np.linalg.eigvalsh(pair_mats[(q, qp, part)])
+        assert box[0] <= lam[0] + 1e-14 and box[1] >= lam[-1] - 1e-14
+    mus = [{"ksq": jnp.asarray([v])} for v in (24.0, 33.0, 44.0)]
+    scm.fit(mus, tol=0.5, max_anchors=5)
+    for mu in mus:
+        ksq = float(mu["ksq"][0])
+        sig = np.linalg.svd(K - ksq * M, compute_uv=False)[-1]
+        lb, ub = scm.lower(mu), scm.upper(mu)
+        assert lb <= sig * (1 + 1e-7)
+        assert ub >= sig * (1 - 1e-7)
+        assert lb > 0
