@@ -373,7 +373,7 @@ def main():
             scm = l2_interior_scm(fom, mu_ref, two_stage=True, iters=400,
                                   tol=1e-2, eig_relative_tol=True,
                                   block=2, f32_iters=50, box_tol=1e-5,
-                                  plateau=60, cg_maxiter=1200, restarts=1,
+                                  cg_maxiter=1200, restarts=1,
                                   precond_type="mg" if use_mg else "cg")
             scm.add_anchor(mu_ref)
             fit_desc = f"{len(scm.box)} term boxes + 1 anchor, coercivity"

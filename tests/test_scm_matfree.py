@@ -477,8 +477,10 @@ def test_matrixfree_scm_sharded_anchor_equals_unsharded():
 
     from rla4mor_tpu.models.stencil import StencilThermalBlock
 
-    # (N+1) = 32 node rows divide the 8-device dof axis
-    fom = StencilThermalBlock(grid_shape=(2, 2), num_intervals=31,
+    # (N+1) = 16 node rows divide the 8-device dof axis (round-5 suite
+    # budget: 16^2 pins the sharded==unsharded equivalence as well as
+    # 32^2 at a quarter of the eigensolve cost — 181 s -> ~50 s)
+    fom = StencilThermalBlock(grid_shape=(2, 2), num_intervals=15,
                               dtype=jnp.float64)
     devs = jax.devices()
     mesh = Mesh(np.array(devs).reshape(len(devs), 1), ("dof", "mu"))
